@@ -1,0 +1,132 @@
+"""Patch index-selection policies as boolean masks + fixed-capacity gather.
+
+TPU-native rebuild of the reference index policies
+(``/root/reference/utils/patch_selection_classifier_index.py:17-87``) and of
+the Python-``set`` union in ``main_moc.py:335-354``.
+
+The reference returns variable-length integer index tensors and unions them in
+a Python set — shape-dynamic and host-bound. Here each policy returns a boolean
+``selected [N]`` mask over the padded bag; the union is a bitwise OR; and
+``gather_selected`` packs the union into a **fixed-capacity** buffer (sorted by
+original index, like the reference's ``sorted(list(selected_index))``) with a
+count, keeping every shape static for XLA.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from moc_tpu.ops.masking import NEG_INF, masked_col_topk, masked_row_margin
+
+
+def _scatter_topk_mask(idx: jax.Array, n: int) -> jax.Array:
+    """Boolean [n] mask with True at every index appearing in ``idx``."""
+    flat = idx.reshape(-1)
+    return jnp.zeros((n,), jnp.bool_).at[flat].set(True)
+
+
+def select_topj(logits: jax.Array, valid: jax.Array, topj: int) -> jax.Array:
+    """Union of per-class top-j rows of raw logits (ref ``index_topj_classifier``)."""
+    n = logits.shape[0]
+    _, idx = masked_col_topk(logits, valid, min(topj, n))
+    return _scatter_topk_mask(idx, n) & valid
+
+
+def select_delta_softmax(logits: jax.Array, valid: jax.Array, topj: int) -> jax.Array:
+    """Union of per-class top-j rows of row-softmaxed logits."""
+    n = logits.shape[0]
+    probs = jax.nn.softmax(logits, axis=1)
+    _, idx = masked_col_topk(probs, valid, min(topj, n))
+    return _scatter_topk_mask(idx, n) & valid
+
+
+def select_delta_diff(logits: jax.Array, valid: jax.Array, topj: int) -> jax.Array:
+    """Top-j rows by |top1-top2| margin (every class column ranks identically)."""
+    n = logits.shape[0]
+    margin = jnp.where(valid, masked_row_margin(logits), NEG_INF)
+    _, row_idx = jax.lax.top_k(margin, min(topj, n))
+    return _scatter_topk_mask(row_idx, n) & valid
+
+
+def select_bottomk_irrel(logits_ext: jax.Array, valid: jax.Array, topj: int, n_fg: int,
+                         bottomk: int | None = None, detection: bool = False) -> jax.Array:
+    """Two-stage: bottom-k rows by summed background logits, then per-class
+    top-j of the foreground logits among those rows
+    (ref ``index_bottomk_irrel_classifier``)."""
+    n = logits_ext.shape[0]
+    if bottomk is None:
+        bottomk = topj
+    kb = min(bottomk, n)
+    if detection:
+        fg = logits_ext[:, :1]
+        bg = logits_ext[:, 1:]
+        top1_bg = jax.lax.top_k(bg, 1)[0]
+    else:
+        fg = logits_ext[:, :n_fg]
+        bg = logits_ext[:, n_fg:]
+    bg_sum = jnp.sum(bg, axis=1)
+    bg_key = jnp.where(valid, -bg_sum, NEG_INF)
+    _, bk_idx = jax.lax.top_k(bg_key, kb)
+    bk_count = jnp.minimum(kb, jnp.sum(valid))
+    pos = jax.lax.broadcasted_iota(jnp.int32, (kb,), 0)
+    stage_valid = pos < bk_count
+    fg_rows = fg[bk_idx]
+    if detection:
+        fg_rows = jnp.concatenate([fg_rows, top1_bg[bk_idx]], axis=1)
+    _, idx2 = masked_col_topk(fg_rows, stage_valid, min(topj, kb))  # into fg_rows
+    # Map back to original rows; entries ranked beyond the stage count point at
+    # garbage — mask them out by building the mask only from valid stage rows.
+    sel_stage = _scatter_topk_mask(idx2, kb) & stage_valid
+    orig_idx = jnp.where(sel_stage, bk_idx, n)  # n = out-of-range sentinel
+    mask = jnp.zeros((n,), jnp.bool_).at[orig_idx].set(True, mode="drop")
+    return mask & valid
+
+
+def union_selection(logits: jax.Array, logits_ext: jax.Array, valid: jax.Array,
+                    topj: int, n_classes: int,
+                    discard: tuple[str, ...] = ()) -> jax.Array:
+    """OR-union of the four selection policies (ref ``main_moc.py:335-354``).
+
+    ``discard`` names follow the reference CLI flags:
+    ``{"topk", "delta_softmax", "delta_diff", "bottomk"}``.
+    """
+    sel = jnp.zeros(logits.shape[:1], jnp.bool_)
+    if "topk" not in discard:
+        sel = sel | select_topj(logits, valid, topj)
+    if "delta_softmax" not in discard:
+        sel = sel | select_delta_softmax(logits, valid, topj)
+    if "delta_diff" not in discard:
+        sel = sel | select_delta_diff(logits, valid, topj)
+    if "bottomk" not in discard:
+        sel = sel | select_bottomk_irrel(logits_ext, valid, topj, n_classes)
+    return sel
+
+
+def selection_capacity(topj: int, n_classes: int, n: int | None = None) -> int:
+    """Static upper bound on the union size: topj*C (topj policy) + topj*C
+    (delta_softmax) + topj (delta_diff) + topj (bottomk, ≤ bottom-k rows)."""
+    cap = topj * n_classes * 2 + topj * 2
+    if n is not None:
+        cap = min(cap, n)
+    return cap
+
+
+def gather_selected(selected: jax.Array, capacity: int):
+    """Pack a boolean selection mask into fixed-size index/validity buffers.
+
+    Returns ``(idx [capacity], sel_valid [capacity], count)`` where ``idx`` is
+    the selected original row indices in **ascending** order (matching the
+    reference's ``sorted(selected_index)``), padded with 0 beyond ``count``.
+    """
+    n = selected.shape[0]
+    # Score selected rows descending by (n - i) so top_k returns them in
+    # ascending original-index order; unselected rows get NEG rank.
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    score = jnp.where(selected, n - pos, -1)
+    _, idx = jax.lax.top_k(score, min(capacity, n))
+    count = jnp.sum(selected.astype(jnp.int32))
+    slot = jax.lax.broadcasted_iota(jnp.int32, (min(capacity, n),), 0)
+    sel_valid = slot < count
+    idx = jnp.where(sel_valid, idx, 0)
+    return idx, sel_valid, count

@@ -1,0 +1,83 @@
+"""Tests for the boolean-mask selection policies and fixed-capacity gather."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from moc_tpu import ops
+from moc_tpu.ops.selection import selection_capacity
+from tests import oracles as orc
+
+
+def make_bags(n=41, n_fg=2, n_bg=4, pad_to=64, seed=3):
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(size=(n, n_fg)).astype(np.float32)
+    logits_ext = np.concatenate([logits, rng.normal(size=(n, n_bg)).astype(np.float32)], axis=1)
+    def pad(x):
+        out = np.full((pad_to, x.shape[1]), 77.0, np.float32)
+        out[:n] = x
+        return out
+    valid = np.arange(pad_to) < n
+    return logits, logits_ext, pad(logits), pad(logits_ext), valid
+
+
+@pytest.mark.parametrize("j", [5, 13])
+def test_selection_masks_match_oracle_sets(j):
+    logits, logits_ext, p, pe, valid = make_bags()
+    n = logits.shape[0]
+
+    def as_set(mask):
+        return set(np.flatnonzero(np.asarray(mask)).tolist())
+
+    assert as_set(ops.select_topj(jnp.asarray(p), jnp.asarray(valid), j)) == orc.sel_topj(logits, j)
+    assert as_set(ops.select_delta_softmax(jnp.asarray(p), jnp.asarray(valid), j)) == orc.sel_delta_softmax(logits, j)
+    assert as_set(ops.select_delta_diff(jnp.asarray(p), jnp.asarray(valid), j)) == orc.sel_delta_diff(logits, j)
+    got = as_set(ops.select_bottomk_irrel(jnp.asarray(pe), jnp.asarray(valid), j, n_fg=2))
+    assert got == orc.sel_bottomk_irrel(logits_ext, j, 2)
+    assert all(i < n for i in got)
+
+
+def test_union_matches_oracle_union():
+    j = 7
+    logits, logits_ext, p, pe, valid = make_bags(seed=11)
+    want = (orc.sel_topj(logits, j) | orc.sel_delta_softmax(logits, j)
+            | orc.sel_delta_diff(logits, j) | orc.sel_bottomk_irrel(logits_ext, j, 2))
+    sel = ops.union_selection(jnp.asarray(p), jnp.asarray(pe), jnp.asarray(valid), j, n_classes=2)
+    got = set(np.flatnonzero(np.asarray(sel)).tolist())
+    assert got == want
+
+
+def test_union_discard_flags():
+    j = 7
+    logits, logits_ext, p, pe, valid = make_bags(seed=12)
+    sel = ops.union_selection(jnp.asarray(p), jnp.asarray(pe), jnp.asarray(valid), j,
+                              n_classes=2, discard=("delta_softmax", "bottomk"))
+    got = set(np.flatnonzero(np.asarray(sel)).tolist())
+    assert got == orc.sel_topj(logits, j) | orc.sel_delta_diff(logits, j)
+
+
+def test_gather_selected_sorted_and_padded():
+    j = 7
+    _, _, p, pe, valid = make_bags(seed=13)
+    sel = ops.union_selection(jnp.asarray(p), jnp.asarray(pe), jnp.asarray(valid), j, n_classes=2)
+    cap = selection_capacity(j, 2, n=p.shape[0])
+    idx, sel_valid, count = ops.gather_selected(sel, cap)
+    idx, sel_valid, count = np.asarray(idx), np.asarray(sel_valid), int(count)
+    sel_np = np.flatnonzero(np.asarray(sel))
+    assert count == len(sel_np)
+    assert count <= cap
+    np.testing.assert_array_equal(idx[:count], sel_np)  # ascending original order
+    assert not sel_valid[count:].any()
+    assert (idx[count:] == 0).all()
+
+
+def test_capacity_bound_is_respected():
+    """Worst-case adversarial bag: all four policies pick disjoint rows."""
+    j, c = 4, 3
+    n = 256
+    rng = np.random.default_rng(99)
+    logits = rng.normal(size=(n, c)).astype(np.float32)
+    ext = np.concatenate([logits, rng.normal(size=(n, 4)).astype(np.float32)], axis=1)
+    valid = np.ones(n, bool)
+    sel = ops.union_selection(jnp.asarray(logits), jnp.asarray(ext), jnp.asarray(valid), j, n_classes=c)
+    assert int(np.asarray(sel).sum()) <= selection_capacity(j, c)
