@@ -1,0 +1,140 @@
+"""Bag loading and episode materialization with background prefetch.
+
+Replaces the reference's torch ``DataLoader`` + worker-process pipeline
+(``/root/reference/utils/utils.py:187-215``) with a thread-pooled HDF5 reader
+feeding padded device batches. The ``repeat_num`` episode-lengthening trick
+(``dataset_generic.py:380-396``: ``__len__`` returns ``repeat_num`` and
+indices wrap modulo the real length) becomes an explicit oversampled index
+sequence — data for a few-shot episode is loaded **once** and the train loop
+scans over index permutations on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from moc_tpu.data.bags import Bag, read_bag
+from moc_tpu.data.batching import BagBatch, bucket_size, bucketize, pack_bags, DEFAULT_BUCKETS
+from moc_tpu.data.table import SlideTable
+
+
+class BagLoader:
+    """Reads bags for slides in a ``SlideTable`` with a host thread pool."""
+
+    def __init__(
+        self,
+        table: SlideTable,
+        data_dir: str,
+        *,
+        use_h5: bool = True,
+        num_workers: int = 8,
+        cache: bool = False,
+    ):
+        self.table = table
+        self.data_dir = data_dir
+        self.use_h5 = use_h5
+        self.num_workers = num_workers
+        self._cache: dict[str, Bag] | None = {} if cache else None
+
+    def read(self, slide_id: str) -> Bag:
+        if self._cache is not None and slide_id in self._cache:
+            return self._cache[slide_id]
+        bag = read_bag(self.data_dir, slide_id, use_h5=self.use_h5,
+                       label=self.table.label_of(slide_id))
+        if self._cache is not None:
+            self._cache[slide_id] = bag
+        return bag
+
+    def read_all(self, slide_ids: Sequence[str] | None = None) -> list[Bag]:
+        ids = list(slide_ids) if slide_ids is not None else list(self.table.slide_ids)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            return list(pool.map(self.read, ids))
+
+    def batches(
+        self,
+        *,
+        batch_size: int = 8,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        with_coords: bool = False,
+        shuffle_seed: int | None = None,
+    ) -> Iterator[BagBatch]:
+        """Yield bucketed padded batches covering the whole table.
+
+        Bags are grouped by bucket so each (bucket, batch_size) pair compiles
+        once; within a bucket, batches are chunks of ``batch_size`` (the last
+        chunk is repeated-padded to full size with mask-invalidated rows so
+        shapes stay static — consumers must weight by ``labels >= 0``).
+        """
+        bags = self.read_all()
+        if shuffle_seed is not None:
+            rng = np.random.default_rng(shuffle_seed)
+            rng.shuffle(bags)
+        for n_pad, group in sorted(bucketize(bags, buckets).items()):
+            for i in range(0, len(group), batch_size):
+                chunk = group[i : i + batch_size]
+                while len(chunk) < batch_size:  # static batch: pad with dummies
+                    filler = chunk[len(chunk) % max(1, i + batch_size - len(chunk))]
+                    chunk = chunk + [dataclasses.replace(filler, label=-1)]
+                yield pack_bags(chunk, n_pad=n_pad, with_coords=with_coords)
+
+
+@dataclasses.dataclass
+class EpisodeBags:
+    """All bags of one few-shot episode, materialized and padded once.
+
+    ``train`` is a single ``BagBatch`` (few-shot: shot×C slides); ``val`` and
+    ``test`` are lists of fixed-size chunks (streamed at eval time). The
+    oversampled train order of the reference (``repeat_num`` = shot×C visits
+    per epoch) is produced by ``train_epoch_order``.
+    """
+
+    train: BagBatch
+    val: list[BagBatch]
+    test: list[BagBatch]
+    repeat_num: int
+
+    @classmethod
+    def load(
+        cls,
+        loader: BagLoader,
+        train_ids: Sequence[str],
+        val_ids: Sequence[str],
+        test_ids: Sequence[str],
+        *,
+        repeat_num: int | None = None,
+        eval_batch_size: int = 8,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+    ) -> "EpisodeBags":
+        train_bags = loader.read_all(train_ids)
+        n_pad = bucket_size(max(b.n_patches for b in train_bags), buckets)
+        train = pack_bags(train_bags, n_pad=n_pad)
+
+        def chunks(ids: Sequence[str]) -> list[BagBatch]:
+            bags = loader.read_all(ids)
+            out = []
+            for bn_pad, group in sorted(bucketize(bags, buckets).items()):
+                for i in range(0, len(group), eval_batch_size):
+                    chunk = group[i : i + eval_batch_size]
+                    while len(chunk) < eval_batch_size:
+                        chunk = chunk + [dataclasses.replace(chunk[0], label=-1)]
+                    out.append(pack_bags(chunk, n_pad=bn_pad))
+            return out
+
+        return cls(
+            train=train,
+            val=chunks(val_ids),
+            test=chunks(test_ids),
+            repeat_num=repeat_num if repeat_num is not None else train.batch_size,
+        )
+
+    def train_epoch_order(self, rng: np.random.Generator, shuffle: bool = True) -> np.ndarray:
+        """Index sequence of one oversampled epoch: ``repeat_num`` visits that
+        wrap modulo the real train size (ref ``dataset_generic.py:389-393``)."""
+        order = np.arange(self.repeat_num) % self.train.batch_size
+        if shuffle:
+            rng.shuffle(order)
+        return order
