@@ -1,0 +1,156 @@
+"""Benchmark: MOC slide-classification throughput on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": "moc_eval_slides_per_sec", "value": N, "unit": "slides/sec/chip",
+   "vs_baseline": R}
+
+Protocol (BASELINE.md): the reference instruments no timers, so the baseline
+here is the same MOC algorithm (patch scoring → 4-policy selection → senet
+fusion → top-k pooling) implemented in PyTorch, timed on this host's CPU —
+i.e. the reference's per-slide eager pipeline without its GPU. ``vs_baseline``
+is the ratio of the JAX/TPU batched-jit path over that torch path at the
+reference operating point (topj=400, topk=10, D=512, C=2/Ce=6, ~16k patches).
+
+Run: ``python bench.py`` (uses the real TPU when available; falls back to CPU).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+N_PATCHES = 16384
+DIM = 512
+N_CLASSES = 2
+N_EXT = 6
+TOPJ = 400
+TOPK = 10
+BATCH = 8
+ITERS = 20
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from moc_tpu.moc import MOCConfig, make_episode_fns, init_senet
+    from moc_tpu.data.batching import BagBatch
+
+    dev = jax.devices()[0]
+    log(f"jax backend: {dev.platform} ({dev.device_kind})")
+
+    cfg = MOCConfig(n_classes=N_CLASSES, n_ext_classes=N_EXT, topj=TOPJ, topk=TOPK,
+                    feature_dim=DIM)
+    _, eval_batch, _ = make_episode_fns(cfg)
+    _, params = init_senet(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(BATCH, N_PATCHES, DIM)).astype(np.float32)
+    mask = np.ones((BATCH, N_PATCHES), bool)
+    batch = BagBatch(
+        features=jnp.asarray(feats),
+        mask=jnp.asarray(mask),
+        labels=jnp.zeros((BATCH,), jnp.int32),
+        n_patches=jnp.full((BATCH,), N_PATCHES, jnp.int32),
+    )
+    w = jnp.asarray(rng.normal(size=(DIM, N_CLASSES)).astype(np.float32))
+    w_ext = jnp.asarray(rng.normal(size=(DIM, N_EXT)).astype(np.float32))
+
+    t0 = time.perf_counter()
+    out = eval_batch(params, batch, w, w_ext)
+    out.block_until_ready()
+    log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = eval_batch(params, batch, w, w_ext)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    sps = BATCH * ITERS / dt
+    log(f"jax: {ITERS} iters x {BATCH} slides in {dt:.3f}s -> {sps:.1f} slides/s")
+    return sps
+
+
+def bench_torch_cpu(n_slides: int = 3) -> float:
+    """The reference's eager per-slide pipeline, re-stated in torch on CPU."""
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    w = torch.randn(DIM, N_CLASSES)
+    w_ext = torch.randn(DIM, N_EXT)
+    senet = torch.nn.Sequential(
+        torch.nn.Linear(DIM, 64), torch.nn.ReLU(),
+        torch.nn.Linear(64, 4), torch.nn.Sigmoid(),
+    )
+
+    def one_slide(feat: torch.Tensor) -> torch.Tensor:
+        logits = feat @ w
+        logits_ext = feat @ w_ext
+        j = min(TOPJ, feat.shape[0])
+        sel = set()
+        sel.update(torch.topk(logits, j, dim=0)[1].flatten().tolist())
+        sel.update(torch.topk(logits.softmax(1), j, dim=0)[1].flatten().tolist())
+        top2 = torch.topk(logits, 2, dim=1)[0]
+        margin = (top2[:, 0] - top2[:, 1]).abs()
+        sel.update(torch.topk(margin, j)[1].tolist())
+        bg = logits_ext[:, N_CLASSES:].sum(1)
+        bk = torch.topk(-bg, j)[1]
+        sel.update(bk[torch.topk(logits_ext[bk, :N_CLASSES], min(j, len(bk)), dim=0)[1]]
+                   .flatten().tolist())
+        idx = torch.tensor(sorted(sel))
+        sf = feat[idx]
+        sl = sf @ w
+        sle = sf @ w_ext
+        views = torch.stack([
+            sl, sl.softmax(1),
+            (torch.topk(sl, 2, 1)[0][:, 0] - torch.topk(sl, 2, 1)[0][:, 1]).abs()
+            .unsqueeze(1).expand_as(sl),
+            sle[:, N_CLASSES:].max(1)[0].unsqueeze(1).expand_as(sl),
+        ])
+        wts = senet(sf)
+        fused = (wts.t().unsqueeze(-1) * views).sum(0)
+        k = min(TOPK, fused.shape[0])
+        return torch.topk(fused, k, dim=0)[0].mean(0, keepdim=True)
+
+    feats = [torch.randn(N_PATCHES, DIM) for _ in range(n_slides)]
+    with torch.no_grad():
+        one_slide(feats[0])  # warm
+        t0 = time.perf_counter()
+        for f in feats:
+            one_slide(f)
+        dt = time.perf_counter() - t0
+    sps = n_slides / dt
+    log(f"torch-cpu baseline: {n_slides} slides in {dt:.3f}s -> {sps:.1f} slides/s")
+    return sps
+
+
+def main() -> None:
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    jax_sps = bench_jax()
+    try:
+        base_sps = bench_torch_cpu()
+    except Exception as e:  # torch missing/broken must not kill the bench
+        log(f"torch baseline failed: {e}")
+        base_sps = float("nan")
+    ratio = jax_sps / base_sps if base_sps == base_sps else None
+    print(json.dumps({
+        "metric": "moc_eval_slides_per_sec",
+        "value": round(jax_sps, 2),
+        "unit": "slides/sec/chip",
+        "vs_baseline": round(ratio, 2) if ratio is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,4 +18,8 @@ Reference layer map: see SURVEY.md at the repo root.
 
 __version__ = "0.1.0"
 
+from moc_tpu import data  # noqa: F401
+from moc_tpu import metrics  # noqa: F401
+from moc_tpu import moc  # noqa: F401
+from moc_tpu import models  # noqa: F401
 from moc_tpu import ops  # noqa: F401

@@ -131,10 +131,17 @@ class EpisodeBags:
             repeat_num=repeat_num if repeat_num is not None else train.batch_size,
         )
 
-    def train_epoch_order(self, rng: np.random.Generator, shuffle: bool = True) -> np.ndarray:
+    def train_epoch_order(self, rng: np.random.Generator | None = None,
+                          shuffle: bool = False) -> np.ndarray:
         """Index sequence of one oversampled epoch: ``repeat_num`` visits that
-        wrap modulo the real train size (ref ``dataset_generic.py:389-393``)."""
+        wrap modulo the real train size (ref ``dataset_generic.py:389-393``).
+
+        The reference train loader is **unshuffled** (``main_moc.py:291``), so
+        the default order is deterministic; pass ``shuffle=True`` + an rng to
+        opt into per-epoch shuffling.
+        """
         order = np.arange(self.repeat_num) % self.train.batch_size
         if shuffle:
+            assert rng is not None
             rng.shuffle(order)
         return order

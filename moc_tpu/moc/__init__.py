@@ -1,0 +1,59 @@
+"""moc_tpu.moc — the MOC algorithm core (the paper's contribution), TPU-native.
+
+Rebuild of ``/root/reference/main_moc.py``: zero-shot patch scoring against
+two prompt-derived weight matrices, union-of-four-policies patch selection,
+an SE-net per-patch fusion of four classifier views, top-k pooling, and the
+few-shot episode protocol (25 epochs, per-slide Adam steps, best-val-AUC
+model selection, zero-shot floor).
+
+Everything inside an episode is statically shaped: bags are padded+masked,
+the selection union is packed to a fixed capacity, the train epoch is a
+``lax.scan`` over an oversampled slide order, and evaluation is vmapped over
+slides — so one XLA program per (bucket, shape) services every fold/shot.
+"""
+
+from moc_tpu.moc.core import (
+    MOCConfig,
+    SlideViews,
+    selection_capacity_for,
+    slide_process,
+    fuse_views,
+    moc_slide_logits,
+)
+from moc_tpu.moc.episode import (
+    EpisodeResult,
+    EvalMetrics,
+    init_senet,
+    make_episode_fns,
+    run_episode,
+    zs_eval_batches,
+)
+from moc_tpu.moc.sweep import (
+    StackedEpisode,
+    SweepResult,
+    episode_from_bags,
+    make_sweep_fn,
+    run_sweep,
+    stack_episodes,
+)
+
+__all__ = [
+    "MOCConfig",
+    "SlideViews",
+    "selection_capacity_for",
+    "slide_process",
+    "fuse_views",
+    "moc_slide_logits",
+    "EpisodeResult",
+    "EvalMetrics",
+    "init_senet",
+    "make_episode_fns",
+    "run_episode",
+    "zs_eval_batches",
+    "StackedEpisode",
+    "SweepResult",
+    "episode_from_bags",
+    "make_sweep_fn",
+    "run_sweep",
+    "stack_episodes",
+]

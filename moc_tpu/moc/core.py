@@ -1,0 +1,159 @@
+"""MOC slide processing: selection union, classifier views, fused pooling.
+
+Rebuild of ``slide_process`` and the fusion math in the reference train/eval
+loops (``/root/reference/main_moc.py:322-410``), as pure statically-shaped
+functions over padded bags:
+
+  reference                              here
+  ---------                              ----
+  Python-set union of 4 index policies → boolean-mask OR + fixed-capacity pack
+  variable-length ``selected_feat``    → ``[capacity, D]`` + validity mask
+  per-view ``[S, C]`` logit tensors    → ``views [4, capacity, C]`` stack
+  ``topj_pooling(fused, [topk])``      → ``ops.topj_pooling`` (masked)
+
+The reference's training-time random 50% patch mask (``main_moc.py:329-331``)
+is a Bernoulli thinning of the validity mask — rows are masked, not moved, so
+shapes stay static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from moc_tpu import ops
+
+# The four classifier slots, in the senet output order used by the reference
+# fusion (``main_moc.py:391-394``).
+CLASSIFIER_NAMES = ("topk", "delta_softmax", "delta_diff", "bottomk")
+
+
+def selection_capacity_for(topj: int, n_classes: int, n_padded: int) -> int:
+    """Static capacity of the 4-policy selection union, 128-aligned.
+
+    Worst case: top-j per class from two column-ranked policies (2·topj·C) +
+    topj margin rows + topj bottom-k rows; never more than the bag itself.
+    """
+    cap = 2 * topj * n_classes + 2 * topj
+    cap = min(cap, n_padded)
+    return max(128, -(-cap // 128) * 128) if cap < n_padded else n_padded
+
+
+@dataclasses.dataclass(frozen=True)
+class MOCConfig:
+    """Static episode hyper-parameters (reference CLI defaults,
+    ``main_moc.py:29-47`` + ``scripts/moc_train.sh``: topj=400, topk=10)."""
+
+    n_classes: int
+    n_ext_classes: int
+    topj: int = 400
+    topk: int = 10
+    discard: tuple[str, ...] = ()
+    drop_prob: float = 0.5
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    num_epochs: int = 25
+    temperature: float = 56.3477
+    feature_dim: int = 512
+
+    def include_flags(self) -> tuple[bool, bool, bool, bool]:
+        return tuple(name not in self.discard for name in CLASSIFIER_NAMES)
+
+
+@struct.dataclass
+class SlideViews:
+    """Fixed-capacity selection of one slide + the four classifier views.
+
+    Attributes:
+      feats:     ``[S, D]`` selected patch features (invalid rows zeroed).
+      valid:     ``[S]`` bool — which capacity slots hold real selections.
+      idx:       ``[S]`` original row indices (ascending; 0-padded).
+      count:     scalar int — true union size.
+      views:     ``[4, S, C]`` the four per-patch classifier logit views.
+    """
+
+    feats: jax.Array
+    valid: jax.Array
+    idx: jax.Array
+    count: jax.Array
+    views: jax.Array
+
+
+def slide_process(
+    feats: jax.Array,
+    valid: jax.Array,
+    w: jax.Array,
+    w_ext: jax.Array,
+    cfg: MOCConfig,
+    rng: jax.Array | None = None,
+) -> SlideViews:
+    """Select informative patches and build the four classifier views.
+
+    Args:
+      feats: ``[N, D]`` padded bag.
+      valid: ``[N]`` patch validity.
+      w:     ``[D, C]`` tumor-class zero-shot weights.
+      w_ext: ``[D, C_ext]`` extended (tumor+normal) weights.
+      rng:   when given, apply the training-time random patch mask — each
+             patch kept with prob ``1 - drop_prob`` (ref keeps ``rand > 0.5``).
+    """
+    n, _ = feats.shape
+    if rng is not None:
+        keep = jax.random.bernoulli(rng, 1.0 - cfg.drop_prob, (n,))
+        valid = valid & keep
+
+    logits = feats @ w  # [N, C]
+    logits_ext = feats @ w_ext  # [N, C_ext]
+
+    selected = ops.union_selection(
+        logits, logits_ext, valid, cfg.topj, cfg.n_classes, discard=cfg.discard
+    )
+    capacity = selection_capacity_for(cfg.topj, cfg.n_classes, n)
+    idx, sel_valid, count = ops.gather_selected(selected, capacity)
+
+    sel_feats = jnp.where(sel_valid[:, None], feats[idx], 0.0)  # [S, D]
+    sel_logits = jnp.where(sel_valid[:, None], logits[idx], 0.0)  # [S, C]
+    sel_logits_ext = jnp.where(sel_valid[:, None], logits_ext[idx], 0.0)
+
+    c = cfg.n_classes
+    view_top = sel_logits
+    view_softmax = jax.nn.softmax(sel_logits, axis=1)
+    top2 = jax.lax.top_k(sel_logits, 2)[0]
+    margin = jnp.abs(top2[:, 0] - top2[:, 1])  # [S]
+    view_margin = jnp.broadcast_to(margin[:, None], sel_logits.shape)
+    bg_max = jnp.max(sel_logits_ext[:, c:], axis=1)  # [S]
+    view_bg = jnp.broadcast_to(bg_max[:, None], sel_logits.shape)
+
+    views = jnp.stack([view_top, view_softmax, view_margin, view_bg])  # [4, S, C]
+    return SlideViews(feats=sel_feats, valid=sel_valid, idx=idx, count=count, views=views)
+
+
+def fuse_views(weights: jax.Array, views: jax.Array, include: tuple[bool, ...]) -> jax.Array:
+    """Weighted sum of classifier views (ref ``main_moc.py:390-403``).
+
+    ``weights [S, 4]`` are the senet outputs; ``views [4, S, C]``. Discarded
+    classifiers contribute nothing (their senet weight column is unused).
+    """
+    keep = jnp.asarray(include, weights.dtype)  # [4]
+    w = weights * keep[None, :]  # [S, 4]
+    return jnp.einsum("sk,ksc->sc", w, views)
+
+
+def moc_slide_logits(
+    senet_apply,
+    params,
+    feats: jax.Array,
+    valid: jax.Array,
+    w: jax.Array,
+    w_ext: jax.Array,
+    cfg: MOCConfig,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """Full MOC forward for one slide: pooled slide logits ``[C]``."""
+    sel = slide_process(feats, valid, w, w_ext, cfg, rng)
+    weights = senet_apply(params, sel.feats)  # [S, 4]
+    fused = fuse_views(weights, sel.views, cfg.include_flags())
+    return ops.topj_pooling(fused, sel.valid, cfg.topk)

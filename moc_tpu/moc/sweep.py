@@ -1,0 +1,223 @@
+"""Fused episode sweeps: many (fold, shot) MOC episodes as ONE XLA program.
+
+The reference fans independent ``python main_moc.py`` processes across GPUs
+via bash (``/root/reference/scripts/moc_train.sh:23-79``) — one process per
+(fold, shot). Here an entire sweep is a single jitted/vmapped program:
+
+  * epochs   → ``lax.scan``
+  * slides   → inner ``lax.scan`` with per-slide Adam updates (order-dependent
+               SGD semantics of ``main_moc.py:378-410`` preserved)
+  * val/test → vmapped slide forwards + device-side AUC
+               (``moc_tpu.metrics.auc``) so best-val model selection never
+               leaves the chip
+  * episodes → ``jax.vmap``, shardable over a mesh ``data`` axis so folds run
+               on different chips (episode-parallelism = the reference's
+               process-parallelism, minus the processes).
+
+Memory: a stacked sweep materializes every bag of every episode in HBM, so it
+fits few-shot workloads (small train sets, bounded eval sets). The streaming
+host loop (``moc_tpu.moc.episode.run_episode``) remains the path for
+arbitrarily large eval splits.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from moc_tpu.metrics.auc import auc_from_probs
+from moc_tpu.metrics.classification import softmax_probs
+from moc_tpu.moc.core import MOCConfig, moc_slide_logits
+from moc_tpu.moc.episode import make_optimizer
+from moc_tpu.models.senet import SENet
+
+
+@struct.dataclass
+class StackedEpisode:
+    """One episode's bags, fully materialized with static shapes.
+
+    ``train_*`` hold the few-shot train slides ``[B, N, D]``; ``val_*`` /
+    ``test_*`` the eval splits ``[Mv|Mt, N, D]`` (rows with label -1 are
+    filler). Stack a leading episode axis with ``stack_episodes`` to vmap.
+    """
+
+    train_feats: jax.Array
+    train_mask: jax.Array
+    train_labels: jax.Array
+    val_feats: jax.Array
+    val_mask: jax.Array
+    val_labels: jax.Array
+    test_feats: jax.Array
+    test_mask: jax.Array
+    test_labels: jax.Array
+
+
+def stack_episodes(episodes: list[StackedEpisode]) -> StackedEpisode:
+    """Stack equally-shaped episodes on a new leading axis ``[E, ...]``."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *episodes)
+
+
+@struct.dataclass
+class SweepResult:
+    """Per-episode outputs (leading episode axis when vmapped)."""
+
+    best_val_auc: jax.Array
+    test_auc_at_best: jax.Array
+    test_acc_at_best: jax.Array
+    best_epoch: jax.Array
+    final_params: dict
+
+
+def _eval_split(model, params, feats, mask, labels, w, w_ext, cfg: MOCConfig):
+    """Pooled logits → (auc, acc) on device, ignoring filler rows."""
+
+    def per_slide(f, m):
+        return moc_slide_logits(model.apply, params, f, m, w, w_ext, cfg, None)
+
+    logits = jax.vmap(per_slide)(feats, mask)  # [M, C]
+    valid = labels >= 0
+    probs = softmax_probs(logits, cfg.temperature)
+    auc = auc_from_probs(probs, labels, valid)
+    hit = (jnp.argmax(logits, axis=1) == labels) & valid
+    acc = jnp.sum(hit) / jnp.maximum(jnp.sum(valid), 1)
+    return auc, acc
+
+
+def make_sweep_fn(cfg: MOCConfig, repeat_num: int):
+    """Build ``run(episode, w, w_ext, seed) -> SweepResult`` for ONE episode;
+    vmap/shard it over a leading episode axis for the full sweep."""
+    model = SENet(in_dim=cfg.feature_dim, out_dim=4)
+    optimizer = make_optimizer(cfg)
+
+    def slide_loss(params, feats, valid, label, w, w_ext, rng):
+        logits = moc_slide_logits(model.apply, params, feats, valid, w, w_ext, cfg, rng)
+        return optax.softmax_cross_entropy_with_integer_labels(logits[None], label[None])[0]
+
+    def run(episode: StackedEpisode, w, w_ext, seed) -> SweepResult:
+        b = episode.train_feats.shape[0]
+        order = jnp.arange(repeat_num, dtype=jnp.int32) % b  # unshuffled, ref main_moc.py:291
+        params = model.init(
+            jax.random.fold_in(jax.random.PRNGKey(17), seed),
+            jnp.zeros((1, cfg.feature_dim)),
+        )
+        opt_state = optimizer.init(params)
+
+        def epoch_body(carry, epoch):
+            params, opt_state, best = carry
+            epoch_key = jax.random.fold_in(jax.random.fold_in(jax.random.PRNGKey(23), seed), epoch)
+
+            def slide_body(inner, i):
+                params, opt_state = inner
+                rng = jax.random.fold_in(epoch_key, i)
+                loss, grads = jax.value_and_grad(slide_loss)(
+                    params,
+                    episode.train_feats[order[i]],
+                    episode.train_mask[order[i]],
+                    episode.train_labels[order[i]],
+                    w,
+                    w_ext,
+                    rng,
+                )
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), _ = jax.lax.scan(
+                slide_body, (params, opt_state), jnp.arange(repeat_num)
+            )
+
+            val_auc, _ = _eval_split(model, params, episode.val_feats, episode.val_mask,
+                                     episode.val_labels, w, w_ext, cfg)
+            test_auc, test_acc = _eval_split(model, params, episode.test_feats,
+                                             episode.test_mask, episode.test_labels,
+                                             w, w_ext, cfg)
+            best_val, best_test, best_acc, best_epoch = best
+            improved = val_auc > best_val
+            best = (
+                jnp.where(improved, val_auc, best_val),
+                jnp.where(improved, test_auc, best_test),
+                jnp.where(improved, test_acc, best_acc),
+                jnp.where(improved, epoch, best_epoch),
+            )
+            return (params, opt_state, best), None
+
+        init_best = (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0), jnp.int32(0))
+        (params, _, best), _ = jax.lax.scan(
+            epoch_body, (params, opt_state, init_best), jnp.arange(cfg.num_epochs)
+        )
+        return SweepResult(
+            best_val_auc=best[0],
+            test_auc_at_best=best[1],
+            test_acc_at_best=best[2],
+            best_epoch=best[3],
+            final_params=params,
+        )
+
+    return run
+
+
+def run_sweep(
+    episodes: StackedEpisode,
+    w,
+    w_ext,
+    cfg: MOCConfig,
+    repeat_num: int,
+    seeds=None,
+    mesh: jax.sharding.Mesh | None = None,
+    episode_axis: str = "data",
+) -> SweepResult:
+    """Run ``E`` stacked episodes (leading axis) as one compiled program.
+
+    With ``mesh``, episodes are sharded over ``episode_axis`` so each device
+    trains its own folds — the TPU equivalent of the reference's GPU fan-out.
+    """
+    run_one = make_sweep_fn(cfg, repeat_num)
+    e = episodes.train_feats.shape[0]
+    if seeds is None:
+        seeds = jnp.arange(e, dtype=jnp.int32)
+    fn = jax.vmap(run_one, in_axes=(0, None, None, 0))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ep_sharding = NamedSharding(mesh, P(episode_axis))
+        rep = NamedSharding(mesh, P())
+        episodes = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P(*([episode_axis] + [None] * (x.ndim - 1))))),
+            episodes,
+        )
+        w = jax.device_put(jnp.asarray(w), rep)
+        w_ext = jax.device_put(jnp.asarray(w_ext), rep)
+        seeds = jax.device_put(seeds, ep_sharding)
+        fn = jax.jit(fn)
+    else:
+        fn = jax.jit(fn)
+    return fn(episodes, jnp.asarray(w), jnp.asarray(w_ext), seeds)
+
+
+def episode_from_bags(train_batch, val_batches, test_batches) -> StackedEpisode:
+    """Build a StackedEpisode from ``EpisodeBags``-style padded batches,
+    repadding eval chunks to a common shape."""
+
+    def cat(batches):
+        n_pad = max(b.features.shape[1] for b in batches)
+        feats, masks, labels = [], [], []
+        for b in batches:
+            f = np.asarray(b.features)
+            m = np.asarray(b.mask)
+            pad = n_pad - f.shape[1]
+            if pad:
+                f = np.pad(f, ((0, 0), (0, pad), (0, 0)))
+                m = np.pad(m, ((0, 0), (0, pad)))
+            feats.append(f)
+            masks.append(m)
+            labels.append(np.asarray(b.labels))
+        return (jnp.asarray(np.concatenate(feats)), jnp.asarray(np.concatenate(masks)),
+                jnp.asarray(np.concatenate(labels)))
+
+    tf, tm, tl = cat([train_batch])
+    vf, vm, vl = cat(val_batches)
+    sf, sm, sl = cat(test_batches)
+    return StackedEpisode(tf, tm, tl, vf, vm, vl, sf, sm, sl)

@@ -1,0 +1,80 @@
+"""Device AUC must match sklearn exactly (ties included)."""
+
+import numpy as np
+import pytest
+from sklearn.metrics import roc_auc_score
+
+from moc_tpu.metrics import (
+    accuracy,
+    auc_binary,
+    auc_from_probs,
+    auc_ovo_macro,
+    balanced_accuracy,
+    roc_auc_host,
+    softmax_probs,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_auc_binary_matches_sklearn(seed):
+    rng = np.random.default_rng(seed)
+    scores = rng.normal(size=200)
+    labels = (rng.random(200) < 0.4).astype(int)
+    ours = float(auc_binary(scores, labels))
+    ref = roc_auc_score(labels, scores)
+    assert abs(ours - ref) < 1e-6
+
+
+def test_auc_binary_with_ties():
+    scores = np.array([0.1, 0.1, 0.5, 0.5, 0.9, 0.9])
+    labels = np.array([0, 1, 0, 1, 0, 1])
+    assert abs(float(auc_binary(scores, labels)) - roc_auc_score(labels, scores)) < 1e-6
+
+
+def test_auc_binary_masked():
+    rng = np.random.default_rng(3)
+    scores = rng.normal(size=100)
+    labels = (rng.random(100) < 0.5).astype(int)
+    valid = np.zeros(100, bool)
+    valid[:60] = True
+    ours = float(auc_binary(scores, labels, valid))
+    ref = roc_auc_score(labels[:60], scores[:60])
+    assert abs(ours - ref) < 1e-6
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_auc_ovo_matches_sklearn(seed):
+    rng = np.random.default_rng(seed)
+    n, c = 150, 3
+    logits = rng.normal(size=(n, c))
+    labels = rng.integers(0, c, size=n)
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    ours = float(auc_ovo_macro(probs, labels))
+    ref = roc_auc_score(labels, probs, multi_class="ovo", average="macro")
+    assert abs(ours - ref) < 1e-6
+
+
+def test_auc_from_probs_dispatch():
+    rng = np.random.default_rng(0)
+    p2 = rng.dirichlet([1, 1], size=50)
+    l2 = rng.integers(0, 2, size=50)
+    assert abs(float(auc_from_probs(p2, l2)) - roc_auc_score(l2, p2[:, 1])) < 1e-6
+    assert abs(roc_auc_host(p2, l2) - roc_auc_score(l2, p2[:, 1])) < 1e-12
+
+
+def test_accuracy_and_bacc():
+    logits = np.array([[2.0, 1.0], [0.0, 3.0], [5.0, 1.0], [1.0, 2.0]])
+    labels = np.array([0, 1, 1, 1])
+    assert float(accuracy(logits, labels)) == pytest.approx(0.75)
+    # class 0 recall 1.0, class 1 recall 2/3
+    assert float(balanced_accuracy(logits, labels, 2)) == pytest.approx((1.0 + 2 / 3) / 2)
+    valid = np.array([True, True, False, True])
+    assert float(accuracy(logits, labels, valid)) == pytest.approx(1.0)
+
+
+def test_softmax_temperature():
+    logits = np.array([[0.01, 0.02]])
+    p_cold = np.asarray(softmax_probs(logits, temperature=1.0))
+    p_hot = np.asarray(softmax_probs(logits))  # CONCH temperature 56.3477
+    assert p_hot[0, 1] > p_cold[0, 1]  # temperature sharpens
+    np.testing.assert_allclose(p_hot.sum(axis=1), 1.0, rtol=1e-6)

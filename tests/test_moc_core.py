@@ -1,0 +1,152 @@
+"""Tests for the MOC core: slide_process views, fusion, episode training."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from moc_tpu.moc import (
+    MOCConfig,
+    fuse_views,
+    moc_slide_logits,
+    run_episode,
+    selection_capacity_for,
+    slide_process,
+)
+from moc_tpu.models import SENet
+from tests import oracles
+
+
+def _rand_bag(rng, n, n_valid, d=32):
+    feats = rng.normal(size=(n, d)).astype(np.float32)
+    feats[n_valid:] = 0.0
+    valid = np.zeros(n, bool)
+    valid[:n_valid] = True
+    return feats, valid
+
+
+def _oracle_views(feats, w, w_ext, topj, n_classes):
+    """Reference slide_process on an unpadded bag (main_moc.py:322-375)."""
+    logits = feats @ w
+    logits_ext = feats @ w_ext
+    sel = set()
+    sel |= oracles.sel_topj(logits, topj)
+    sel |= oracles.sel_delta_softmax(logits, topj)
+    sel |= oracles.sel_delta_diff(logits, topj)
+    sel |= oracles.sel_bottomk_irrel(logits_ext, topj, n_classes)
+    idx = np.array(sorted(sel))
+    sl = logits[idx]
+    sle = logits_ext[idx]
+    v0 = sl
+    v1 = oracles.softmax(sl, axis=1)
+    v2 = np.broadcast_to(oracles.row_margin(sl)[:, None], sl.shape)
+    v3 = np.broadcast_to(sle[:, n_classes:].max(axis=1)[:, None], sl.shape)
+    return idx, np.stack([v0, v1, v2, v3])
+
+
+@pytest.mark.parametrize("n,n_valid,c,ce,topj", [(256, 256, 2, 6, 10), (256, 170, 3, 7, 8)])
+def test_slide_process_matches_oracle(n, n_valid, c, ce, topj):
+    rng = np.random.default_rng(0)
+    feats, valid = _rand_bag(rng, n, n_valid)
+    w = rng.normal(size=(32, c)).astype(np.float32)
+    w_ext = rng.normal(size=(32, ce)).astype(np.float32)
+    cfg = MOCConfig(n_classes=c, n_ext_classes=ce, topj=topj, feature_dim=32)
+
+    sel = jax.jit(lambda f, v: slide_process(f, v, jnp.asarray(w), jnp.asarray(w_ext), cfg))(
+        feats, valid
+    )
+    ref_idx, ref_views = _oracle_views(feats[:n_valid], w, w_ext, topj, c)
+
+    count = int(sel.count)
+    assert count == len(ref_idx)
+    got_idx = np.asarray(sel.idx)[: count]
+    np.testing.assert_array_equal(got_idx, ref_idx)
+    got_views = np.asarray(sel.views)[:, :count, :]
+    np.testing.assert_allclose(got_views, ref_views, rtol=1e-4, atol=1e-5)
+    # invalid capacity slots are zeroed features
+    sv = np.asarray(sel.valid)
+    assert sv[:count].all() and not sv[count:].any()
+    assert np.abs(np.asarray(sel.feats)[count:]).sum() == 0.0
+
+
+def test_slide_process_pad_invariance():
+    rng = np.random.default_rng(1)
+    feats, valid = _rand_bag(rng, 512, 300)
+    w = rng.normal(size=(32, 2)).astype(np.float32)
+    w_ext = rng.normal(size=(32, 6)).astype(np.float32)
+    cfg = MOCConfig(n_classes=2, n_ext_classes=6, topj=12, feature_dim=32)
+    a = slide_process(jnp.asarray(feats), jnp.asarray(valid), jnp.asarray(w), jnp.asarray(w_ext), cfg)
+    feats2 = np.concatenate([feats, np.zeros((512, 32), np.float32)])
+    valid2 = np.concatenate([valid, np.zeros(512, bool)])
+    b = slide_process(jnp.asarray(feats2), jnp.asarray(valid2), jnp.asarray(w), jnp.asarray(w_ext), cfg)
+    count = int(a.count)
+    assert int(b.count) == count
+    np.testing.assert_array_equal(np.asarray(a.idx)[:count], np.asarray(b.idx)[:count])
+    np.testing.assert_allclose(
+        np.asarray(a.views)[:, :count], np.asarray(b.views)[:, :count], rtol=1e-5
+    )
+
+
+def test_fuse_views_discard():
+    rng = np.random.default_rng(2)
+    weights = jnp.asarray(rng.random((5, 4)).astype(np.float32))
+    views = jnp.asarray(rng.normal(size=(4, 5, 3)).astype(np.float32))
+    full = fuse_views(weights, views, (True, True, True, True))
+    ref = sum(np.asarray(weights)[:, i : i + 1] * np.asarray(views)[i] for i in range(4))
+    np.testing.assert_allclose(np.asarray(full), ref, rtol=1e-5)
+    no_bk = fuse_views(weights, views, (True, True, True, False))
+    ref_no_bk = ref - np.asarray(weights)[:, 3:4] * np.asarray(views)[3]
+    np.testing.assert_allclose(np.asarray(no_bk), ref_no_bk, rtol=1e-5)
+
+
+def test_selection_capacity():
+    assert selection_capacity_for(400, 2, 32768) == 2432
+    assert selection_capacity_for(400, 2, 1024) == 1024  # capped by bag
+    assert selection_capacity_for(10, 3, 4096) == 128
+
+
+def test_moc_slide_logits_shapes_and_grads():
+    rng = np.random.default_rng(3)
+    feats, valid = _rand_bag(rng, 256, 200)
+    w = rng.normal(size=(32, 2)).astype(np.float32)
+    w_ext = rng.normal(size=(32, 6)).astype(np.float32)
+    cfg = MOCConfig(n_classes=2, n_ext_classes=6, topj=10, topk=4, feature_dim=32)
+    model = SENet(in_dim=32, out_dim=4)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32)))
+
+    def loss(p):
+        logits = moc_slide_logits(model.apply, p, jnp.asarray(feats), jnp.asarray(valid),
+                                  jnp.asarray(w), jnp.asarray(w_ext), cfg)
+        return logits[0] - logits[1]
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    assert any(float(np.abs(np.asarray(g)).sum()) > 0 for g in leaves)
+
+
+@pytest.mark.slow
+def test_run_episode_learns_synthetic(tmp_path):
+    """End-to-end: MOC episode on the synthetic corpus reaches high test AUC
+    and beats/matches the structure of the zero-shot floor."""
+    from moc_tpu.data import (BagLoader, EpisodeBags, SlideTable,
+                              make_synthetic_corpus, read_split_csv)
+    from moc_tpu.data.synthetic import SyntheticWSIConfig
+
+    cfg_data = SyntheticWSIConfig(slides_per_class=10, min_patches=200,
+                                  max_patches=480, dim=64, seed=7, signal=0.9)
+    corpus = make_synthetic_corpus(str(tmp_path), cfg_data, shots=(2,), n_folds=1,
+                                   val_per_class=2, test_per_class=4)
+    table = SlideTable.from_csv(corpus["csv_path"], corpus["label_dict"])
+    loader = BagLoader(table, corpus["data_dir"], cache=True)
+    split = read_split_csv(corpus["split_paths"][(2, 0)])
+    ep = EpisodeBags.load(loader, split.train, split.val, split.test,
+                          repeat_num=4, eval_batch_size=4)
+    cfg = MOCConfig(n_classes=2, n_ext_classes=6, topj=24, topk=10,
+                    num_epochs=6, feature_dim=64)
+    result = run_episode(ep, corpus["weights"], corpus["weights_ext"], cfg, seed=0)
+    assert result.zero_shot_test is not None
+    assert result.best_val > 0.5
+    assert result.test_at_best_val >= 0.8  # separable corpus: must classify well
+    assert 0 <= result.best_epoch < cfg.num_epochs
