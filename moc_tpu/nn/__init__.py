@@ -1,0 +1,35 @@
+"""moc_tpu.nn — shared flax transformer primitives.
+
+The building blocks used by the CONCH-equivalent vision-language towers
+(``moc_tpu.zeroshot``), the MIL heads (``moc_tpu.models``) and the
+MUSK-equivalent encoder stack (``moc_tpu.parallel``): attention with additive
+masks, pre-LN residual blocks, attentional poolers, and a timm-style ViT
+trunk. Parameter layouts intentionally mirror the torch originals
+(fused qkv in_proj, [out,in] kernels transposed on load) so checkpoint
+conversion (``moc_tpu.zeroshot.convert``) is a pure re-layout.
+"""
+
+from moc_tpu.nn.transformer import (
+    Attention,
+    CrossAttention,
+    AttentionalPooler,
+    LayerNorm,
+    MlpBlock,
+    ResidualAttentionBlock,
+    Transformer,
+    gelu_exact,
+)
+from moc_tpu.nn.vit import VisionTransformer, resample_pos_embed
+
+__all__ = [
+    "Attention",
+    "CrossAttention",
+    "AttentionalPooler",
+    "LayerNorm",
+    "MlpBlock",
+    "ResidualAttentionBlock",
+    "Transformer",
+    "VisionTransformer",
+    "gelu_exact",
+    "resample_pos_embed",
+]

@@ -1,0 +1,171 @@
+"""Transformer primitives (flax.linen), torch-checkpoint-compatible layouts.
+
+Behavioral reference: the CONCH open_clip stack
+(``/root/reference/models/conch/open_clip_custom/transformer.py``): pre-LN
+residual blocks with additive attention masks, GELU MLPs, and attentional
+poolers whose queries are learned parameters. Everything here is batch-major
+``[B, L, D]`` (the torch original is ``[L, N, D]``; layouts converge after
+conversion) and relies on XLA to fuse — no manual scheduling.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+# torch nn.LayerNorm eps (flax defaults to 1e-6, which breaks checkpoint
+# parity on small-variance activations like 0.02-std token embeddings).
+TORCH_LN_EPS = 1e-5
+
+
+def LayerNorm(name=None):
+    return nn.LayerNorm(epsilon=TORCH_LN_EPS, name=name)
+
+
+def dot_product_attention(q, k, v, mask=None):
+    """Standard softmax attention. ``q,k,v: [B, H, L, Dh]``;
+    ``mask: additive [..., Lq, Lk]`` broadcastable or None."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+    if mask is not None:
+        logits = logits + mask
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+def _split_heads(x, n_heads):
+    b, l, d = x.shape
+    return x.reshape(b, l, n_heads, d // n_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, l, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
+
+
+class Attention(nn.Module):
+    """Self-attention with a fused qkv projection (torch ``in_proj`` layout)."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        qkv = nn.Dense(3 * self.dim, name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = dot_product_attention(
+            _split_heads(q, self.num_heads),
+            _split_heads(k, self.num_heads),
+            _split_heads(v, self.num_heads),
+            mask,
+        )
+        return nn.Dense(self.dim, name="out_proj")(_merge_heads(out))
+
+
+class CrossAttention(nn.Module):
+    """Cross-attention with separate q/k/v projections (torch
+    ``MultiheadAttention(kdim=..., vdim=...)`` unfused layout)."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, q_in, kv_in, key_padding_mask=None):
+        q = nn.Dense(self.dim, name="q_proj")(q_in)
+        k = nn.Dense(self.dim, name="k_proj")(kv_in)
+        v = nn.Dense(self.dim, name="v_proj")(kv_in)
+        mask = None
+        if key_padding_mask is not None:
+            # True = masked out (torch key_padding_mask semantics)
+            mask = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, 0.0)
+        out = dot_product_attention(
+            _split_heads(q, self.num_heads),
+            _split_heads(k, self.num_heads),
+            _split_heads(v, self.num_heads),
+            mask,
+        )
+        return nn.Dense(self.dim, name="out_proj")(_merge_heads(out))
+
+
+def gelu_exact(x):
+    """Exact (erf) GELU — torch ``nn.GELU`` default; flax's default is the
+    tanh approximation, which breaks checkpoint parity at the 1e-2 level."""
+    return nn.gelu(x, approximate=False)
+
+
+class MlpBlock(nn.Module):
+    """fc → act → proj (torch ``c_fc``/``c_proj`` naming for conversion)."""
+
+    dim: int
+    mlp_ratio: float = 4.0
+    act: Callable = gelu_exact
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = int(self.dim * self.mlp_ratio)
+        x = nn.Dense(hidden, name="c_fc")(x)
+        x = self.act(x)
+        return nn.Dense(self.dim, name="c_proj")(x)
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN residual block: ``x + attn(ln_1(x))``, ``x + mlp(ln_2(x))``."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        x = x + Attention(self.dim, self.num_heads, name="attn")(
+            LayerNorm(name="ln_1")(x), mask
+        )
+        x = x + MlpBlock(self.dim, self.mlp_ratio, name="mlp")(
+            LayerNorm(name="ln_2")(x)
+        )
+        return x
+
+
+class Transformer(nn.Module):
+    """A stack of residual attention blocks with optional rematerialization."""
+
+    dim: int
+    num_layers: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        block = ResidualAttentionBlock
+        if self.remat:
+            block = nn.remat(block, static_argnums=())
+        for i in range(self.num_layers):
+            x = block(self.dim, self.num_heads, self.mlp_ratio,
+                      name=f"resblocks_{i}")(x, mask)
+        return x
+
+
+class AttentionalPooler(nn.Module):
+    """Learned-query cross-attention pooling
+    (ref ``transformer.py:161-188``): ``n_queries`` learned query vectors
+    attend over LayerNormed context tokens."""
+
+    dim: int
+    context_dim: int
+    num_heads: int = 8
+    n_queries: int = 256
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None):
+        # x: [B, L, context_dim]
+        query = self.param("query", nn.initializers.normal(1.0), (self.n_queries, self.dim))
+        q = LayerNorm(name="ln_q")(query)[None].repeat(x.shape[0], axis=0)
+        k = LayerNorm(name="ln_k")(x)
+        return CrossAttention(self.dim, self.num_heads, name="attn")(
+            q, k, key_padding_mask
+        )  # [B, n_queries, dim]
