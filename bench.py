@@ -64,18 +64,17 @@ def bench_jax() -> float:
     w = jnp.asarray(rng.normal(size=(DIM, N_CLASSES)).astype(np.float32))
     w_ext = jnp.asarray(rng.normal(size=(DIM, N_EXT)).astype(np.float32))
 
-    t0 = time.perf_counter()
-    out = eval_batch(params, batch, w, w_ext)
-    out.block_until_ready()
-    log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
+    from moc_tpu.utils import device_time
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = eval_batch(params, batch, w, w_ext)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    sps = BATCH * ITERS / dt
-    log(f"jax: {ITERS} iters x {BATCH} slides in {dt:.3f}s -> {sps:.1f} slides/s")
+    out = eval_batch(params, batch, w, w_ext)
+    np.asarray(out.ravel()[:1])
+    log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
+
+    # slope-timed (tunnel-latency corrected — see moc_tpu.utils.benchmark)
+    t = device_time(lambda b: eval_batch(params, b, w, w_ext), batch, iters=ITERS)
+    sps = BATCH / t
+    log(f"jax: {t * 1e3:.2f} ms/batch of {BATCH} -> {sps:.1f} slides/s")
     return sps
 
 
@@ -137,6 +136,9 @@ def main() -> None:
     import os
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # persistent compile cache: first-run compile of the eval program is ~2min
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     jax_sps = bench_jax()
     try:
         base_sps = bench_torch_cpu()

@@ -7,5 +7,36 @@ consume padded bags with validity masks, and are vmap/pjit-friendly.
 """
 
 from moc_tpu.models.senet import SENet
+from moc_tpu.models.layers import (
+    AttnNet,
+    GatedAttnNet,
+    StackedDense,
+    masked_attention_weights,
+    masked_topk_feats,
+)
+from moc_tpu.models.clam import CLAM, ClamConfig, abmil, clam_mb, clam_sb
+from moc_tpu.models.mil import MILFc, MILFcMC, MilFcConfig
+from moc_tpu.models.transmil import NystromAttention, TransMIL, TransMILConfig
+from moc_tpu.models.chief import CHIEF, ChiefConfig
 
-__all__ = ["SENet"]
+__all__ = [
+    "SENet",
+    "AttnNet",
+    "GatedAttnNet",
+    "StackedDense",
+    "masked_attention_weights",
+    "masked_topk_feats",
+    "CLAM",
+    "ClamConfig",
+    "abmil",
+    "clam_mb",
+    "clam_sb",
+    "MILFc",
+    "MILFcMC",
+    "MilFcConfig",
+    "NystromAttention",
+    "TransMIL",
+    "TransMILConfig",
+    "CHIEF",
+    "ChiefConfig",
+]

@@ -1,0 +1,185 @@
+"""TransMIL: Nystrom-attention transformer MIL with conv positional encoding.
+
+Behavioral reference ``/root/reference/models/model_mil.py:105-273`` (which
+wraps the ``nystrom_attention`` pip package): fc → square-pad by wrapping →
+cls token → TransLayer → PPEG depthwise-conv positional encoding → TransLayer
+→ LayerNorm → cls-token classifier.
+
+The Nystrom attention here is a masked re-implementation of the algorithm
+(Xiong et al. 2021): landmark means over sequence groups, three softmax
+kernels, iterative Moore-Penrose pseudo-inverse, plus the depthwise-conv
+value residual. Padded patches are masked out of landmarks and attention and
+zeroed before the PPEG convolutions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from moc_tpu.models.layers import NEG_INF
+
+TRANSMIL_SIZES = {"small": 1024, "big": 1024, "benchmark": 384, "conch": 512,
+                  "gigapath": 1536, "virchow": 2560}
+
+
+def _iter_pinv(mat: jax.Array, iters: int = 6) -> jax.Array:
+    """Moore-Penrose pseudo-inverse by Newton-Schulz-style iteration
+    (the ``pinv_iterations=6`` recommendation the reference uses)."""
+    abs_m = jnp.abs(mat)
+    z = mat.swapaxes(-1, -2) / (
+        jnp.max(jnp.sum(abs_m, axis=-1), axis=-1, keepdims=True)[..., None]
+        * jnp.max(jnp.sum(abs_m, axis=-2), axis=-1, keepdims=True)[..., None]
+        + 1e-9
+    )
+    eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
+
+    def body(_, z):
+        mz = mat @ z
+        return 0.25 * z @ (13 * eye - mz @ (15 * eye - mz @ (7 * eye - mz)))
+
+    return jax.lax.fori_loop(0, iters, body, z)
+
+
+class NystromAttention(nn.Module):
+    """Masked Nystrom self-attention over ``[N, dim]`` with ``[N]`` validity."""
+
+    dim: int
+    heads: int = 8
+    num_landmarks: int = 256
+    pinv_iterations: int = 6
+    residual: bool = True
+    residual_kernel: int = 33
+
+    @nn.compact
+    def __call__(self, x, valid):
+        n_orig, d = x.shape
+        h = self.heads
+        dh = d // h
+        m = min(self.num_landmarks, n_orig)
+        # front-pad to a landmark multiple (the reference package pads the
+        # same way); padded rows are invalid and masked out everywhere
+        pad = (-n_orig) % m
+        if pad:
+            x = jnp.concatenate([jnp.zeros((pad, d), x.dtype), x], axis=0)
+            valid = jnp.concatenate([jnp.zeros((pad,), bool), valid])
+        n = n_orig + pad
+        group = n // m
+
+        qkv = nn.Dense(3 * d, use_bias=False, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_first(t):
+            return t.reshape(n, h, dh).transpose(1, 0, 2)  # [h, n, dh]
+
+        q, k, v = heads_first(q) * (dh ** -0.5), heads_first(k), heads_first(v)
+        vmask = valid.astype(q.dtype)
+        q = q * vmask[None, :, None]
+        k = k * vmask[None, :, None]
+        v = v * vmask[None, :, None]
+
+        # masked landmark means over contiguous groups
+        grp_mask = vmask.reshape(m, group)  # [m, group]
+        grp_count = jnp.maximum(jnp.sum(grp_mask, axis=1), 1.0)  # [m]
+        q_l = jnp.sum(q.reshape(h, m, group, dh), axis=2) / grp_count[None, :, None]
+        k_l = jnp.sum(k.reshape(h, m, group, dh), axis=2) / grp_count[None, :, None]
+        lm_valid = jnp.sum(grp_mask, axis=1) > 0  # [m]
+
+        def msoftmax(sim, key_valid):
+            return jax.nn.softmax(jnp.where(key_valid[None, None, :], sim, NEG_INF), axis=-1)
+
+        sim1 = jnp.einsum("hnd,hmd->hnm", q, k_l)
+        sim2 = jnp.einsum("hmd,hld->hml", q_l, k_l)
+        sim3 = jnp.einsum("hmd,hnd->hmn", q_l, k)
+        attn1 = msoftmax(sim1, lm_valid)
+        attn2 = msoftmax(sim2, lm_valid)
+        attn3 = msoftmax(sim3, valid)
+        out = attn1 @ _iter_pinv(attn2, self.pinv_iterations) @ (attn3 @ v)  # [h, n, dh]
+
+        if self.residual:
+            # depthwise conv along the sequence, one filter per head shared
+            # across dh (ref nystrom_attention residual conv, kernel 33)
+            kern = self.param("res_conv", nn.initializers.lecun_normal(),
+                              (self.residual_kernel, 1, h))
+            vt = v.transpose(1, 0, 2).reshape(n, h * dh)  # [n, h*dh]
+            conv_in = v.transpose(2, 1, 0).reshape(dh, n, h)  # [dh, n, h] batch=dh
+            conv = jax.lax.conv_general_dilated(
+                conv_in, kern, (1,), "SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=h,
+            )  # [dh, n, h]
+            out = out + conv.transpose(2, 1, 0)
+
+        out = out.transpose(1, 0, 2).reshape(n, d)[n - n_orig :]
+        return nn.Dense(d, name="to_out")(out)
+
+
+class TransLayer(nn.Module):
+    dim: int = 512
+
+    @nn.compact
+    def __call__(self, x, valid):
+        normed = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        return x + NystromAttention(self.dim, num_landmarks=self.dim // 2,
+                                    name="attn")(normed, valid)
+
+
+class PPEG(nn.Module):
+    """Pyramid positional encoding: 7/5/3 depthwise convs over the token grid
+    (ref ``model_mil.py:228-241``)."""
+
+    dim: int = 512
+
+    @nn.compact
+    def __call__(self, x, grid_h: int, grid_w: int, valid):
+        cls, toks = x[:1], x[1:]
+        toks = toks * valid[1:, None]  # zero pads so convs don't leak them
+        img = toks.reshape(grid_h, grid_w, self.dim)[None]  # [1, H, W, C]
+        out = img
+        for ksize, name in ((7, "proj"), (5, "proj1"), (3, "proj2")):
+            out = out + nn.Conv(self.dim, (ksize, ksize), padding="SAME",
+                                feature_group_count=self.dim, name=name)(img)
+        return jnp.concatenate([cls, out[0].reshape(-1, self.dim)], axis=0)
+
+
+@dataclasses.dataclass(frozen=True)
+class TransMILConfig:
+    n_classes: int = 2
+    size_arg: str = "conch"
+    dim: int = 512
+
+
+class TransMIL(nn.Module):
+    cfg: TransMILConfig = TransMILConfig()
+
+    @nn.compact
+    def __call__(self, feats, valid, *, train: bool = False):
+        """Padded slide ``feats [N, D]`` (+ ``valid [N]``) → ``logits [C]``.
+
+        N must make ``ceil(sqrt(N))²`` landmark-divisible; bucketed pads
+        (powers of two ≥ 256) satisfy this.
+        """
+        cfg = self.cfg
+        n = feats.shape[0]
+        h = nn.relu(nn.Dense(cfg.dim, name="fc1")(feats))
+
+        # square grid by wrap-padding (ref lines 224-227), validity wraps too
+        side = int(jnp.ceil(jnp.sqrt(n)).item()) if False else int(-(-(n ** 0.5) // 1))
+        extra = side * side - n
+        if extra:
+            h = jnp.concatenate([h, h[:extra]], axis=0)
+            valid_sq = jnp.concatenate([valid, valid[:extra]])
+        else:
+            valid_sq = valid
+
+        cls = self.param("cls_token", nn.initializers.normal(1.0), (1, cfg.dim))
+        x = jnp.concatenate([cls, h], axis=0)
+        full_valid = jnp.concatenate([jnp.ones((1,), bool), valid_sq])
+
+        x = TransLayer(cfg.dim, name="layer1")(x, full_valid)
+        x = PPEG(cfg.dim, name="pos_layer")(x, side, side, full_valid)
+        x = TransLayer(cfg.dim, name="layer2")(x, full_valid)
+        pooled = nn.LayerNorm(epsilon=1e-5, name="norm")(x)[0]
+        return {"logits": nn.Dense(cfg.n_classes, name="fc2")(pooled)}
