@@ -18,8 +18,48 @@ from moc_tpu.models.clam import CLAM, ClamConfig, abmil, clam_mb, clam_sb
 from moc_tpu.models.mil import MILFc, MILFcMC, MilFcConfig
 from moc_tpu.models.transmil import NystromAttention, TransMIL, TransMILConfig
 from moc_tpu.models.chief import CHIEF, ChiefConfig
+from moc_tpu.models.vila import (
+    PromptConstants,
+    ViLaMIL,
+    ViLaTextEncoder,
+    VilaConfig,
+    build_prompt_constants,
+)
+from moc_tpu.models.titan import TitanConfig, TitanHead
+from moc_tpu.models.adapters import (
+    AMUAdapter,
+    AdapterConfig,
+    ClipAdapter,
+    MoEClipAdapter,
+    TipAdapter,
+    linear_adapter_init,
+    load_balancing_loss,
+    uncertainty,
+    zero_shot_pooled,
+)
+from moc_tpu.models.lora import count_trainable, lora_mask, lora_optimizer, merge_lora
 
 __all__ = [
+    "PromptConstants",
+    "ViLaMIL",
+    "ViLaTextEncoder",
+    "VilaConfig",
+    "build_prompt_constants",
+    "TitanConfig",
+    "TitanHead",
+    "AMUAdapter",
+    "AdapterConfig",
+    "ClipAdapter",
+    "MoEClipAdapter",
+    "TipAdapter",
+    "linear_adapter_init",
+    "load_balancing_loss",
+    "uncertainty",
+    "zero_shot_pooled",
+    "count_trainable",
+    "lora_mask",
+    "lora_optimizer",
+    "merge_lora",
     "SENet",
     "AttnNet",
     "GatedAttnNet",

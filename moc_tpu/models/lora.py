@@ -1,0 +1,86 @@
+"""LoRA utilities: trainable masks, merging, and a CONCH-LoRA wrapper.
+
+Behavioral reference ``/root/reference/models/lora.py``: q/v low-rank
+injection into the (timm) ViT's fused qkv with base weights frozen, A
+kaiming-uniform / B zero init, optionally restricted to the last n blocks;
+``models/model_conch.py:12-27`` wraps the CONCH visual trunk this way for
+the LoRA fine-tuning path.
+
+In this stack LoRA parameters live inside ``moc_tpu.nn.Attention``
+(``lora_rank`` field); freezing is an optimizer concern: ``lora_mask``
+produces the optax ``masked``/``multi_transform`` pytree that trains only
+LoRA (and optionally named head) parameters. ``merge_lora`` folds A·B into
+the fused qkv kernel for deployment. The reference's ``MOELoRA`` is not
+reproduced: it is non-functional as checked in (wrong ``super()`` target,
+``lora.py:107-168``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def _path_names(path) -> list[str]:
+    return [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+
+
+def lora_mask(params, extra_trainable: Sequence[str] = ()) -> dict:
+    """Boolean pytree: True = trainable (LoRA params + any param whose path
+    contains a name in ``extra_trainable``, e.g. a classification head)."""
+
+    def mark(path, leaf):
+        names = _path_names(path)
+        if any(str(n).startswith("lora_") for n in names):
+            return True
+        return any(t in names for t in extra_trainable)
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
+def lora_optimizer(base: optax.GradientTransformation, params,
+                   extra_trainable: Sequence[str] = ()) -> optax.GradientTransformation:
+    """Optimizer that updates only LoRA (+extra) params — the reference's
+    requires_grad freezing (``lora.py:80-91``) as an optax mask."""
+    mask = lora_mask(params, extra_trainable)
+    return optax.multi_transform(
+        {"train": base, "freeze": optax.set_to_zero()},
+        jax.tree.map(lambda m: "train" if m else "freeze", mask),
+    )
+
+
+def merge_lora(params):
+    """Fold every attention's ``lora_a_{q,v} @ lora_b_{q,v}`` into its fused
+    ``in_proj`` kernel and drop the LoRA params (inference export)."""
+
+    def walk(tree):
+        if not isinstance(tree, dict):
+            return tree
+        if "in_proj" in tree and "lora_a_q" in tree:
+            kernel = np.array(tree["in_proj"]["kernel"])
+            d = kernel.shape[0]
+            dq = np.asarray(tree["lora_a_q"]) @ np.asarray(tree["lora_b_q"])
+            dv = np.asarray(tree["lora_a_v"]) @ np.asarray(tree["lora_b_v"])
+            kernel[:, :d] += dq
+            kernel[:, 2 * d :] += dv
+            out = {k: v for k, v in tree.items() if not k.startswith("lora_")}
+            out["in_proj"] = dict(tree["in_proj"], kernel=jnp.asarray(kernel))
+            return out
+        return {k: walk(v) for k, v in tree.items()}
+
+    return walk(params)
+
+
+def count_trainable(params, extra_trainable: Sequence[str] = ()) -> tuple[int, int]:
+    """(trainable, total) parameter counts under the LoRA mask."""
+    mask = lora_mask(params, extra_trainable)
+    sizes = jax.tree.map(lambda p: int(np.prod(np.shape(p))), params)
+    total = sum(jax.tree.leaves(sizes))
+    trainable = sum(
+        s for s, m in zip(jax.tree.leaves(sizes), jax.tree.leaves(mask)) if m
+    )
+    return trainable, total

@@ -47,16 +47,39 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
 
 
+def _lora_a_init(key, shape, dtype=jnp.float32):
+    # torch kaiming_uniform_(a=sqrt(5)) on [r, in]: U(±1/sqrt(in));
+    # flax layout is [in, r] so fan_in = shape[0].
+    bound = 1.0 / (shape[0] ** 0.5)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
 class Attention(nn.Module):
-    """Self-attention with a fused qkv projection (torch ``in_proj`` layout)."""
+    """Self-attention with a fused qkv projection (torch ``in_proj`` layout).
+
+    ``lora_rank > 0`` adds low-rank residual projections to the q and v
+    slices (the reference's timm-ViT LoRA surgery,
+    ``/root/reference/models/lora.py:13-42,68-97``: A kaiming-uniform,
+    B zero, base weights frozen by the optimizer mask in
+    ``moc_tpu.models.lora``).
+    """
 
     dim: int
     num_heads: int
+    lora_rank: int = 0
 
     @nn.compact
     def __call__(self, x, mask=None):
         qkv = nn.Dense(3 * self.dim, name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        if self.lora_rank > 0:
+            r = self.lora_rank
+            a_q = self.param("lora_a_q", _lora_a_init, (self.dim, r))
+            b_q = self.param("lora_b_q", nn.initializers.zeros, (r, self.dim))
+            a_v = self.param("lora_a_v", _lora_a_init, (self.dim, r))
+            b_v = self.param("lora_b_v", nn.initializers.zeros, (r, self.dim))
+            q = q + (x @ a_q) @ b_q
+            v = v + (x @ a_v) @ b_v
         out = dot_product_attention(
             _split_heads(q, self.num_heads),
             _split_heads(k, self.num_heads),
@@ -118,10 +141,11 @@ class ResidualAttentionBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    lora_rank: int = 0
 
     @nn.compact
     def __call__(self, x, mask=None):
-        x = x + Attention(self.dim, self.num_heads, name="attn")(
+        x = x + Attention(self.dim, self.num_heads, self.lora_rank, name="attn")(
             LayerNorm(name="ln_1")(x), mask
         )
         x = x + MlpBlock(self.dim, self.mlp_ratio, name="mlp")(
@@ -131,21 +155,32 @@ class ResidualAttentionBlock(nn.Module):
 
 
 class Transformer(nn.Module):
-    """A stack of residual attention blocks with optional rematerialization."""
+    """A stack of residual attention blocks with optional rematerialization.
+
+    ``lora_rank`` + ``lora_last_n`` inject q/v LoRA into the last n blocks
+    only (the reference's ``lora_cnt`` semantics, ``lora.py:68-78``;
+    ``lora_last_n=None`` = every block).
+    """
 
     dim: int
     num_layers: int
     num_heads: int
     mlp_ratio: float = 4.0
     remat: bool = False
+    lora_rank: int = 0
+    lora_last_n: int | None = None
 
     @nn.compact
     def __call__(self, x, mask=None):
         block = ResidualAttentionBlock
         if self.remat:
             block = nn.remat(block, static_argnums=())
+        first_lora = 0
+        if self.lora_rank and self.lora_last_n is not None:
+            first_lora = max(0, self.num_layers - self.lora_last_n)
         for i in range(self.num_layers):
-            x = block(self.dim, self.num_heads, self.mlp_ratio,
+            rank = self.lora_rank if i >= first_lora else 0
+            x = block(self.dim, self.num_heads, self.mlp_ratio, rank,
                       name=f"resblocks_{i}")(x, mask)
         return x
 

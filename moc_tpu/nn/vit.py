@@ -26,6 +26,8 @@ class VisionTransformer(nn.Module):
     num_heads: int = 12
     mlp_ratio: float = 4.0
     remat: bool = False
+    lora_rank: int = 0
+    lora_last_n: int | None = None
 
     @property
     def grid(self) -> int:
@@ -46,7 +48,9 @@ class VisionTransformer(nn.Module):
                          (1, n_tokens, self.dim))
         x = x + pos[:, : x.shape[1]]
         x = Transformer(self.dim, self.num_layers, self.num_heads,
-                        self.mlp_ratio, remat=self.remat, name="blocks")(x)
+                        self.mlp_ratio, remat=self.remat,
+                        lora_rank=self.lora_rank, lora_last_n=self.lora_last_n,
+                        name="blocks")(x)
         return LayerNorm(name="norm")(x)
 
 

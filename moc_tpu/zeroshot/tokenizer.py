@@ -51,15 +51,19 @@ class ConchTokenizer:
         return np.concatenate([ids, placeholder], axis=1)
 
     def _hash_encode(self, text: str, vocab_size: int = 32007) -> np.ndarray:
-        """Deterministic fallback: word → stable hash bucket (tests only)."""
+        """Deterministic fallback: word → stable hash bucket (tests only).
+
+        EOT is the largest vocabulary id, like the real CONCH tokenizer, so
+        ``argmax(ids)`` finds the EOT position (the pooling convention CoOp
+        -style prompt learners rely on)."""
         words = text.lower().split()[: TEXT_LEN - 2]
-        bos, eos = 1, 2  # reserve 0=pad
+        bos, eos = 1, vocab_size - 1
         ids = [bos]
         for w in words:
             h = 0
             for ch in w.encode():
-                h = (h * 131 + ch) % (vocab_size - 3)
-            ids.append(3 + h)
+                h = (h * 131 + ch) % (vocab_size - 4)
+            ids.append(3 + h)  # ids in [3, vocab_size-2): always below EOT
         ids.append(eos)
         out = np.full((TEXT_LEN,), self.pad_id, np.int32)
         out[: len(ids)] = np.asarray(ids[:TEXT_LEN], np.int32)

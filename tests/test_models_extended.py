@@ -1,0 +1,175 @@
+"""Tests for ViLa-MIL, adapters, LoRA, and the TITAN-style head."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from moc_tpu.models import (
+    AMUAdapter,
+    AdapterConfig,
+    ClipAdapter,
+    MoEClipAdapter,
+    PromptConstants,
+    TipAdapter,
+    TitanConfig,
+    TitanHead,
+    ViLaMIL,
+    VilaConfig,
+    build_prompt_constants,
+    count_trainable,
+    linear_adapter_init,
+    lora_optimizer,
+    merge_lora,
+    uncertainty,
+    zero_shot_pooled,
+)
+from moc_tpu.nn import VisionTransformer
+from moc_tpu.zeroshot import ConchTokenizer
+from moc_tpu.zeroshot.text_tower import TextConfig
+
+
+def _bag(seed, n=128, n_valid=100, d=512):
+    rng = np.random.default_rng(seed)
+    feats = rng.normal(size=(n, d)).astype(np.float32)
+    feats[n_valid:] = 0.0
+    valid = np.arange(n) < n_valid
+    return jnp.asarray(feats), jnp.asarray(valid)
+
+
+SMALL_TEXT = TextConfig(context_length=128, vocab_size=32007, width=64,
+                        heads=4, layers=2, output_dim=32)
+
+
+def test_vila_mil_forward_and_grads():
+    rng = np.random.default_rng(0)
+    tk = ConchTokenizer()
+    emb_table = rng.normal(size=(32007, 64)).astype(np.float32) * 0.02
+    long = "an image patch of tumor tissue showing irregular glandular structures with "\
+        "enlarged nuclei prominent nucleoli abundant eosinophilic cytoplasm at SCALE magnification consistent with TYPE carcinoma"
+    names = [long.replace("TYPE", t).replace("SCALE", s)
+             for s in ("low", "high") for t in ("adenocarcinoma", "squamous")]
+    prompts = build_prompt_constants(emb_table, tk, names)
+    assert prompts.token_prefix.shape == (4, 1, 64)
+    assert prompts.token_suffix.shape == (4, 128 - 17, 64)
+
+    cfg = VilaConfig(n_classes=2, input_size=32, hidden_size=24,
+                     prototype_number=4, text=SMALL_TEXT)
+    xs, ms = _bag(1, d=32)
+    xl, ml = _bag(2, d=32)
+    model = ViLaMIL(cfg)
+    params = model.init(jax.random.PRNGKey(0), xs, ms, xl, ml, prompts)
+    out = model.apply(params, xs, ms, xl, ml, prompts)
+    assert out["logits"].shape == (2,)
+    assert out["text_features"].shape == (4, 32)
+
+    def loss(p):
+        return model.apply(p, xs, ms, xl, ml, prompts)["logits"][0]
+
+    grads = jax.grad(loss)(params)
+    # the learnable context vectors must receive gradient through the text tower
+    assert float(jnp.abs(grads["params"]["ctx"]).sum()) > 0
+    assert float(jnp.abs(grads["params"]["learnable_image_center"]).sum()) > 0
+
+
+def test_clip_and_tip_adapters():
+    feats, valid = _bag(3)
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.normal(size=(512, 2)).astype(np.float32))
+    clip_ada = ClipAdapter(AdapterConfig())
+    p = clip_ada.init(jax.random.PRNGKey(0), feats, valid, w)
+    out = clip_ada.apply(p, feats, valid, w)
+    assert out.shape == (2,)
+
+    cache = linear_adapter_init(np.asarray(feats[:8]), np.array([0, 1] * 4), 2, 512)
+    tip = TipAdapter(AdapterConfig(), cache_init=tuple(map(tuple, cache)))
+    p2 = tip.init(jax.random.PRNGKey(0), feats, valid, w)
+    np.testing.assert_allclose(np.asarray(p2["params"]["cache_kernel"]), cache, rtol=1e-6)
+    out2 = tip.apply(p2, feats, valid, w)
+    assert np.all(np.isfinite(np.asarray(out2)))
+    # disable-ada baseline
+    zs = zero_shot_pooled(feats, valid, w)
+    assert zs.shape == (2,)
+
+
+def test_moe_adapter_balance_loss():
+    feats, valid = _bag(5)
+    w = jnp.asarray(np.random.default_rng(6).normal(size=(512, 3)).astype(np.float32))
+    moe = MoEClipAdapter(AdapterConfig(n_classes=3), n_experts=4,
+                         use_switch_gate=True, use_balance_loss=True)
+    p = moe.init(jax.random.PRNGKey(0), feats, valid, w)
+    pooled, bal = moe.apply(p, feats, valid, w)
+    assert pooled.shape == (3,)
+    # perfectly balanced loss is 1.0; any routing is >= 1
+    assert float(bal) >= 1.0 - 1e-3
+
+
+def test_amu_adapter_uncertainty_types():
+    feats, valid = _bag(7)
+    aux = jnp.asarray(np.random.default_rng(8).normal(size=(128, 1024)).astype(np.float32))
+    w = jnp.asarray(np.random.default_rng(9).normal(size=(512, 2)).astype(np.float32))
+    for kind in ["none", "entropy", "max", "max-min", "var", "energy", "moment"]:
+        amu = AMUAdapter(AdapterConfig(), uncertainty_type=kind)
+        p = amu.init(jax.random.PRNGKey(0), feats, valid, aux, w)
+        pooled, pooled_aux = amu.apply(p, feats, valid, aux, w)
+        assert np.all(np.isfinite(np.asarray(pooled))), kind
+        assert np.all(np.isfinite(np.asarray(pooled_aux))), kind
+
+
+def test_uncertainty_shapes():
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(10, 4)).astype(np.float32))
+    for kind in ["entropy", "max", "var", "top5", "none"]:
+        u = uncertainty(logits, kind, 1.0)
+        assert u.shape == (10, 1)
+
+
+def test_lora_vit_mask_and_merge():
+    vit = VisionTransformer(image_size=32, patch_size=16, dim=64, num_layers=3,
+                            num_heads=4, lora_rank=4, lora_last_n=2)
+    imgs = jnp.zeros((1, 32, 32, 3))
+    params = vit.init(jax.random.PRNGKey(0), imgs)
+    # only the last 2 of 3 blocks carry LoRA params
+    blocks = params["params"]["blocks"]
+    assert "lora_a_q" not in blocks["resblocks_0"]["attn"]
+    assert "lora_a_q" in blocks["resblocks_1"]["attn"]
+    assert "lora_a_q" in blocks["resblocks_2"]["attn"]
+
+    trainable, total = count_trainable(params)
+    assert 0 < trainable < total
+
+    # optimizer updates only LoRA params
+    opt = lora_optimizer(optax.sgd(0.1), params)
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    base_update = updates["params"]["blocks"]["resblocks_0"]["attn"]["in_proj"]["kernel"]
+    lora_update = updates["params"]["blocks"]["resblocks_2"]["attn"]["lora_a_q"]
+    assert float(jnp.abs(base_update).sum()) == 0.0
+    assert float(jnp.abs(lora_update).sum()) > 0.0
+
+    # B=0 at init → merged model == base forward; after B changes it differs
+    out_lora = vit.apply(params, imgs)
+    merged = merge_lora(params["params"])
+    vit_plain = VisionTransformer(image_size=32, patch_size=16, dim=64,
+                                  num_layers=3, num_heads=4)
+    out_merged = vit_plain.apply({"params": merged}, imgs)
+    np.testing.assert_allclose(np.asarray(out_lora), np.asarray(out_merged),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_titan_head():
+    rng = np.random.default_rng(10)
+    n = 128
+    feats = jnp.asarray(rng.normal(size=(n, 512)).astype(np.float32))
+    coords = jnp.asarray((rng.integers(0, 50, size=(n, 2)) * 512).astype(np.int32))
+    valid = jnp.asarray(np.arange(n) < 90)
+    model = TitanHead(TitanConfig(n_classes=3))
+    params = model.init(jax.random.PRNGKey(0), feats, coords, valid)
+    out = model.apply(params, feats, coords, valid)
+    assert out["logits"].shape == (3,)
+    assert out["slide_embedding"].shape == (512,)
+    # coords matter: permuting coords changes the embedding
+    coords2 = coords[::-1]
+    out2 = model.apply(params, feats, coords2, valid)
+    assert not np.allclose(np.asarray(out["logits"]), np.asarray(out2["logits"]))
