@@ -22,4 +22,7 @@ from moc_tpu import data  # noqa: F401
 from moc_tpu import metrics  # noqa: F401
 from moc_tpu import moc  # noqa: F401
 from moc_tpu import models  # noqa: F401
+from moc_tpu import nn  # noqa: F401
 from moc_tpu import ops  # noqa: F401
+from moc_tpu import parallel  # noqa: F401
+from moc_tpu import zeroshot  # noqa: F401

@@ -38,6 +38,13 @@ from moc_tpu.models.adapters import (
     zero_shot_pooled,
 )
 from moc_tpu.models.lora import count_trainable, lora_mask, lora_optimizer, merge_lora
+from moc_tpu.models.musk import (
+    BEiT3,
+    MUSK,
+    MuskConfig,
+    multiscale_image_features,
+    split_chessboard,
+)
 
 __all__ = [
     "PromptConstants",
@@ -60,6 +67,11 @@ __all__ = [
     "lora_mask",
     "lora_optimizer",
     "merge_lora",
+    "BEiT3",
+    "MUSK",
+    "MuskConfig",
+    "multiscale_image_features",
+    "split_chessboard",
     "SENet",
     "AttnNet",
     "GatedAttnNet",

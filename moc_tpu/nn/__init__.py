@@ -20,6 +20,23 @@ from moc_tpu.nn.transformer import (
     gelu_exact,
 )
 from moc_tpu.nn.vit import VisionTransformer, resample_pos_embed
+from moc_tpu.nn.encoder import (
+    Encoder,
+    EncoderConfig,
+    EncoderLayer,
+    MultiwayDense,
+    MultiwayLayerNorm,
+    RelativePositionBias,
+    SelfAttention,
+    xpos_rotary,
+)
+from moc_tpu.nn.retnet import (
+    GLU,
+    MultiScaleRetention,
+    RetNetBlock,
+    RetNetConfig,
+    RetNetDecoder,
+)
 
 __all__ = [
     "Attention",
@@ -32,4 +49,17 @@ __all__ = [
     "VisionTransformer",
     "gelu_exact",
     "resample_pos_embed",
+    "Encoder",
+    "EncoderConfig",
+    "EncoderLayer",
+    "MultiwayDense",
+    "MultiwayLayerNorm",
+    "RelativePositionBias",
+    "SelfAttention",
+    "xpos_rotary",
+    "GLU",
+    "MultiScaleRetention",
+    "RetNetBlock",
+    "RetNetConfig",
+    "RetNetDecoder",
 ]

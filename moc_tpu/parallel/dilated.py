@@ -1,0 +1,174 @@
+"""LongNet dilated attention with lse recombination and sequence parallelism.
+
+Behavioral reference ``/root/reference/models/musk/torchscale/component/
+dilated_attention.py:14-217``: for each (segment_length sl, dilated_ratio dr)
+branch, the sequence is split into sl-token segments; within a segment, the
+heads are partitioned into dr groups and group r keeps every dr-th token
+starting at offset r (the diagonal-extract rearrange, ``dense_to_sparse``
+16-31); flash attention runs per segment; outputs are scattered back to full
+length with the uncovered positions' lse at −1e8 (``sparse_to_dense``
+33-53); branches are combined by softmax-of-lse weights computed without
+gradient (``scattering`` 100-131).
+
+Sequence/context parallelism (ref ``gather_kv`` 55-74, enabled by
+``args.seq_parallel``): with the sequence sharded over a mesh axis, segments
+longer than the local shard gather their K/V across the axis with
+``lax.all_gather`` (riding ICI; autodiff provides the reduce-scatter
+backward), then attention runs locally and recombination is unchanged.
+Causal cross-shard gathering is restricted to sl ≤ local length (the
+reference's causal gather drops the local rank's own K/V — a behavior we
+consider a bug and do not reproduce).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from moc_tpu.ops.flash_attention import flash_attention_with_lse, mha_reference
+
+NEG_LSE = -1e8
+
+
+@dataclasses.dataclass(frozen=True)
+class DilatedConfig:
+    segment_lengths: tuple[int, ...] = (2048, 4096, 8192, 16384, 32768)
+    dilated_ratios: tuple[int, ...] = (1, 2, 4, 6, 12)
+    use_flash: bool = True  # False = jnp reference attention (small shapes)
+
+
+def _pad_to(x, axis, multiple):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x, 0
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths), pad
+
+
+def dense_to_sparse(x: jax.Array, ratio: int) -> jax.Array:
+    """``[B, L, H, D] -> [B, L/r, H, D]``: head-group r keeps tokens at
+    stride-r offset r (ref ``dense_to_sparse``)."""
+    if ratio == 1:
+        return x
+    b, l, h, d = x.shape
+    x, _ = _pad_to(x, 1, ratio)
+    x, head_pad = _pad_to(x, 2, ratio)
+    l_pad, h_pad = x.shape[1], x.shape[2]
+    lr, h2 = l_pad // ratio, h_pad // ratio
+    x6 = x.reshape(b, lr, ratio, ratio, h2, d)  # l=(lr r1), heads=(r2 h2)
+    diag = jnp.einsum("blrshd,rs->blrhd", x6, jnp.eye(ratio, dtype=x.dtype))
+    out = diag.reshape(b, lr, ratio * h2, d)
+    return out[:, :, :h]
+
+
+def sparse_to_dense(out: jax.Array, lse: jax.Array, ratio: int):
+    """Inverse scatter: ``out [B, Ls, H, D]``, ``lse [B, H, Ls]`` →
+    ``([B, H, Ls*r, D], [B, H, Ls*r])`` with uncovered positions zero /
+    ``NEG_LSE``."""
+    if ratio == 1:
+        return out.transpose(0, 2, 1, 3), lse
+    b, ls, h, d = out.shape
+    out, head_pad = _pad_to(out, 2, ratio)
+    lse, _ = _pad_to(lse.transpose(0, 2, 1), 2, ratio)  # [B, Ls, H_pad]
+    h_pad = out.shape[2]
+    h2 = h_pad // ratio
+    eye = jnp.eye(ratio, dtype=out.dtype)
+    # head index = (r, j); dense rows = (l, r1); value only where r1 == r
+    out_r = out.reshape(b, ls, ratio, h2, d)
+    dense = jnp.einsum("blrjd,rs->brjlsd", out_r, eye)  # [B, r, h2, Ls, r1, D]
+    dense = dense.reshape(b, h_pad, ls * ratio, d)
+    lse_r = lse.reshape(b, ls, ratio, h2)
+    lse_dense = jnp.einsum("blrj,rs->brjls", lse_r, eye)
+    covered = jnp.einsum("rs->rs", eye)[None, :, None, None, :]  # [1, r, 1, 1, r1]
+    lse_dense = jnp.where(
+        jnp.broadcast_to(covered, lse_dense.shape[:1] + (ratio, h2, ls, ratio)) > 0,
+        lse_dense, NEG_LSE,
+    ).reshape(b, h_pad, ls * ratio)
+    return dense[:, :h], lse_dense[:, :h]
+
+
+def _branch(q, k, v, sl, dr, causal, use_flash, axis_name):
+    """One (segment_length, ratio) branch → (out [B,H,L,D], lse [B,H,L])."""
+    b, l, h, d = q.shape
+    sl_local = min(sl, l)
+    qp, pad = _pad_to(q, 1, sl_local)
+    kp, _ = _pad_to(k, 1, sl_local)
+    vp, _ = _pad_to(v, 1, sl_local)
+    n_seg = qp.shape[1] // sl_local
+
+    def segment_sparse(x):
+        xs = x.reshape(b * n_seg, sl_local, h, d)
+        return dense_to_sparse(xs, dr)  # [B*n, sl/r, H, D]
+
+    qs, ks, vs = segment_sparse(qp), segment_sparse(kp), segment_sparse(vp)
+
+    if axis_name is not None and sl > l:
+        # context parallelism: the segment spans the whole axis (or a
+        # subgroup); gather K/V across it (ref gather_kv, non-causal path)
+        if causal:
+            raise NotImplementedError(
+                "causal cross-shard dilated attention not supported; "
+                "use segment lengths <= the local shard length"
+            )
+        world = jax.lax.psum(1, axis_name)
+        ranks_per_segment = min(sl // l, world)
+        kg = jax.lax.all_gather(ks, axis_name)  # [W, B*n, ls, H, D]
+        vg = jax.lax.all_gather(vs, axis_name)
+        if ranks_per_segment < world:
+            my = jax.lax.axis_index(axis_name)
+            start = (my // ranks_per_segment) * ranks_per_segment
+            idx = start + jnp.arange(ranks_per_segment)
+            kg = jnp.take(kg, idx, axis=0)
+            vg = jnp.take(vg, idx, axis=0)
+        # [W', B*n, ls, H, D] -> [B*n, W'*ls, H, D]
+        ks = kg.transpose(1, 0, 2, 3, 4).reshape(b * n_seg, -1, h, d)
+        vs = vg.transpose(1, 0, 2, 3, 4).reshape(b * n_seg, -1, h, d)
+
+    # flash kernel layout [B, H, L, D]
+    qf = qs.transpose(0, 2, 1, 3)
+    kf = ks.transpose(0, 2, 1, 3)
+    vf = vs.transpose(0, 2, 1, 3)
+    if use_flash:
+        out, lse = flash_attention_with_lse(qf, kf, vf, causal=causal)
+    else:
+        out, lse = mha_reference(qf, kf, vf, causal=causal)
+    # back to [B*n, ls, H, D]
+    out = out.transpose(0, 2, 1, 3)
+    dense, lse_dense = sparse_to_dense(out, lse, dr)  # [B*n, H, sl_local, D]
+    dense = dense.reshape(b, n_seg, h, sl_local, d).transpose(0, 2, 1, 3, 4)
+    dense = dense.reshape(b, h, n_seg * sl_local, d)[:, :, :l]
+    lse_full = lse_dense.reshape(b, n_seg, h, sl_local).transpose(0, 2, 1, 3)
+    lse_full = lse_full.reshape(b, h, n_seg * sl_local)[:, :, :l]
+    return dense, lse_full
+
+
+def dilated_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    cfg: DilatedConfig = DilatedConfig(),
+    *,
+    causal: bool = False,
+    axis_name: str | None = None,
+) -> jax.Array:
+    """Multi-branch dilated attention. ``q,k,v [B, L, H, D]`` (L = local
+    shard when ``axis_name`` names a sequence mesh axis) → ``[B, L, H*D]``.
+
+    Branch outputs are averaged with softmax(lse) weights (stop-gradient, as
+    the reference computes them under ``torch.no_grad``)."""
+    assert len(cfg.segment_lengths) == len(cfg.dilated_ratios)
+    outs, lses = [], []
+    for sl, dr in zip(cfg.segment_lengths, cfg.dilated_ratios):
+        o, s = _branch(q, k, v, sl, dr, causal, cfg.use_flash, axis_name)
+        outs.append(o)
+        lses.append(s)
+    all_lse = jnp.stack(lses)  # [n_branch, B, H, L]
+    weights = jax.lax.stop_gradient(jax.nn.softmax(all_lse, axis=0))
+    combined = sum(w[..., None] * o for w, o in zip(weights, outs))  # [B, H, L, D]
+    b, h, l, d = combined.shape
+    return combined.transpose(0, 2, 1, 3).reshape(b, l, h * d)

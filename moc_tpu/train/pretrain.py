@@ -1,0 +1,164 @@
+"""Distributed foundation-encoder training: dp/sp/tp/ep on one mesh (GSPMD).
+
+This is the training-scale path the reference only reaches latently through
+the vendored torchscale stack (FSDP hooks, NCCL collectives — SURVEY.md
+§2.6): a masked-token-prediction train step over the MUSK-class encoder,
+partitioned the XLA-idiomatic way — annotate shardings, let GSPMD insert the
+collectives (scaling-book recipe):
+
+  * ``data``   axis: batch dimension of the token stream (DP);
+  * ``seq``    axis: sequence dimension (SP — activations sharded; attention
+    resharding/all-gathers inserted by XLA);
+  * ``tensor`` axis: FFN hidden + attention head projections (TP — matmul
+    partial sums reduced by XLA);
+  * ``expert`` axis: the stacked MoE expert parameters (EP — the
+    dispatch/combine einsums lower to all_to_all).
+
+Gradients, optimizer states, and backward collectives all follow from the
+same annotations via autodiff — no hand-written collective layer (the
+reference needed custom autograd Functions for each primitive,
+``component/utils.py:37-70``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from moc_tpu.nn.encoder import Encoder, EncoderConfig
+from moc_tpu.parallel.mesh import AXIS_DATA, AXIS_EXPERT, AXIS_SEQ, AXIS_TENSOR
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class PretrainConfig:
+    vocab_size: int = 1024
+    max_len: int = 512
+    mask_prob: float = 0.15
+    encoder: EncoderConfig = EncoderConfig(embed_dim=256, ffn_dim=1024,
+                                           layers=4, heads=8)
+    learning_rate: float = 1e-3
+    moe_aux_weight: float = 0.01
+
+
+class MaskedTokenModel(nn.Module):
+    """Token embedding + encoder + tied-ish LM head (masked-token task)."""
+
+    cfg: PretrainConfig
+
+    @nn.compact
+    def __call__(self, token_ids, padding_mask=None):
+        c = self.cfg
+        x = nn.Embed(c.vocab_size, c.encoder.embed_dim, name="embed")(token_ids)
+        pos = self.param("pos", nn.initializers.normal(0.02),
+                         (c.max_len, c.encoder.embed_dim))
+        x = x + pos[: x.shape[1]]
+        x, aux = Encoder(c.encoder, name="encoder")(x, padding_mask)
+        logits = nn.Dense(c.vocab_size, name="lm_head")(x)
+        return logits, aux
+
+
+def _spec_for(path_names: list[str], shape: tuple[int, ...], mesh: Mesh) -> P:
+    """Sharding rule: path+shape → PartitionSpec (replicate by default)."""
+    has = lambda a: a in mesh.axis_names and mesh.shape[a] > 1
+    name = path_names[-1] if path_names else ""
+    joined = "/".join(path_names)
+
+    def p(*axes):
+        return P(*[a if (a and has(a)) else None for a in axes])
+
+    # MoE experts [E, ...]: experts over `expert`, hidden dim over `tensor`
+    if name == "experts_w1":
+        return p(AXIS_EXPERT, None, AXIS_TENSOR)
+    if name == "experts_b1":
+        return p(AXIS_EXPERT, AXIS_TENSOR)
+    if name == "experts_w2":
+        return p(AXIS_EXPERT, AXIS_TENSOR, None)
+    if name == "experts_b2":
+        return p(AXIS_EXPERT, None)
+    # FFN: column-split fc1, row-split fc2 (megatron layout)
+    if "fc1" in joined and name == "kernel":
+        return p(None, AXIS_TENSOR)
+    if "fc1" in joined and name == "bias":
+        return p(AXIS_TENSOR)
+    if "ffn_layernorm" in joined:
+        return p(AXIS_TENSOR)
+    if "fc2" in joined and name == "kernel":
+        return p(AXIS_TENSOR, None)
+    # attention projections: heads over `tensor`
+    if name == "kernel" and any(k in joined for k in ("q_proj", "k_proj", "v_proj")):
+        return p(None, AXIS_TENSOR)
+    if name == "bias" and any(k in joined for k in ("q_proj", "k_proj", "v_proj")):
+        return p(AXIS_TENSOR)
+    if "out_proj" in joined and name == "kernel":
+        return p(AXIS_TENSOR, None)
+    # big embeddings: shard vocab over data axis (ZeRO-ish memory relief)
+    if name == "embedding" and shape[0] >= 1024:
+        return p(AXIS_DATA, None)
+    return P()
+
+
+def encoder_param_shardings(params: Any, mesh: Mesh):
+    """NamedSharding tree for the model params under the rule set above."""
+
+    def walk(path, leaf):
+        names = [getattr(k, "key", str(k)) for k in path]
+        return NamedSharding(mesh, _spec_for(names, jnp.shape(leaf), mesh))
+
+    return jax.tree_util.tree_map_with_path(walk, params)
+
+
+def make_pretrain_state(cfg: PretrainConfig, mesh: Mesh, seed: int = 0):
+    """Init (model, params, opt_state) with params placed per the sharding
+    rules (optimizer state inherits the param shardings)."""
+    model = MaskedTokenModel(cfg)
+    ids = jnp.zeros((1, cfg.max_len), jnp.int32)
+    params = model.init(jax.random.PRNGKey(seed), ids)
+    shardings = encoder_param_shardings(params, mesh)
+    params = jax.tree.map(
+        lambda x, s: jax.device_put(x, s), params, shardings,
+        is_leaf=lambda x: isinstance(x, jnp.ndarray),
+    )
+    optimizer = optax.adam(cfg.learning_rate)
+    opt_state = optimizer.init(params)
+    return model, params, optimizer, opt_state, shardings
+
+
+def make_sharded_train_step(cfg: PretrainConfig, mesh: Mesh, model, optimizer,
+                            param_shardings):
+    """Jitted masked-token train step with dp/sp input sharding and
+    tp/ep parameter sharding. ``batch = (token_ids [B, L], mask_pos [B, L])``."""
+    data_spec = NamedSharding(
+        mesh,
+        P(AXIS_DATA if mesh.shape.get(AXIS_DATA, 1) > 1 else None,
+          AXIS_SEQ if mesh.shape.get(AXIS_SEQ, 1) > 1 else None),
+    )
+    repl = NamedSharding(mesh, P())
+
+    def loss_fn(params, token_ids, mask_pos):
+        masked_ids = jnp.where(mask_pos, cfg.vocab_size - 1, token_ids)  # [MASK]
+        logits, aux = model.apply(params, masked_ids)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, token_ids)
+        w = mask_pos.astype(jnp.float32)
+        loss = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return loss + cfg.moe_aux_weight * aux, (loss, aux)
+
+    def step(params, opt_state, token_ids, mask_pos):
+        grads, (loss, aux) = jax.grad(loss_fn, has_aux=True)(
+            params, token_ids, mask_pos
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    return jax.jit(
+        step,
+        in_shardings=(param_shardings, None, data_spec, data_spec),
+        out_shardings=(param_shardings, None, repl, repl),
+        donate_argnums=(0, 1),
+    )

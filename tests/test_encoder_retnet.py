@@ -1,0 +1,173 @@
+"""Tests for the torchscale-equivalent encoder, MUSK/BEiT3, and RetNet."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moc_tpu.nn.encoder import (
+    Encoder,
+    EncoderConfig,
+    MultiwayDense,
+    RelativePositionBias,
+    xpos_rotary,
+)
+from moc_tpu.nn.retnet import MultiScaleRetention, RetNetConfig, RetNetDecoder
+from moc_tpu.models.musk import (
+    BEiT3,
+    MUSK,
+    MuskConfig,
+    multiscale_image_features,
+    split_chessboard,
+)
+from moc_tpu.parallel import DilatedConfig, MoEConfig
+
+SMALL = EncoderConfig(embed_dim=64, ffn_dim=128, layers=2, heads=4)
+
+
+def _x(seed, b=2, l=24, d=64):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32))
+
+
+def test_encoder_forward_and_padding():
+    x = _x(0)
+    pad = jnp.zeros((2, 24), bool).at[:, 20:].set(True)
+    enc = Encoder(SMALL)
+    params = enc.init(jax.random.PRNGKey(0), x, pad)
+    out, aux = enc.apply(params, x, pad)
+    assert out.shape == x.shape
+    assert float(aux) == 0.0
+    # padded keys don't influence valid tokens: change pad content, same out
+    x2 = x.at[:, 20:].set(99.0)
+    out2, _ = enc.apply(params, x2, pad)
+    np.testing.assert_allclose(np.asarray(out[:, :20]), np.asarray(out2[:, :20]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_encoder_deepnorm_postln():
+    cfg = dataclasses.replace(SMALL, deepnorm=True)
+    assert not cfg.normalize_before  # consistency rule
+    x = _x(1)
+    enc = Encoder(cfg)
+    params = enc.init(jax.random.PRNGKey(0), x)
+    out, _ = enc.apply(params, x)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_encoder_moe_layers():
+    cfg = dataclasses.replace(SMALL, moe_freq=2,
+                              moe=MoEConfig(n_experts=4, gate_type="top2"))
+    x = _x(2)
+    enc = Encoder(cfg)
+    params = enc.init(jax.random.PRNGKey(0), x)
+    out, aux = enc.apply(params, x)
+    assert float(aux) > 0  # layer 2 is MoE → aux loss flows
+    assert "moe_layer" in params["params"]["layers_1"]
+    assert "moe_layer" not in params["params"]["layers_0"]
+
+
+def test_encoder_dilated_attention():
+    cfg = dataclasses.replace(
+        SMALL, dilated=DilatedConfig(segment_lengths=(8, 24), dilated_ratios=(1, 2),
+                                     use_flash=False))
+    x = _x(3)
+    enc = Encoder(cfg)
+    params = enc.init(jax.random.PRNGKey(0), x)
+    out, _ = enc.apply(params, x)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_encoder_rel_pos_and_remat():
+    cfg = dataclasses.replace(SMALL, rel_pos_buckets=16, max_rel_pos=64, remat=True)
+    x = _x(4)
+    enc = Encoder(cfg)
+    params = enc.init(jax.random.PRNGKey(0), x)
+    g = jax.grad(lambda p: jnp.sum(enc.apply(p, x)[0] ** 2))(params)
+    assert all(np.all(np.isfinite(np.asarray(t))) for t in jax.tree.leaves(g))
+
+
+def test_xpos_inner_product_decay():
+    """xPos: q·k after rotary depends on relative position only (approx)."""
+    d = 32
+    rng = np.random.default_rng(5)
+    v = jnp.asarray(rng.normal(size=(1, 10, d)).astype(np.float32))
+    q = xpos_rotary(v, 512, downscale=False)
+    k = xpos_rotary(v, 512, downscale=True)
+    assert q.shape == v.shape and k.shape == v.shape
+    assert np.all(np.isfinite(np.asarray(q)))
+
+
+def test_multiway_split():
+    x = _x(6, l=10, d=64)
+    mod = MultiwayDense(32)
+    params = mod.init(jax.random.PRNGKey(0), x, 4)
+    out_split = mod.apply(params, x, 4)
+    out_a = mod.apply(params, x, None)
+    # text half equals branch A; vision half differs
+    np.testing.assert_allclose(np.asarray(out_split[:, :4]), np.asarray(out_a[:, :4]),
+                               rtol=1e-6)
+    assert not np.allclose(np.asarray(out_split[:, 4:]), np.asarray(out_a[:, 4:]))
+
+
+def test_beit3_and_musk():
+    cfg = MuskConfig(
+        image_size=32, patch_size=16, vocab_size=100, max_text_len=12,
+        embed_dim=64, out_dim=48,
+        encoder=dataclasses.replace(SMALL, multiway=True),
+    )
+    model = MUSK(cfg)
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(1, 100, size=(2, 12)).astype(np.int32))
+    params = model.init(jax.random.PRNGKey(0), imgs, ids)
+    v, t, scale = model.apply(params, imgs, ids)
+    assert v.shape == (2, 48) and t.shape == (2, 48)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(v), axis=1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(t), axis=1), 1.0, rtol=1e-5)
+    assert float(scale) > 0
+
+
+def test_split_chessboard_roundtrip():
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    tiles = split_chessboard(x, 2)
+    assert tiles.shape == (8, 4, 4, 3)
+    # first tile of batch 0 is the top-left quadrant
+    np.testing.assert_allclose(np.asarray(tiles[0]), np.asarray(x[0, :4, :4]))
+
+
+def test_multiscale_image_features():
+    def fake_encoder(tiles):
+        return jnp.mean(tiles, axis=(1, 2))  # [B, C]
+
+    rng = np.random.default_rng(9)
+    imgs = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    feats = multiscale_image_features(fake_encoder, imgs, scales=(1, 2))
+    assert feats.shape == (2, 6)  # 3 + 3 channels
+
+
+def test_retention_parallel_recurrent_equivalence():
+    cfg = RetNetConfig(embed_dim=32, value_dim=64, heads=4, ffn_dim=64, layers=1)
+    x = _x(10, b=2, l=16, d=32)
+    msr = MultiScaleRetention(cfg, stabilize=False)
+    params = msr.init(jax.random.PRNGKey(0), x)
+    out_p, _ = msr.apply(params, x, mode="parallel")
+    out_r, state = msr.apply(params, x, mode="recurrent")
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), rtol=2e-3, atol=2e-4)
+    out_c, _ = msr.apply(params, x, mode="chunkwise", chunk_size=4)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_r), rtol=2e-3, atol=2e-4)
+
+
+def test_retnet_decoder_stack():
+    cfg = RetNetConfig(embed_dim=32, value_dim=64, heads=4, ffn_dim=64, layers=2)
+    x = _x(11, b=1, l=8, d=32)
+    dec = RetNetDecoder(cfg)
+    params = dec.init(jax.random.PRNGKey(0), x)
+    out, states = dec.apply(params, x, mode="recurrent")
+    assert out.shape == x.shape
+    assert len(states) == 2
+    g = jax.grad(lambda p: jnp.sum(dec.apply(p, x)[0] ** 2))(params)
+    assert all(np.all(np.isfinite(np.asarray(t))) for t in jax.tree.leaves(g))

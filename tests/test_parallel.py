@@ -1,0 +1,177 @@
+"""Tests for mesh helpers, dilated attention, and the MoE layer — including
+multi-device sharded execution on the virtual 8-device CPU mesh."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from moc_tpu.parallel import (
+    DilatedConfig,
+    MoEConfig,
+    MoELayer,
+    dilated_attention,
+    make_mesh,
+    moe_dispatch_combine,
+    top1_gate,
+    top2_gate,
+)
+from moc_tpu.parallel.dilated import dense_to_sparse, sparse_to_dense
+from moc_tpu.ops.flash_attention import mha_reference
+
+
+def test_make_mesh_fill():
+    mesh = make_mesh({"data": -1, "expert": 2})
+    assert mesh.shape["expert"] == 2
+    assert mesh.shape["data"] == len(jax.devices()) // 2
+
+
+def test_dense_sparse_roundtrip():
+    rng = np.random.default_rng(0)
+    b, l, h, d = 2, 16, 4, 8
+    x = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    for ratio in (1, 2, 4):
+        sp = dense_to_sparse(x, ratio)
+        assert sp.shape == (b, l // ratio, h, d)
+        # head-group r sees tokens at offset r: verify against direct slicing
+        h2 = -(-h // ratio)
+        for head in range(h):
+            r = head // h2
+            np.testing.assert_allclose(
+                np.asarray(sp[:, :, head]), np.asarray(x[:, r::ratio, head]),
+                err_msg=f"ratio={ratio} head={head}",
+            )
+
+
+def test_sparse_to_dense_coverage():
+    rng = np.random.default_rng(1)
+    b, ls, h, d, ratio = 1, 8, 4, 8, 2
+    out = jnp.asarray(rng.normal(size=(b, ls, h, d)).astype(np.float32))
+    lse = jnp.asarray(rng.normal(size=(b, h, ls)).astype(np.float32))
+    dense, lse_dense = sparse_to_dense(out, lse, ratio)
+    assert dense.shape == (b, h, ls * ratio, d)
+    assert lse_dense.shape == (b, h, ls * ratio)
+    h2 = h // ratio
+    for head in range(h):
+        r = head // h2
+        covered = np.asarray(lse_dense[0, head]) > -1e7
+        expect = np.zeros(ls * ratio, bool)
+        expect[r::ratio] = True
+        np.testing.assert_array_equal(covered, expect)
+        np.testing.assert_allclose(np.asarray(dense[0, head, r::ratio]),
+                                   np.asarray(out[0, :, head]))
+
+
+def test_dilated_equals_full_attention_when_trivial():
+    """segment = whole sequence, ratio 1 → plain attention."""
+    rng = np.random.default_rng(2)
+    b, l, h, d = 2, 128, 4, 128
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    cfg = DilatedConfig(segment_lengths=(128,), dilated_ratios=(1,), use_flash=False)
+    out = dilated_attention(q, k, v, cfg)
+    ref, _ = mha_reference(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                           v.transpose(0, 2, 1, 3))
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_dilated_multibranch_finite_and_weighted():
+    rng = np.random.default_rng(3)
+    b, l, h, d = 1, 256, 4, 128
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    k, v = q * 0.5, q * 0.25
+    cfg = DilatedConfig(segment_lengths=(64, 128, 256), dilated_ratios=(1, 2, 4),
+                        use_flash=False)
+    out = dilated_attention(q, k, v, cfg, causal=True)
+    assert out.shape == (b, l, h * d)
+    assert np.all(np.isfinite(np.asarray(out)))
+    g = jax.grad(lambda q: jnp.sum(dilated_attention(q, k, v, cfg) ** 2))(q)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_dilated_sequence_parallel_matches_single_device():
+    """KV all-gather context parallelism over 4 shards == unsharded result."""
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("seq",))
+    rng = np.random.default_rng(4)
+    b, l, h, d = 1, 512, 4, 128
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    cfg = DilatedConfig(segment_lengths=(512,), dilated_ratios=(1,), use_flash=False)
+
+    full = dilated_attention(q, k, v, cfg)
+
+    sharded = shard_map(
+        functools.partial(dilated_attention, cfg=cfg, axis_name="seq"),
+        mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq")),
+        out_specs=P(None, "seq"),
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(full),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("gate", [top1_gate, top2_gate])
+def test_gates_dispatch_invariants(gate):
+    rng = np.random.default_rng(5)
+    s, e, c = 64, 4, 24
+    logits = jnp.asarray(rng.normal(size=(s, e)).astype(np.float32))
+    combine, dispatch, aux = gate(logits, c)
+    assert combine.shape == (s, e, c)
+    d = np.asarray(dispatch)
+    # every capacity slot holds at most one token
+    assert (d.sum(axis=0) <= 1 + 1e-6).all()
+    # each token occupies at most 1 (top1) / 2 (top2) slots
+    per_token = d.reshape(s, -1).sum(axis=1)
+    assert per_token.max() <= (1 if gate is top1_gate else 2)
+    assert float(aux) > 0
+    # combine weights ≤ 1 and only where dispatched
+    cmb = np.asarray(combine)
+    assert (cmb[~d] == 0).all()
+
+
+def test_moe_layer_single_device():
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    layer = MoELayer(dim=32, hidden_dim=64, cfg=MoEConfig(n_experts=4, gate_type="top2"))
+    params = layer.init(jax.random.PRNGKey(0), x)
+    y, aux = layer.apply(params, x)
+    assert y.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(y)))
+    g = jax.grad(lambda p: jnp.sum(layer.apply(p, x)[0] ** 2) + 0.01 * layer.apply(p, x)[1])(params)
+    assert all(np.all(np.isfinite(np.asarray(t))) for t in jax.tree.leaves(g))
+
+
+def test_moe_expert_parallel_matches_single_device():
+    """all_to_all expert parallelism over 4 devices == local execution."""
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("expert",))
+    rng = np.random.default_rng(7)
+    s, dim = 128, 32
+    x = jnp.asarray(rng.normal(size=(s, dim)).astype(np.float32))
+    cfg = MoEConfig(n_experts=4, gate_type="top1", capacity_factor=2.0)
+
+    local_layer = MoELayer(dim=dim, hidden_dim=64, cfg=cfg)
+    params = local_layer.init(jax.random.PRNGKey(0), x)
+    y_local, aux_local = local_layer.apply(params, x)
+
+    ep_layer = MoELayer(dim=dim, hidden_dim=64, cfg=cfg, axis_name="expert")
+
+    def run(x, params):
+        return ep_layer.apply(params, x)
+
+    y_ep, aux_ep = shard_map(
+        run, mesh=mesh,
+        in_specs=(P(), P()),  # tokens + params replicated; experts split inside
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(x, params)
+    np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_local), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(aux_ep), float(aux_local), rtol=1e-5)
