@@ -7,10 +7,42 @@ from moc_tpu.train.pretrain import (
     make_pretrain_state,
     make_sharded_train_step,
 )
+from moc_tpu.train.mil import (
+    AccuracyLogger,
+    EarlyStopping,
+    FoldResult,
+    MilTrainConfig,
+    build_model,
+    train_fold,
+    weighted_order,
+)
+from moc_tpu.train.losses import bag_loss_fn, cross_entropy, smooth_top1_svm
+from moc_tpu.train.lora_finetune import (
+    LoraFinetuneConfig,
+    make_lora_train_step,
+    run_lora_finetune,
+    streamed_slide_logits,
+    update_queue,
+)
 
 __all__ = [
     "PretrainConfig",
     "encoder_param_shardings",
     "make_pretrain_state",
     "make_sharded_train_step",
+    "AccuracyLogger",
+    "EarlyStopping",
+    "FoldResult",
+    "MilTrainConfig",
+    "build_model",
+    "train_fold",
+    "weighted_order",
+    "bag_loss_fn",
+    "cross_entropy",
+    "smooth_top1_svm",
+    "LoraFinetuneConfig",
+    "make_lora_train_step",
+    "run_lora_finetune",
+    "streamed_slide_logits",
+    "update_queue",
 ]

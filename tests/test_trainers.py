@@ -1,0 +1,154 @@
+"""Tests for the MIL fold trainer and the LoRA fine-tuning loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moc_tpu.data import BagLoader, SlideTable, make_synthetic_corpus, read_split_csv
+from moc_tpu.data.synthetic import SyntheticWSIConfig
+from moc_tpu.train import (
+    AccuracyLogger,
+    EarlyStopping,
+    LoraFinetuneConfig,
+    MilTrainConfig,
+    build_model,
+    run_lora_finetune,
+    smooth_top1_svm,
+    streamed_slide_logits,
+    train_fold,
+    update_queue,
+    weighted_order,
+)
+
+
+def test_smooth_top1_svm_limits():
+    logits = jnp.asarray([[3.0, 0.0, -1.0]])
+    labels = jnp.asarray([0])
+    # correct by wide margin → loss near 0 at small tau
+    small = float(smooth_top1_svm(logits, labels, tau=0.01)[0])
+    assert small < 0.1
+    # wrong prediction has loss >= margin hinge
+    wrong = float(smooth_top1_svm(logits, jnp.asarray([2]), tau=0.01)[0])
+    assert wrong > 3.5  # (3 + 1) - (-1) = 5ish
+
+
+def test_accuracy_logger_and_early_stopping():
+    logger = AccuracyLogger(2)
+    logger.log_batch([0, 1, 1, 0], [0, 1, 0, 0])
+    acc0, correct0, count0 = logger.get_summary(0)
+    assert (correct0, count0) == (2, 3)
+    stopper = EarlyStopping(patience=2, stop_epoch=0)
+    stopper(0, 0.7, {"w": 1})
+    stopper(1, 0.6, {"w": 2})
+    stopper(2, 0.5, {"w": 3})
+    assert stopper.early_stop
+    assert stopper.best_params == {"w": 1}
+    assert stopper.best_score == 0.7
+
+
+def test_weighted_order_balances_classes():
+    labels = np.array([0] * 90 + [1] * 10)
+    order = weighted_order(labels, np.random.default_rng(0))
+    frac1 = (labels[order] == 1).mean()
+    assert 0.3 < frac1 < 0.7  # roughly balanced despite 9:1 skew
+
+
+@pytest.mark.parametrize("model_type", ["clam_sb", "clam_mb", "abmil", "mil", "transmil", "chief"])
+def test_build_model_forward(model_type):
+    cfg = MilTrainConfig(model_type=model_type, n_classes=2, model_size="conch")
+    model, forward, init_fn = build_model(cfg)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(256, 512)).astype(np.float32))
+    valid = jnp.asarray(np.arange(256) < 200)
+    params = init_fn(jax.random.PRNGKey(0), feats, valid)
+    logits, inst = forward(params, feats, valid, jnp.int32(1), train=True,
+                           rng=jax.random.PRNGKey(1))
+    assert logits.shape == (2,)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+@pytest.mark.slow
+def test_train_fold_learns_synthetic(tmp_path):
+    cfg_data = SyntheticWSIConfig(slides_per_class=12, min_patches=150,
+                                  max_patches=400, dim=512, seed=21, signal=1.0)
+    corpus = make_synthetic_corpus(str(tmp_path), cfg_data, shots=(4,), n_folds=1,
+                                   val_per_class=3, test_per_class=4)
+    table = SlideTable.from_csv(corpus["csv_path"], corpus["label_dict"])
+    loader = BagLoader(table, corpus["data_dir"], cache=True)
+    split = read_split_csv(corpus["split_paths"][(4, 0)])
+    tables = {"train": table.subset_by_slide_ids(split.train),
+              "val": table.subset_by_slide_ids(split.val),
+              "test": table.subset_by_slide_ids(split.test)}
+    loaders = {
+        name: (lambda t=t: BagLoader(t, corpus["data_dir"], cache=True)
+               .batches(batch_size=2))
+        for name, t in tables.items()
+    }
+    cfg = MilTrainConfig(model_type="abmil", n_classes=2, model_size="conch",
+                         max_epochs=8, lr=2e-4, batch_size=2)
+    result = train_fold(loaders, cfg)
+    assert result.test_auc >= 0.7, f"separable corpus must be learnable: {result.test_auc}"
+    assert result.patient_results
+    assert len(result.class_summary) == 2
+
+
+def test_update_queue_keeps_topk():
+    q = jnp.full((3, 2), -1e30)
+    q = update_queue(q, jnp.asarray([[1.0, 5.0], [2.0, 4.0]]))
+    q = update_queue(q, jnp.asarray([[3.0, 1.0], [0.5, 6.0]]))
+    col0 = sorted(np.asarray(q)[:, 0], reverse=True)
+    assert col0 == [3.0, 2.0, 1.0]
+    col1 = sorted(np.asarray(q)[:, 1], reverse=True)
+    assert col1 == [6.0, 5.0, 4.0]
+
+
+def test_streamed_logits_match_full_topk():
+    """Streaming queue pooling == top-k mean over all patch logits."""
+    rng = np.random.default_rng(1)
+    n, c = 64, 3
+    feats = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(16, c)).astype(np.float32))
+    valid = jnp.asarray(np.arange(n) < 50)
+    cfg = LoraFinetuneConfig(queue_size=5, minibatch=8, n_classes=c)
+
+    def encode(params, mb):
+        return mb @ params["w"]
+
+    pooled = streamed_slide_logits(encode, {"w": w}, feats, valid, cfg)
+    full = np.array(feats @ w)
+    full[~np.asarray(valid)] = -np.inf
+    expect = np.sort(full, axis=0)[-5:].mean(axis=0)
+    np.testing.assert_allclose(np.asarray(pooled), expect, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_run_lora_finetune_improves():
+    """LoRA fine-tune on a linearly separable toy 'tower' reduces CE / lifts AUC."""
+    from flax import linen as nn
+    from moc_tpu.nn.transformer import Attention
+
+    class TinyTower(nn.Module):
+        @nn.compact
+        def __call__(self, x):  # x [M, 16] "patches"
+            h = Attention(16, 2, lora_rank=2, name="attn")(x[None])[0]
+            return nn.Dense(2, name="head")(h)
+
+    tower = TinyTower()
+    rng = np.random.default_rng(2)
+    params = tower.init(jax.random.PRNGKey(0), jnp.zeros((8, 16)))
+
+    def make_slide(label):
+        x = rng.normal(size=(32, 16)).astype(np.float32)
+        x[:8, label] += 2.5  # class-informative direction
+        return x, np.ones(32, bool), label
+
+    slides = [make_slide(i % 2) for i in range(8)]
+    val = [make_slide(i % 2) for i in range(6)]
+    cfg = LoraFinetuneConfig(queue_size=4, minibatch=8, n_classes=2, learning_rate=5e-2)
+
+    def encode(p, mb):
+        return tower.apply(p, mb)
+
+    best_params, best_auc = run_lora_finetune(encode, params, slides, val, cfg, epochs=4)
+    assert best_auc >= 0.7, best_auc
