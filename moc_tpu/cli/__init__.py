@@ -1,0 +1,8 @@
+"""moc_tpu.cli — command-line entry points mirroring the reference scripts.
+
+  * ``python -m moc_tpu.cli.main_moc``  — the MOC train/eval/summary CLI
+    (``/root/reference/main_moc.py`` flags);
+  * ``python -m moc_tpu.cli.train_mil`` — baseline MIL fold training
+    (the driver the reference keeps in ``utils/core_utils.py``);
+  * ``python -m moc_tpu.cli.sweep``     — fused multi-fold episode sweeps.
+"""

@@ -1,0 +1,111 @@
+"""Typed run configuration: dataset presets replace hard-coded source edits.
+
+The reference's configuration mechanism is editing source lines — checkpoint
+path at ``main_moc.py:135``, data dirs at 205/266, prompt files at 139 and
+163-165/230-232 (the README documents this, ``README.md:18,36``). Here every
+per-dataset constant lives in a ``DatasetPreset`` resolved against a
+``--data_root``, and a run is a ``MocRunConfig`` built from CLI flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Mapping
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetPreset:
+    """Everything ``main_moc.py:161-287`` hard-codes per dataset."""
+
+    name: str
+    csv_name: str
+    feature_dir: str  # under data_root
+    label_dict: Mapping[str, int]
+    label_dict_ext: Mapping[str, int]
+    prompt_file: str  # under prompt_root
+    prompt_file_ext: str
+    splits_subdir: str  # e.g. "nsclc_fewshot"
+    n_classes: int
+
+    @property
+    def n_ext_classes(self) -> int:
+        return len(set(self.label_dict_ext.values()))
+
+    def repeat_num(self, shot: int) -> int:
+        # ref: nsclc shot*2 (main_moc.py:220), rcc shot*3 (281) = shot*C
+        return shot * self.n_classes
+
+    def csv_path(self, data_root: str) -> str:
+        return os.path.join(data_root, "dataset_csv", self.csv_name)
+
+    def data_dir(self, data_root: str) -> str:
+        return os.path.join(data_root, self.feature_dir)
+
+    def split_csv(self, data_root: str, shot: int, fold: int) -> str:
+        return os.path.join(data_root, "splits", self.splits_subdir,
+                            f"{shot}shots", f"splits_{fold}.csv")
+
+
+NORMAL_TISSUE = {"Stroma", "Inflammation", "Vascular", "Necrosis"}
+
+NSCLC = DatasetPreset(
+    name="nsclc",
+    csv_name="nsclc.csv",
+    feature_dir="data/nsclc/merge_features_conch",
+    label_dict={"LUAD": 0, "LUSC": 1},
+    label_dict_ext={"LUAD": 0, "LUSC": 1, "Stroma": 2, "Inflammation": 3,
+                    "Vascular": 4, "Necrosis": 5},
+    prompt_file="nsclc_prompts_all_per_class_worse.json",
+    prompt_file_ext="nsclc_prompts_w4normal.json",
+    splits_subdir="nsclc_fewshot",
+    n_classes=2,
+)
+
+RCC = DatasetPreset(
+    name="rcc",
+    csv_name="rcc.csv",
+    feature_dir="data/rcc/merge_features_conch",
+    label_dict={"KICH": 0, "KIRC": 1, "KIRP": 2},
+    label_dict_ext={"KICH": 0, "KIRC": 1, "KIRP": 2, "Stroma": 3,
+                    "Inflammation": 4, "Vascular": 5, "Necrosis": 6},
+    prompt_file="rcc_prompts_all_per_class.json",
+    prompt_file_ext="rcc_prompts_w4normal.json",
+    splits_subdir="rcc_fewshot",
+    n_classes=3,
+)
+
+PRESETS = {"nsclc": NSCLC, "rcc": RCC}
+
+# CONCH logit-scale temperature (main_moc.py:175)
+CONCH_TEMPERATURE = 56.3477
+
+
+@dataclasses.dataclass(frozen=True)
+class MocRunConfig:
+    """One (dataset, fold, shot) MOC run — the reference CLI surface
+    (``main_moc.py:29-47``) plus explicit paths."""
+
+    dataset: str = "nsclc"
+    fold: int = 0
+    shot: int = 1
+    topj: int = 400
+    topk: int = 10
+    result_dir: str = "results/moc_train"
+    pretrain: str = "conch"
+    discard_classifiers: tuple[str, ...] = ()
+    load_weight: bool = True
+    check_zeroshot: bool = True
+    ablation_study: str = "none"  # none | avg | sum | max
+    num_epochs: int = 25
+    seed: int = 0
+    # environment paths (the hard-coded lines, made explicit)
+    data_root: str = "data"
+    prompt_root: str = "models/prompts"
+    conch_checkpoint: str = "models/conch_checkpoint.bin"
+    tokenizer_file: str | None = None
+    weights_cache_dir: str = "models/classifier_weights"
+
+    @property
+    def preset(self) -> DatasetPreset:
+        return PRESETS[self.dataset]

@@ -76,8 +76,9 @@ class BagLoader:
         for n_pad, group in sorted(bucketize(bags, buckets).items()):
             for i in range(0, len(group), batch_size):
                 chunk = group[i : i + batch_size]
+                real = len(chunk)
                 while len(chunk) < batch_size:  # static batch: pad with dummies
-                    filler = chunk[len(chunk) % max(1, i + batch_size - len(chunk))]
+                    filler = chunk[len(chunk) % real]
                     chunk = chunk + [dataclasses.replace(filler, label=-1)]
                 yield pack_bags(chunk, n_pad=n_pad, with_coords=with_coords)
 

@@ -15,14 +15,17 @@ slides — so one XLA program per (bucket, shape) services every fold/shot.
 from moc_tpu.moc.core import (
     MOCConfig,
     SlideViews,
+    ablation_slide_logits,
     selection_capacity_for,
     slide_process,
     fuse_views,
+    fuse_views_fixed,
     moc_slide_logits,
 )
 from moc_tpu.moc.episode import (
     EpisodeResult,
     EvalMetrics,
+    ablation_evaluation,
     init_senet,
     make_episode_fns,
     run_episode,
@@ -43,6 +46,9 @@ __all__ = [
     "selection_capacity_for",
     "slide_process",
     "fuse_views",
+    "fuse_views_fixed",
+    "ablation_slide_logits",
+    "ablation_evaluation",
     "moc_slide_logits",
     "EpisodeResult",
     "EvalMetrics",

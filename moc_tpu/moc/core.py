@@ -142,6 +142,33 @@ def fuse_views(weights: jax.Array, views: jax.Array, include: tuple[bool, ...]) 
     return jnp.einsum("sk,ksc->sc", w, views)
 
 
+def fuse_views_fixed(views: jax.Array, mode: str) -> jax.Array:
+    """Ablation fusion without the senet (ref ``ablation_evaluation``,
+    ``main_moc.py:538-553``): ``avg`` = 0.25-weighted sum, ``sum`` = plain
+    sum, ``max`` = elementwise max over the four views."""
+    if mode == "avg":
+        return 0.25 * jnp.sum(views, axis=0)
+    if mode == "sum":
+        return jnp.sum(views, axis=0)
+    if mode == "max":
+        return jnp.max(views, axis=0)
+    raise ValueError(f"unknown ablation mode {mode!r}")
+
+
+def ablation_slide_logits(
+    feats: jax.Array,
+    valid: jax.Array,
+    w: jax.Array,
+    w_ext: jax.Array,
+    cfg: MOCConfig,
+    mode: str,
+) -> jax.Array:
+    """Fixed-fusion slide logits for the ablation study."""
+    sel = slide_process(feats, valid, w, w_ext, cfg, None)
+    fused = fuse_views_fixed(sel.views, mode)
+    return ops.topj_pooling(fused, sel.valid, cfg.topk)
+
+
 def moc_slide_logits(
     senet_apply,
     params,

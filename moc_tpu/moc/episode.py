@@ -170,6 +170,29 @@ def zs_eval_batches(zs_batch_fn, chunks: Sequence[BagBatch], w, cfg: MOCConfig) 
     return _eval_chunks(lambda b: zs_batch_fn(b, w), chunks, cfg)
 
 
+def ablation_evaluation(
+    episode: EpisodeBags,
+    w,
+    w_ext,
+    cfg: MOCConfig,
+    mode: str,
+) -> EvalMetrics:
+    """Fixed avg/sum/max fusion over the test split — the reference's
+    built-in ablation harness (``main_moc.py:523-592``)."""
+    from moc_tpu.moc.core import ablation_slide_logits
+
+    w = jnp.asarray(w)
+    w_ext = jnp.asarray(w_ext)
+
+    @jax.jit
+    def batch_fn(batch: BagBatch):
+        return jax.vmap(
+            lambda f, v: ablation_slide_logits(f, v, w, w_ext, cfg, mode)
+        )(batch.features, batch.mask)
+
+    return _eval_chunks(batch_fn, episode.test, cfg)
+
+
 def run_episode(
     episode: EpisodeBags,
     w: jax.Array,

@@ -1,0 +1,86 @@
+"""CLI + config + checkpoint tests (subprocess smoke runs on synthetic data)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moc_tpu.config import NSCLC, PRESETS, RCC, MocRunConfig
+from moc_tpu.utils.checkpoint import load_params, save_params
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(args, timeout=420):
+    env = dict(os.environ,
+               JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache",
+               PYTHONPATH=REPO)
+    return subprocess.run(
+        [sys.executable, "-m"] + args + ["--platform", "cpu"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def test_presets():
+    assert PRESETS["nsclc"] is NSCLC and PRESETS["rcc"] is RCC
+    assert NSCLC.n_classes == 2 and NSCLC.n_ext_classes == 6
+    assert RCC.n_classes == 3 and RCC.n_ext_classes == 7
+    assert NSCLC.repeat_num(8) == 16  # ref main_moc.py:220
+    assert RCC.repeat_num(8) == 24  # ref main_moc.py:281
+    assert NSCLC.split_csv("/d", 4, 2).endswith("splits/nsclc_fewshot/4shots/splits_2.csv")
+    cfg = MocRunConfig(dataset="rcc")
+    assert cfg.preset is RCC
+
+
+def test_save_load_params(tmp_path):
+    params = {"params": {"dense": {"kernel": jnp.ones((3, 2)), "bias": jnp.zeros(2)}}}
+    p = str(tmp_path / "m.msgpack")
+    save_params(p, params)
+    template = jax.tree.map(jnp.zeros_like, params)
+    back = load_params(p, template)
+    np.testing.assert_array_equal(np.asarray(back["params"]["dense"]["kernel"]),
+                                  np.ones((3, 2)))
+
+
+def test_orbax_roundtrip(tmp_path):
+    import optax
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    opt_state = optax.adam(1e-3).init(params)
+    tree = {"params": params, "opt_state": opt_state, "step": jnp.int32(7)}
+    from moc_tpu.utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, 7, tree)
+    assert latest_step(d) == 7
+    template = jax.tree.map(jnp.zeros_like, tree)
+    back = restore_checkpoint(d, template)
+    np.testing.assert_array_equal(np.asarray(back["params"]["w"]), np.asarray(params["w"]))
+    assert int(back["step"]) == 7
+
+
+@pytest.mark.slow
+def test_main_moc_cli_synthetic(tmp_path):
+    out = str(tmp_path / "run")
+    r = _run_cli(["moc_tpu.cli.main_moc", "--dataset", "synthetic", "--shot", "1",
+                  "--fold", "0", "--topj", "32", "--topk", "10",
+                  "--num_epochs", "2", "--result_dir", out])
+    assert r.returncode == 0, r.stderr[-3000:]
+    payload = json.load(open(os.path.join(out, "best_results_shot_1_fold_0.json")))
+    assert {"best_val", "test_at_best_val", "test_acc_at_best_val",
+            "best_epoch", "zero_shot_test"} <= set(payload)
+    assert os.path.exists(os.path.join(out, "best_model_shot_1_fold_0.msgpack"))
+    assert os.path.exists(os.path.join(out, "zs_results_shot_1_fold_0.json"))
+
+    # ablation mode reuses the same corpus
+    r2 = _run_cli(["moc_tpu.cli.main_moc", "--dataset", "synthetic", "--shot", "1",
+                   "--fold", "0", "--topj", "32", "--ablation_study", "max",
+                   "--result_dir", out])
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    ab = json.load(open(os.path.join(out, "ablation_results_max_shot_1_fold_0.json")))
+    assert {"loss", "acc", "auc"} <= set(ab)
