@@ -39,6 +39,16 @@ from moc_tpu.data.splits import (
     generate_fewshot_splits,
 )
 from moc_tpu.data.loader import BagLoader, EpisodeBags
+from moc_tpu.data.pseudo import (
+    PatchPools,
+    assemble_fixed_ratio_bag,
+    assemble_mixed_bag,
+    assemble_self_bag,
+    prisec_order,
+    pseudo_epoch,
+)
+from moc_tpu.data.patches import CoordPatchReader, PatchBagReader, list_bags
+from moc_tpu.data.vila_data import DualScaleBag, DualScaleLoader
 from moc_tpu.data.synthetic import SyntheticWSIConfig, make_synthetic_corpus
 
 __all__ = [
@@ -62,4 +72,15 @@ __all__ = [
     "EpisodeBags",
     "SyntheticWSIConfig",
     "make_synthetic_corpus",
+    "PatchPools",
+    "assemble_fixed_ratio_bag",
+    "assemble_mixed_bag",
+    "assemble_self_bag",
+    "prisec_order",
+    "pseudo_epoch",
+    "CoordPatchReader",
+    "PatchBagReader",
+    "list_bags",
+    "DualScaleBag",
+    "DualScaleLoader",
 ]

@@ -75,6 +75,22 @@ def summarize(summary_dir: str, shots=(1, 2, 4, 8), folds=(0, 1, 2, 3, 4)) -> di
     return written
 
 
+def policy_json_to_csv(json_path: str, out_csv: str) -> pd.DataFrame:
+    """Reshape a policy-analysis JSON ``{method: {dataset: value}}`` into a
+    method × dataset CSV (ref ``utils/result2csv.py``)."""
+    with open(json_path) as f:
+        payload = json.load(f)
+    methods = sorted(payload)
+    datasets = sorted({d for m in payload.values() for d in m})
+    frame = pd.DataFrame(
+        [[payload[m].get(d) for d in datasets] for m in methods],
+        index=methods, columns=datasets,
+    )
+    frame.index.name = "method"
+    frame.to_csv(out_csv)
+    return frame
+
+
 def _summarize_shot(shot_dir: str, shot: int, folds: list) -> pd.DataFrame | None:
     def load(fold):
         with open(os.path.join(shot_dir, f"best_results_shot_{shot}_fold_{fold}.json")) as f:

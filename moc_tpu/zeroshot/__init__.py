@@ -19,6 +19,12 @@ from moc_tpu.zeroshot.classifier import (
     cached_zero_shot_classifier,
 )
 from moc_tpu.zeroshot.convert import convert_conch_checkpoint, load_conch
+from moc_tpu.zeroshot.eval import (
+    classification_metrics,
+    multi_topj_pooling,
+    run_mizero,
+    run_zeroshot_tiles,
+)
 
 __all__ = [
     "PromptBank",
@@ -35,4 +41,8 @@ __all__ = [
     "cached_zero_shot_classifier",
     "convert_conch_checkpoint",
     "load_conch",
+    "classification_metrics",
+    "multi_topj_pooling",
+    "run_mizero",
+    "run_zeroshot_tiles",
 ]

@@ -1,0 +1,153 @@
+"""Tests for the auxiliary layers: MI-Zero eval, viz, pseudo bags, patch
+readers, dual-scale loading, result reshaping."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moc_tpu.data import (
+    PatchBagReader,
+    PatchPools,
+    assemble_fixed_ratio_bag,
+    assemble_mixed_bag,
+    assemble_self_bag,
+    list_bags,
+    prisec_order,
+    pseudo_epoch,
+)
+from moc_tpu.data.batching import BagBatch
+from moc_tpu.moc.results import policy_json_to_csv
+from moc_tpu.viz import render_heatmap, render_topk_overlay, slide_extent, topk_patch_coords
+from moc_tpu.zeroshot import classification_metrics, run_mizero, run_zeroshot_tiles
+
+
+def _bag_batch(rng, b=3, n=256, d=32, with_coords=True):
+    feats = rng.normal(size=(b, n, d)).astype(np.float32)
+    mask = np.ones((b, n), bool)
+    mask[:, 200:] = False
+    labels = np.array([0, 1, 0], np.int32)
+    coords = (rng.integers(0, 40, size=(b, n, 2)) * 256).astype(np.int32)
+    return BagBatch(
+        features=jnp.asarray(feats), mask=jnp.asarray(mask),
+        labels=jnp.asarray(labels), n_patches=jnp.full((b,), 200, jnp.int32),
+        coords=jnp.asarray(coords) if with_coords else None,
+    )
+
+
+def test_run_mizero_end_to_end():
+    rng = np.random.default_rng(0)
+    batch = _bag_batch(rng)
+    w = rng.normal(size=(32, 2)).astype(np.float32)
+    results, dump = run_mizero([batch], w, topj=(1, 5, 10), dump_patch_level=True)
+    for metric in ("acc", "bacc", "kappa", "weighted_kappa", "roc_auc", "weighted_f1"):
+        assert set(results[metric]) == {1, 5, 10}
+        assert all(np.isfinite(v) for v in results[metric].values())
+    assert dump["logits"][5].shape == (3, 2)
+    # patch dumps are trimmed to the true patch counts
+    assert len(dump["patch_logits"]) == 3
+    assert dump["patch_logits"][0].shape == (200, 2)
+    assert dump["coords"][0].shape == (200, 2)
+
+
+def test_run_zeroshot_tiles():
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(16, 3)).astype(np.float32)
+
+    def encode(x):
+        return x  # identity "encoder"
+
+    batches = [
+        (rng.normal(size=(8, 16)).astype(np.float32), rng.integers(0, 3, 8)),
+        (rng.normal(size=(8, 16)).astype(np.float32), rng.integers(0, 3, 8)),
+    ]
+    results, dump = run_zeroshot_tiles(encode, batches, w)
+    assert 0 <= results["acc"] <= 1
+    assert dump["logits"].shape == (16, 3)
+
+
+def test_classification_metrics_match_sklearn():
+    from sklearn.metrics import cohen_kappa_score
+
+    rng = np.random.default_rng(2)
+    targets = rng.integers(0, 2, 40)
+    probs = rng.dirichlet([1, 1], size=40)
+    preds = probs.argmax(1)
+    m = classification_metrics(probs, preds, targets, ())
+    assert m["kappa"] == pytest.approx(cohen_kappa_score(targets, preds))
+
+
+def test_topk_coords_and_renderers():
+    rng = np.random.default_rng(3)
+    logits = rng.normal(size=(50, 2)).astype(np.float32)
+    coords = (rng.integers(0, 20, size=(50, 2)) * 256).astype(np.int64)
+    top = topk_patch_coords(logits, coords, k=5)
+    assert set(top) == {0, 1} and top[0].shape == (5, 2)
+    best = np.argmax(logits[:, 0])
+    assert any((top[0] == coords[best]).all(1))
+
+    w, h = slide_extent(coords, 256)
+    assert w > coords[:, 0].max() and h > coords[:, 1].max()
+
+    hm = render_heatmap(logits[:, 0], coords, 256, downsample=64)
+    assert np.isfinite(hm[~np.isnan(hm)]).all()
+    overlay = render_topk_overlay(logits, coords, k=3, downsample=64)
+    assert overlay.dtype == np.uint8 and overlay.ndim == 3
+    assert (overlay != 255).any()  # something was drawn
+
+
+def test_pseudo_bags():
+    rng = np.random.default_rng(4)
+    fg = rng.normal(size=(500, 8)).astype(np.float32)
+    nm = rng.normal(size=(600, 8)).astype(np.float32)
+    bag = assemble_mixed_bag(fg, nm, rng, bag_size=512)
+    assert bag.shape == (512, 8)
+    fixed = assemble_fixed_ratio_bag(fg, nm, bag_size=512, fg_proportion=0.9)
+    np.testing.assert_allclose(fixed[:460], fg[:460])
+    pools = PatchPools({"luad": fg, "normal": nm}, label=0)
+    selfbag = assemble_self_bag(pools, rng, 512)
+    assert selfbag.shape == (512, 8)
+
+    order = prisec_order(5, 2, rng)
+    assert len(order) == 15
+    assert sorted(order[::3].tolist()) == [0, 1, 2, 3, 4]  # primary pass intact
+
+    slides = [PatchPools({"luad": fg[:50], "normal": nm[:50]}, label=i % 2)
+              for i in range(4)]
+    bags = list(pseudo_epoch(slides, rng, mode="mixed", bag_size=64,
+                             num_secondary=1))
+    assert len(bags) == 8
+    assert all(b.shape == (64, 8) for b, _ in bags)
+
+
+def test_patch_bag_reader(tmp_path):
+    import h5py
+
+    rng = np.random.default_rng(5)
+    imgs = (rng.random((10, 32, 32, 3)) * 255).astype(np.uint8)
+    coords = (rng.integers(0, 10, (10, 2)) * 256).astype(np.int32)
+    p = str(tmp_path / "h5_files" / "s.h5")
+    os.makedirs(os.path.dirname(p))
+    with h5py.File(p, "w") as f:
+        f.create_dataset("imgs", data=imgs)
+        f.create_dataset("coords", data=coords)
+    reader = PatchBagReader(p, image_size=32)
+    assert len(reader) == 10
+    chunks = list(reader.batches(4))
+    assert len(chunks) == 3
+    assert chunks[0][0].shape == (4, 32, 32, 3)
+    assert chunks[0][0].dtype == np.float32  # normalized
+    assert list_bags(str(tmp_path)) == ["s"]
+
+
+def test_policy_json_to_csv(tmp_path):
+    payload = {"topj": {"nsclc": 0.9, "rcc": 0.8}, "delta": {"nsclc": 0.85}}
+    jp = str(tmp_path / "r.json")
+    json.dump(payload, open(jp, "w"))
+    out = str(tmp_path / "r.csv")
+    frame = policy_json_to_csv(jp, out)
+    assert os.path.exists(out)
+    assert frame.loc["topj", "nsclc"] == 0.9
+    assert np.isnan(frame.loc["delta", "rcc"])
