@@ -30,6 +30,13 @@ from moc_tpu.nn.encoder import (
     SelfAttention,
     xpos_rotary,
 )
+from moc_tpu.nn.decoder import (
+    Decoder,
+    DecoderConfig,
+    DecoderLayer,
+    greedy_generate,
+)
+from moc_tpu.nn.resnet import ResNet50Trunk, vit_large, vit_small
 from moc_tpu.nn.retnet import (
     GLU,
     MultiScaleRetention,
@@ -62,4 +69,11 @@ __all__ = [
     "RetNetBlock",
     "RetNetConfig",
     "RetNetDecoder",
+    "Decoder",
+    "DecoderConfig",
+    "DecoderLayer",
+    "greedy_generate",
+    "ResNet50Trunk",
+    "vit_large",
+    "vit_small",
 ]

@@ -1,0 +1,196 @@
+"""Causal (cross-attending) decoder with incremental KV caching.
+
+Behavioral reference ``/root/reference/models/musk/torchscale/architecture/
+decoder.py`` (pre/post-LN causal decoder with optional encoder cross
+attention and per-step incremental state) and the CoCa caption decoder
+(``models/conch/open_clip_custom/transformer.py:452-576`` — the multimodal
+transformer that cross-attends text tokens over image tokens; its
+autoregressive ``generate`` with top-k/top-p lives at
+``coca_model.py:247-346``).
+
+TPU-native: the incremental path is a static-shape KV cache written with
+``dynamic_update_slice`` and driven by ``lax.scan`` — one compiled program
+decodes any number of steps (the reference re-runs Python per token).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from moc_tpu.nn.transformer import LayerNorm, MlpBlock, _merge_heads, _split_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    embed_dim: int = 512
+    ffn_dim: int = 2048
+    layers: int = 6
+    heads: int = 8
+    cross_attention: bool = False  # attend over encoder/image tokens
+    normalize_before: bool = True
+    layernorm_eps: float = 1e-5
+
+
+class CachedAttention(nn.Module):
+    """Self-attention that can run full-sequence (causal mask) or single-step
+    against a preallocated KV cache."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, *, cache=None, index=None):
+        d, h = self.dim, self.heads
+        q = nn.Dense(d, name="q_proj")(x)
+        k = nn.Dense(d, name="k_proj")(x)
+        v = nn.Dense(d, name="v_proj")(x)
+        qh, kh, vh = (_split_heads(t, h) for t in (q, k, v))  # [B, H, L, dh]
+
+        if cache is None:
+            l = x.shape[1]
+            causal = jnp.tril(jnp.ones((l, l), bool))
+            mask = jnp.where(causal, 0.0, -jnp.inf)[None, None]
+            new_cache = None
+        else:
+            # single token: write k/v at `index`, attend over filled prefix
+            ck, cv = cache  # [B, H, max_len, dh]
+            ck = jax.lax.dynamic_update_slice(ck, kh, (0, 0, index, 0))
+            cv = jax.lax.dynamic_update_slice(cv, vh, (0, 0, index, 0))
+            kh, vh = ck, cv
+            pos = jnp.arange(ck.shape[2])
+            mask = jnp.where(pos <= index, 0.0, -jnp.inf)[None, None, None, :]
+            new_cache = (ck, cv)
+
+        scale = (d // h) ** -0.5
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh) + mask
+        w = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
+        return nn.Dense(d, name="out_proj")(_merge_heads(out)), new_cache
+
+
+class DecoderCrossAttention(nn.Module):
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, memory, memory_mask=None):
+        d, h = self.dim, self.heads
+        q = _split_heads(nn.Dense(d, name="q_proj")(x), h)
+        k = _split_heads(nn.Dense(d, name="k_proj")(memory), h)
+        v = _split_heads(nn.Dense(d, name="v_proj")(memory), h)
+        scale = (d // h) ** -0.5
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        if memory_mask is not None:
+            logits = jnp.where(memory_mask[:, None, None, :], logits, -jnp.inf)
+        w = jax.nn.softmax(logits, axis=-1)
+        return nn.Dense(d, name="out_proj")(
+            _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", w, v))
+        )
+
+
+class DecoderLayer(nn.Module):
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x, memory=None, memory_mask=None, cache=None, index=None):
+        c = self.cfg
+
+        def maybe_pre(x, name):
+            return LayerNorm(name=name)(x) if c.normalize_before else x
+
+        def maybe_post(x, name):
+            return x if c.normalize_before else LayerNorm(name=name)(x)
+
+        residual = x
+        h, new_cache = CachedAttention(c.embed_dim, c.heads, name="self_attn")(
+            maybe_pre(x, "self_attn_layer_norm"), cache=cache, index=index
+        )
+        x = maybe_post(residual + h, "self_attn_layer_norm")
+
+        if c.cross_attention:
+            assert memory is not None
+            residual = x
+            h = DecoderCrossAttention(c.embed_dim, c.heads, name="encoder_attn")(
+                maybe_pre(x, "encoder_attn_layer_norm"), memory, memory_mask
+            )
+            x = maybe_post(residual + h, "encoder_attn_layer_norm")
+
+        residual = x
+        h = MlpBlock(c.embed_dim, c.ffn_dim / c.embed_dim, name="ffn")(
+            maybe_pre(x, "final_layer_norm")
+        )
+        x = maybe_post(residual + h, "final_layer_norm")
+        return x, new_cache
+
+
+class Decoder(nn.Module):
+    """Full-sequence (training) and cached single-step (decoding) forward."""
+
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(self, x, memory=None, memory_mask=None, caches=None, index=None):
+        c = self.cfg
+        new_caches = []
+        for i in range(c.layers):
+            cache = caches[i] if caches is not None else None
+            x, nc = DecoderLayer(c, name=f"layers_{i}")(
+                x, memory, memory_mask, cache, index
+            )
+            new_caches.append(nc)
+        if c.normalize_before:
+            x = LayerNorm(name="layer_norm")(x)
+        return x, (new_caches if caches is not None else None)
+
+    def init_cache(self, batch: int, max_len: int):
+        c = self.cfg
+        dh = c.embed_dim // c.heads
+        shape = (batch, c.heads, max_len, dh)
+        return [
+            (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+            for _ in range(c.layers)
+        ]
+
+
+def greedy_generate(
+    decoder: Decoder,
+    params,
+    embed_fn,
+    logits_fn,
+    *,
+    batch: int,
+    seq_len: int,
+    bos_id: int,
+    eos_id: Optional[int] = None,
+    memory=None,
+    memory_mask=None,
+):
+    """Greedy autoregressive decoding as ONE ``lax.scan``
+    (ref ``coca_model.generate``'s per-token Python loop, top-k=1 path).
+
+    ``embed_fn(token_ids [B], position) -> [B, 1, D]``;
+    ``logits_fn(hidden [B, 1, D]) -> [B, vocab]``.
+    Returns token ids ``[B, seq_len]``.
+    """
+    caches = decoder.init_cache(batch, seq_len)
+
+    def step(carry, idx):
+        tokens, caches, done = carry
+        x = embed_fn(tokens, idx)
+        h, caches = decoder.apply(params, x, memory, memory_mask, caches, idx)
+        logits = logits_fn(h)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if eos_id is not None:
+            nxt = jnp.where(done, eos_id, nxt)
+            done = done | (nxt == eos_id)
+        return (nxt, caches, done), nxt
+
+    init = (jnp.full((batch,), bos_id, jnp.int32), caches,
+            jnp.zeros((batch,), bool))
+    _, out = jax.lax.scan(step, init, jnp.arange(seq_len))
+    return out.T  # [B, seq_len]

@@ -1,0 +1,88 @@
+"""Tests for the cached decoder and the ResNet/ViT factories."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moc_tpu.nn.decoder import Decoder, DecoderConfig, greedy_generate
+from moc_tpu.nn.resnet import ResNet50Trunk, vit_large, vit_small
+
+CFG = DecoderConfig(embed_dim=32, ffn_dim=64, layers=2, heads=4)
+
+
+def test_decoder_full_vs_incremental():
+    """Cached single-step decoding reproduces the full causal forward."""
+    rng = np.random.default_rng(0)
+    b, l = 2, 6
+    x = jnp.asarray(rng.normal(size=(b, l, 32)).astype(np.float32))
+    dec = Decoder(CFG)
+    params = dec.init(jax.random.PRNGKey(0), x)
+    full, _ = dec.apply(params, x)
+
+    caches = dec.init_cache(b, l)
+    outs = []
+    for i in range(l):
+        h, caches = dec.apply(params, x[:, i : i + 1], None, None, caches, i)
+        outs.append(h)
+    step = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(step), np.asarray(full), rtol=2e-4, atol=2e-5)
+
+
+def test_decoder_cross_attention():
+    rng = np.random.default_rng(1)
+    cfg = DecoderConfig(embed_dim=32, ffn_dim=64, layers=2, heads=4,
+                        cross_attention=True)
+    x = jnp.asarray(rng.normal(size=(2, 5, 32)).astype(np.float32))
+    mem = jnp.asarray(rng.normal(size=(2, 7, 32)).astype(np.float32))
+    mem_mask = jnp.asarray(np.array([[True] * 7, [True] * 4 + [False] * 3]))
+    dec = Decoder(cfg)
+    params = dec.init(jax.random.PRNGKey(0), x, mem, mem_mask)
+    out, _ = dec.apply(params, x, mem, mem_mask)
+    assert out.shape == x.shape
+    # masked memory positions don't affect the output
+    mem2 = mem.at[1, 4:].set(99.0)
+    out2, _ = dec.apply(params, x, mem2, mem_mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-5, atol=1e-5)
+
+
+def test_greedy_generate():
+    vocab, d, b, l = 17, 32, 2, 8
+    dec = Decoder(CFG)
+    rng = jax.random.PRNGKey(2)
+    params = dec.init(rng, jnp.zeros((b, 1, d)))
+    emb = jax.random.normal(jax.random.PRNGKey(3), (vocab, d)) * 0.1
+    head = jax.random.normal(jax.random.PRNGKey(4), (d, vocab)) * 0.1
+    pos = jax.random.normal(jax.random.PRNGKey(5), (l, d)) * 0.1
+
+    def embed_fn(tokens, idx):
+        return (emb[tokens] + pos[idx])[:, None, :]
+
+    def logits_fn(h):
+        return h[:, 0] @ head
+
+    out = greedy_generate(dec, params, embed_fn, logits_fn, batch=b, seq_len=l,
+                          bos_id=1, eos_id=2)
+    assert out.shape == (b, l)
+    assert out.dtype == jnp.int32
+    assert np.all((np.asarray(out) >= 0) & (np.asarray(out) < vocab))
+
+
+def test_resnet50_trunk():
+    model = ResNet50Trunk()
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(variables, x)
+    assert feats.shape == (2, 1024)  # block-3 truncation → 1024-d
+    # train mode updates batch stats
+    feats2, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert "batch_stats" in mutated
+
+
+def test_vit_factories():
+    s = vit_small(image_size=32)
+    assert s.dim == 384 and s.num_layers == 12
+    l = vit_large(image_size=32)
+    assert l.dim == 1024 and l.num_layers == 24
+    params = s.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    out = s.apply(params, jnp.zeros((1, 32, 32, 3)))
+    assert out.shape == (1, 4 + 1, 384)  # 2x2 grid + cls
