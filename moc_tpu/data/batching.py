@@ -101,14 +101,19 @@ def pack_bags(
     max_n = max(b.n_patches for b in bags)
     if n_pad is None:
         n_pad = bucket_size(max_n, buckets)
-    feats, masks, coords_list = [], [], []
-    for b in bags:
-        f, m, c = pad_bag(b.features, n_pad, b.coords if with_coords else None)
-        feats.append(f)
-        masks.append(m)
-        coords_list.append(c)
-    features = np.stack(feats).astype(np.float32)
-    mask = np.stack(masks)
+    from moc_tpu.data.native import pack_bags_native
+
+    features, mask = pack_bags_native([b.features for b in bags], n_pad)
+    coords_list = []
+    if with_coords:
+        for b in bags:
+            if b.coords is not None:
+                cc = np.zeros((n_pad,) + b.coords.shape[1:], b.coords.dtype)
+                n = min(b.n_patches, n_pad)
+                cc[:n] = b.coords[:n]
+                coords_list.append(cc)
+            else:
+                coords_list.append(None)
     labels = np.asarray([b.label if b.label is not None else -1 for b in bags], np.int32)
     n_patches = np.asarray([b.n_patches for b in bags], np.int32)
     coords = None

@@ -1,0 +1,113 @@
+"""ctypes bindings for the native bag-packing runtime (``native/bagpack.cpp``).
+
+Compiles on demand with g++ (cached next to the source), loads over a C ABI,
+and degrades to the pure-numpy ``pack_bags`` path when no compiler is
+available. ``pack_bags_native`` is a drop-in accelerator for
+``moc_tpu.data.batching.pack_bags``'s host-side pad+stack step.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libbagpack.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "bagpack.cpp")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None | bool = None  # None=not tried, False=unavailable
+
+
+def build_native(force: bool = False) -> str | None:
+    """Compile ``bagpack.cpp`` → ``libbagpack.so``; returns the path or None."""
+    if os.path.exists(_SO_PATH) and not force:
+        return _SO_PATH
+    if not os.path.exists(_SRC_PATH):
+        return None
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+             "-o", _SO_PATH, _SRC_PATH],
+            check=True, capture_output=True, timeout=120,
+        )
+        return _SO_PATH
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib
+    with _lock:
+        if _lib is None:
+            path = build_native()
+            if path is None:
+                _lib = False
+            else:
+                lib = ctypes.CDLL(path)
+                pp = ctypes.POINTER(ctypes.c_float)
+                for name, src_t in (("pack_bags_f32", pp),
+                                    ("pack_bags_f16", ctypes.POINTER(ctypes.c_uint16))):
+                    fn = getattr(lib, name)
+                    fn.restype = None
+                    fn.argtypes = [
+                        ctypes.POINTER(src_t), ctypes.POINTER(ctypes.c_int64),
+                        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                        ctypes.POINTER(ctypes.c_float),
+                        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+                    ]
+                _lib = lib
+        return _lib or None
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def pack_bags_native(
+    features: Sequence[np.ndarray],
+    n_pad: int,
+    n_threads: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pad+stack feature arrays → ``(features [B, n_pad, D] f32, mask [B,
+    n_pad] bool)`` using the native kernel; numpy fallback otherwise."""
+    b = len(features)
+    d = features[0].shape[1]
+    lib = _load()
+    dtype = features[0].dtype
+    if lib is None or dtype not in (np.float32, np.float16):
+        out = np.zeros((b, n_pad, d), np.float32)
+        mask = np.zeros((b, n_pad), bool)
+        for i, f in enumerate(features):
+            n = min(len(f), n_pad)
+            out[i, :n] = f[:n]
+            mask[i, :n] = True
+        return out, mask
+
+    arrays = [np.ascontiguousarray(f) for f in features]
+    lengths = np.asarray([len(f) for f in arrays], np.int64)
+    out = np.empty((b, n_pad, d), np.float32)
+    mask = np.empty((b, n_pad), np.uint8)
+    if dtype == np.float32:
+        elem_t = ctypes.c_float
+        fn = lib.pack_bags_f32
+    else:
+        elem_t = ctypes.c_uint16
+        fn = lib.pack_bags_f16
+    ptr_t = ctypes.POINTER(elem_t)
+    ptrs = (ptr_t * b)(*[a.ctypes.data_as(ptr_t) for a in arrays])
+    fn(
+        ptrs,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        b, d, n_pad,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_threads,
+    )
+    return out, mask.astype(bool)
