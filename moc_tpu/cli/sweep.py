@@ -36,6 +36,10 @@ def get_args(argv=None):
     p.add_argument("--check_zeroshot", type=lambda s: s.lower() != "false", default=True)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="skip (fold, shot) episodes whose result JSON exists "
+                        "(preemption-safe sweeps; the reference's de-facto "
+                        "per-process isolation, SURVEY.md §5.3)")
     return p.parse_args(argv)
 
 
@@ -50,7 +54,7 @@ def main(argv=None) -> int:
     from moc_tpu.cli.main_moc import _build_weights, _synthetic_setup
     from moc_tpu.data import BagLoader, EpisodeBags, SlideTable, read_split_csv
     from moc_tpu.moc import MOCConfig, run_episode
-    from moc_tpu.moc.results import summarize, write_episode_result
+    from moc_tpu.moc.results import episode_result_path, summarize, write_episode_result
 
     if args.dataset == "synthetic":
         corpus, _ = _synthetic_setup(args)
@@ -82,6 +86,9 @@ def main(argv=None) -> int:
     for shot in args.shots:
         shot_dir = os.path.join(args.result_dir, f"{shot}_shot")
         for fold in args.folds:
+            if args.resume and os.path.exists(episode_result_path(shot_dir, shot, fold)):
+                print(f"shot {shot} fold {fold}: done, skipping (--resume)")
+                continue
             split = read_split_csv(split_path(shot, fold))
             episode = EpisodeBags.load(loader, split.train, split.val, split.test,
                                        repeat_num=shot * n_classes)
