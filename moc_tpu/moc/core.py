@@ -58,6 +58,7 @@ class MOCConfig:
     num_epochs: int = 25
     temperature: float = 56.3477
     feature_dim: int = 512
+    approx_topk: bool = False  # TPU approximate top-k for the selection union
 
     def include_flags(self) -> tuple[bool, bool, bool, bool]:
         return tuple(name not in self.discard for name in CLASSIFIER_NAMES)
@@ -109,7 +110,8 @@ def slide_process(
     logits_ext = feats @ w_ext  # [N, C_ext]
 
     selected = ops.union_selection(
-        logits, logits_ext, valid, cfg.topj, cfg.n_classes, discard=cfg.discard
+        logits, logits_ext, valid, cfg.topj, cfg.n_classes, discard=cfg.discard,
+        approx=cfg.approx_topk,
     )
     capacity = selection_capacity_for(cfg.topj, cfg.n_classes, n)
     idx, sel_valid, count = ops.gather_selected(selected, capacity)

@@ -22,13 +22,24 @@ def masked_logits(logits: jax.Array, valid: jax.Array, fill: float = NEG_INF) ->
     return jnp.where(valid[:, None], logits, fill)
 
 
-def masked_col_topk(scores: jax.Array, valid: jax.Array, k: int):
+def topk_fn(approx: bool):
+    """Exact ``lax.top_k`` or TPU-accelerated ``lax.approx_max_k`` (the
+    hardware top-k unit; ~recall 0.95 at default settings, exact on CPU)."""
+    if approx:
+        return lambda x, k: jax.lax.approx_max_k(x, k)
+    return jax.lax.top_k
+
+
+def masked_col_topk(scores: jax.Array, valid: jax.Array, k: int,
+                    approx: bool = False):
     """Column-wise top-k over valid rows.
 
     Args:
       scores: ``[N, C]`` ranking scores.
       valid:  ``[N]`` bool.
       k:      static top count; must satisfy ``k <= N``.
+      approx: use the TPU approximate top-k unit (selection sets may differ
+              slightly; pooling/means stay count-corrected).
 
     Returns:
       ``(values [k, C], indices [k, C])`` — per column, row indices sorted by
@@ -37,7 +48,7 @@ def masked_col_topk(scores: jax.Array, valid: jax.Array, k: int):
       count-correct with ``jnp.sum(valid)``.
     """
     m = masked_logits(scores, valid)
-    vals, idx = jax.lax.top_k(m.T, k)  # [C, k]
+    vals, idx = topk_fn(approx)(m.T, k)  # [C, k]
     return vals.T, idx.T
 
 

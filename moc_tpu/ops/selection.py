@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from moc_tpu.ops.masking import NEG_INF, masked_col_topk, masked_row_margin
+from moc_tpu.ops.masking import NEG_INF, masked_col_topk, masked_row_margin, topk_fn
 
 
 def _scatter_topk_mask(idx: jax.Array, n: int) -> jax.Array:
@@ -26,31 +26,35 @@ def _scatter_topk_mask(idx: jax.Array, n: int) -> jax.Array:
     return jnp.zeros((n,), jnp.bool_).at[flat].set(True)
 
 
-def select_topj(logits: jax.Array, valid: jax.Array, topj: int) -> jax.Array:
+def select_topj(logits: jax.Array, valid: jax.Array, topj: int,
+                approx: bool = False) -> jax.Array:
     """Union of per-class top-j rows of raw logits (ref ``index_topj_classifier``)."""
     n = logits.shape[0]
-    _, idx = masked_col_topk(logits, valid, min(topj, n))
+    _, idx = masked_col_topk(logits, valid, min(topj, n), approx)
     return _scatter_topk_mask(idx, n) & valid
 
 
-def select_delta_softmax(logits: jax.Array, valid: jax.Array, topj: int) -> jax.Array:
+def select_delta_softmax(logits: jax.Array, valid: jax.Array, topj: int,
+                         approx: bool = False) -> jax.Array:
     """Union of per-class top-j rows of row-softmaxed logits."""
     n = logits.shape[0]
     probs = jax.nn.softmax(logits, axis=1)
-    _, idx = masked_col_topk(probs, valid, min(topj, n))
+    _, idx = masked_col_topk(probs, valid, min(topj, n), approx)
     return _scatter_topk_mask(idx, n) & valid
 
 
-def select_delta_diff(logits: jax.Array, valid: jax.Array, topj: int) -> jax.Array:
+def select_delta_diff(logits: jax.Array, valid: jax.Array, topj: int,
+                      approx: bool = False) -> jax.Array:
     """Top-j rows by |top1-top2| margin (every class column ranks identically)."""
     n = logits.shape[0]
     margin = jnp.where(valid, masked_row_margin(logits), NEG_INF)
-    _, row_idx = jax.lax.top_k(margin, min(topj, n))
+    _, row_idx = topk_fn(approx)(margin, min(topj, n))
     return _scatter_topk_mask(row_idx, n) & valid
 
 
 def select_bottomk_irrel(logits_ext: jax.Array, valid: jax.Array, topj: int, n_fg: int,
-                         bottomk: int | None = None, detection: bool = False) -> jax.Array:
+                         bottomk: int | None = None, detection: bool = False,
+                         approx: bool = False) -> jax.Array:
     """Two-stage: bottom-k rows by summed background logits, then per-class
     top-j of the foreground logits among those rows
     (ref ``index_bottomk_irrel_classifier``)."""
@@ -67,14 +71,14 @@ def select_bottomk_irrel(logits_ext: jax.Array, valid: jax.Array, topj: int, n_f
         bg = logits_ext[:, n_fg:]
     bg_sum = jnp.sum(bg, axis=1)
     bg_key = jnp.where(valid, -bg_sum, NEG_INF)
-    _, bk_idx = jax.lax.top_k(bg_key, kb)
+    _, bk_idx = topk_fn(approx)(bg_key, kb)
     bk_count = jnp.minimum(kb, jnp.sum(valid))
     pos = jax.lax.broadcasted_iota(jnp.int32, (kb,), 0)
     stage_valid = pos < bk_count
     fg_rows = fg[bk_idx]
     if detection:
         fg_rows = jnp.concatenate([fg_rows, top1_bg[bk_idx]], axis=1)
-    _, idx2 = masked_col_topk(fg_rows, stage_valid, min(topj, kb))  # into fg_rows
+    _, idx2 = masked_col_topk(fg_rows, stage_valid, min(topj, kb), approx)  # into fg_rows
     # Map back to original rows; entries ranked beyond the stage count point at
     # garbage — mask them out by building the mask only from valid stage rows.
     sel_stage = _scatter_topk_mask(idx2, kb) & stage_valid
@@ -85,21 +89,25 @@ def select_bottomk_irrel(logits_ext: jax.Array, valid: jax.Array, topj: int, n_f
 
 def union_selection(logits: jax.Array, logits_ext: jax.Array, valid: jax.Array,
                     topj: int, n_classes: int,
-                    discard: tuple[str, ...] = ()) -> jax.Array:
+                    discard: tuple[str, ...] = (),
+                    approx: bool = False) -> jax.Array:
     """OR-union of the four selection policies (ref ``main_moc.py:335-354``).
 
     ``discard`` names follow the reference CLI flags:
-    ``{"topk", "delta_softmax", "delta_diff", "bottomk"}``.
+    ``{"topk", "delta_softmax", "delta_diff", "bottomk"}``. ``approx`` uses
+    the TPU approximate top-k unit for the rankings (near-identical unions,
+    substantially faster at large N).
     """
     sel = jnp.zeros(logits.shape[:1], jnp.bool_)
     if "topk" not in discard:
-        sel = sel | select_topj(logits, valid, topj)
+        sel = sel | select_topj(logits, valid, topj, approx)
     if "delta_softmax" not in discard:
-        sel = sel | select_delta_softmax(logits, valid, topj)
+        sel = sel | select_delta_softmax(logits, valid, topj, approx)
     if "delta_diff" not in discard:
-        sel = sel | select_delta_diff(logits, valid, topj)
+        sel = sel | select_delta_diff(logits, valid, topj, approx)
     if "bottomk" not in discard:
-        sel = sel | select_bottomk_irrel(logits_ext, valid, topj, n_classes)
+        sel = sel | select_bottomk_irrel(logits_ext, valid, topj, n_classes,
+                                         approx=approx)
     return sel
 
 
@@ -118,15 +126,20 @@ def gather_selected(selected: jax.Array, capacity: int):
     Returns ``(idx [capacity], sel_valid [capacity], count)`` where ``idx`` is
     the selected original row indices in **ascending** order (matching the
     reference's ``sorted(selected_index)``), padded with 0 beyond ``count``.
+
+    Implementation: stream compaction via prefix-sum scatter — each selected
+    row writes its index at its cumulative rank. O(N) VPU work vs the
+    O(N·log N) sort a ``top_k(capacity)`` would cost, and ascending order
+    falls out of the scan for free.
     """
     n = selected.shape[0]
-    # Score selected rows descending by (n - i) so top_k returns them in
-    # ascending original-index order; unselected rows get NEG rank.
+    cap = min(capacity, n)
     pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    score = jnp.where(selected, n - pos, -1)
-    _, idx = jax.lax.top_k(score, min(capacity, n))
+    rank = jnp.cumsum(selected.astype(jnp.int32)) - 1  # rank among selected
+    # unselected rows (and overflow beyond capacity) write out of bounds
+    dest = jnp.where(selected, rank, cap)
+    idx = jnp.zeros((cap,), jnp.int32).at[dest].set(pos, mode="drop")
     count = jnp.sum(selected.astype(jnp.int32))
-    slot = jax.lax.broadcasted_iota(jnp.int32, (min(capacity, n),), 0)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
     sel_valid = slot < count
-    idx = jnp.where(sel_valid, idx, 0)
     return idx, sel_valid, count
