@@ -35,6 +35,7 @@ from moc_tpu.nn.decoder import (
     DecoderConfig,
     DecoderLayer,
     greedy_generate,
+    sample_generate,
 )
 from moc_tpu.nn.resnet import ResNet50Trunk, vit_large, vit_small
 from moc_tpu.nn.retnet import (
@@ -73,6 +74,7 @@ __all__ = [
     "DecoderConfig",
     "DecoderLayer",
     "greedy_generate",
+    "sample_generate",
     "ResNet50Trunk",
     "vit_large",
     "vit_small",

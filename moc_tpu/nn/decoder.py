@@ -157,6 +157,63 @@ class Decoder(nn.Module):
         ]
 
 
+def sample_generate(
+    decoder: Decoder,
+    params,
+    embed_fn,
+    logits_fn,
+    rng: jax.Array,
+    *,
+    batch: int,
+    seq_len: int,
+    bos_id: int,
+    eos_id: Optional[int] = None,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
+    memory=None,
+    memory_mask=None,
+):
+    """Top-k / nucleus (top-p) sampling decode as one ``lax.scan``
+    (ref ``coca_model.generate``: ``top_k`` keeps the k most probable tokens,
+    ``top_p`` keeps the smallest prefix of the sorted distribution whose mass
+    exceeds ``1 − top_p`` — note the reference's inverted convention)."""
+    caches = decoder.init_cache(batch, seq_len)
+
+    def filter_logits(logits):
+        if top_k is not None:
+            kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+        if top_p is not None:
+            sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+            probs = jax.nn.softmax(sorted_logits, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            # keep tokens in the 1 - top_p quantile (reference convention)
+            keep_sorted = cum <= (1.0 - top_p)
+            keep_sorted = keep_sorted.at[..., 0].set(True)  # always ≥ 1 token
+            n_keep = jnp.sum(keep_sorted, axis=-1, keepdims=True)
+            rank = jnp.sum(logits[..., None, :] > logits[..., :, None], axis=-1)
+            logits = jnp.where(rank < n_keep, logits, -jnp.inf)
+        return logits
+
+    def step(carry, idx):
+        tokens, caches, done, key = carry
+        x = embed_fn(tokens, idx)
+        h, caches = decoder.apply(params, x, memory, memory_mask, caches, idx)
+        logits = filter_logits(logits_fn(h) / max(temperature, 1e-6))
+        key, sub = jax.random.split(key)
+        nxt = jax.random.categorical(sub, logits).astype(jnp.int32)
+        if eos_id is not None:
+            nxt = jnp.where(done, eos_id, nxt)
+            done = done | (nxt == eos_id)
+        return (nxt, caches, done, key), nxt
+
+    init = (jnp.full((batch,), bos_id, jnp.int32), caches,
+            jnp.zeros((batch,), bool), rng)
+    _, out = jax.lax.scan(step, init, jnp.arange(seq_len))
+    return out.T
+
+
 def greedy_generate(
     decoder: Decoder,
     params,

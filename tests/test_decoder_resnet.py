@@ -86,3 +86,30 @@ def test_vit_factories():
     params = s.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
     out = s.apply(params, jnp.zeros((1, 32, 32, 3)))
     assert out.shape == (1, 4 + 1, 384)  # 2x2 grid + cls
+
+
+def test_sample_generate_topk_topp():
+    from moc_tpu.nn.decoder import sample_generate
+
+    vocab, d, b, l = 23, 32, 2, 6
+    dec = Decoder(CFG)
+    params = dec.init(jax.random.PRNGKey(0), jnp.zeros((b, 1, d)))
+    emb = jax.random.normal(jax.random.PRNGKey(1), (vocab, d)) * 0.1
+    head = jax.random.normal(jax.random.PRNGKey(2), (d, vocab)) * 2.0
+
+    def embed_fn(tokens, idx):
+        return emb[tokens][:, None, :]
+
+    def logits_fn(h):
+        return h[:, 0] @ head
+
+    out = sample_generate(dec, params, embed_fn, logits_fn,
+                          jax.random.PRNGKey(3), batch=b, seq_len=l,
+                          bos_id=1, top_k=5, top_p=0.1, temperature=0.8)
+    assert out.shape == (b, l)
+    assert np.all((np.asarray(out) >= 0) & (np.asarray(out) < vocab))
+    # top_k=1 must equal greedy
+    g = greedy_generate(dec, params, embed_fn, logits_fn, batch=b, seq_len=l, bos_id=1)
+    s = sample_generate(dec, params, embed_fn, logits_fn, jax.random.PRNGKey(9),
+                        batch=b, seq_len=l, bos_id=1, top_k=1)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(s))
