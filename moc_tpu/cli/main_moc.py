@@ -32,7 +32,7 @@ def get_args(argv=None):
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--result_dir", type=str, default="results/moc_train")
     p.add_argument("--dataset", type=str, default="nsclc",
-                   choices=["nsclc", "rcc", "synthetic"])
+                   choices=["nsclc", "rcc", "ebrains12", "ebrains30", "synthetic"])
     p.add_argument("--pretrain", type=str, default="conch", choices=["conch"])
     p.add_argument("--disable_tqdm", action="store_true")
     p.add_argument("--discard_classifiers", nargs="+", default=[],

@@ -20,7 +20,7 @@ import time
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="MOC episode sweep")
     p.add_argument("--dataset", default="synthetic",
-                   choices=["nsclc", "rcc", "synthetic"])
+                   choices=["nsclc", "rcc", "ebrains12", "ebrains30", "synthetic"])
     p.add_argument("--shots", type=int, nargs="+", default=[1, 2, 4, 8])
     p.add_argument("--folds", type=int, nargs="+", default=[0, 1, 2, 3, 4])
     p.add_argument("--topj", type=int, default=400)

@@ -75,7 +75,81 @@ RCC = DatasetPreset(
     n_classes=3,
 )
 
-PRESETS = {"nsclc": NSCLC, "rcc": RCC}
+_EBRAINS12_CLASSES = (
+    "Adamantinomatous craniopharyngioma",
+    "Anaplastic oligodendroglioma, IDH-mutant and 1p/19q codeleted",
+    "Atypical meningioma",
+    "Diffuse astrocytoma, IDH-mutant",
+    "Ganglioglioma",
+    "Glioblastoma, IDH-wildtype",
+    "Haemangioblastoma",
+    "Meningothelial meningioma",
+    "Oligodendroglioma, IDH-mutant and 1p/19q codeleted",
+    "Pilocytic astrocytoma",
+    "Pituitary adenoma",
+    "Schwannoma",
+)
+
+_EBRAINS30_CLASSES = (
+    "Adamantinomatous craniopharyngioma",
+    "Anaplastic astrocytoma, IDH-mutant",
+    "Anaplastic astrocytoma, IDH-wildtype",
+    "Anaplastic ependymoma",
+    "Anaplastic meningioma",
+    "Anaplastic oligodendroglioma, IDH-mutant and 1p/19q codeleted",
+    "Angiomatous meningioma",
+    "Atypical meningioma",
+    "Diffuse astrocytoma, IDH-mutant",
+    "Diffuse large B-cell lymphoma of the CNS",
+    "Ependymoma",
+    "Fibrous meningioma",
+    "Ganglioglioma",
+    "Glioblastoma, IDH-mutant",
+    "Glioblastoma, IDH-wildtype",
+    "Gliosarcoma",
+    "Haemangioblastoma",
+    "Haemangioma",
+    "Haemangiopericytoma",
+    "Langerhans cell histiocytosis",
+    "Lipoma",
+    "Medulloblastoma, non-WNT/non-SHH",
+    "Meningothelial meningioma",
+    "Metastatic tumours",
+    "Oligodendroglioma, IDH-mutant and 1p/19q codeleted",
+    "Pilocytic astrocytoma",
+    "Pituitary adenoma",
+    "Schwannoma",
+    "Secretory meningioma",
+    "Transitional meningioma",
+)
+
+
+def _ebrains_preset(name: str, classes: tuple[str, ...]) -> DatasetPreset:
+    """EBRAINS 12/30-class brain-tumor presets (csvs ship with the reference,
+    ``dataset_csv/ebrains{12,30}.csv``; prompts follow the same JSON schema —
+    bank files supplied by the user alongside the feature dirs)."""
+    label_dict = {c: i for i, c in enumerate(classes)}
+    ext = dict(label_dict)
+    for j, tissue in enumerate(sorted(NORMAL_TISSUE)):
+        ext[tissue] = len(classes) + j
+    return DatasetPreset(
+        name=name,
+        csv_name=f"{name}.csv",
+        feature_dir=f"data/{name}/merge_features_conch",
+        label_dict=label_dict,
+        label_dict_ext=ext,
+        prompt_file=f"{name}_prompts_all_per_class.json",
+        prompt_file_ext=f"{name}_prompts_w4normal.json",
+        splits_subdir=f"{name}_fewshot",
+        n_classes=len(classes),
+    )
+
+
+EBRAINS12 = _ebrains_preset("ebrains12", _EBRAINS12_CLASSES)
+EBRAINS30 = _ebrains_preset("ebrains30", _EBRAINS30_CLASSES)
+
+PRESETS = {"nsclc": NSCLC, "rcc": RCC, "ebrains12": EBRAINS12,
+           "ebrains30": EBRAINS30}
 
 # CONCH logit-scale temperature (main_moc.py:175)
 CONCH_TEMPERATURE = 56.3477

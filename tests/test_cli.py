@@ -84,3 +84,13 @@ def test_main_moc_cli_synthetic(tmp_path):
     assert r2.returncode == 0, r2.stderr[-3000:]
     ab = json.load(open(os.path.join(out, "ablation_results_max_shot_1_fold_0.json")))
     assert {"loss", "acc", "auc"} <= set(ab)
+
+
+def test_ebrains_presets():
+    assert PRESETS["ebrains12"].n_classes == 12
+    assert PRESETS["ebrains30"].n_classes == 30
+    assert PRESETS["ebrains12"].n_ext_classes == 16
+    assert PRESETS["ebrains30"].repeat_num(4) == 120
+    # ext label dict extends the class dict with the 4 normal-tissue classes
+    ext = PRESETS["ebrains12"].label_dict_ext
+    assert ext["Stroma"] >= 12 and len(set(ext.values())) == 16
