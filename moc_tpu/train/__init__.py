@@ -3,7 +3,9 @@ distributed foundation-encoder pretrain step (dp/sp/tp/ep over a mesh)."""
 
 from moc_tpu.train.pretrain import (
     PretrainConfig,
+    clip_contrastive_loss,
     encoder_param_shardings,
+    make_musk_contrastive_step,
     make_pretrain_state,
     make_sharded_train_step,
 )
@@ -30,6 +32,8 @@ __all__ = [
     "encoder_param_shardings",
     "make_pretrain_state",
     "make_sharded_train_step",
+    "clip_contrastive_loss",
+    "make_musk_contrastive_step",
     "AccuracyLogger",
     "EarlyStopping",
     "FoldResult",

@@ -162,3 +162,44 @@ def make_sharded_train_step(cfg: PretrainConfig, mesh: Mesh, model, optimizer,
         out_shardings=(param_shardings, None, repl, repl),
         donate_argnums=(0, 1),
     )
+
+
+def clip_contrastive_loss(image_emb, text_emb, logit_scale, axis_name=None):
+    """Symmetric InfoNCE over L2-normalized embeddings (the MUSK/CoCa
+    contrastive objective behind the reference's ``logit_scale``,
+    ``musk/modeling.py:96-175``).
+
+    With ``axis_name`` (inside shard_map over a data axis), negatives are
+    gathered across devices so the full global batch contrasts.
+    """
+    if axis_name is not None:
+        all_text = jax.lax.all_gather(text_emb, axis_name, tiled=True)
+        all_image = jax.lax.all_gather(image_emb, axis_name, tiled=True)
+        base = jax.lax.axis_index(axis_name) * image_emb.shape[0]
+    else:
+        all_text, all_image = text_emb, image_emb
+        base = 0
+    logits_i = (image_emb @ all_text.T) * logit_scale  # [b, B_global]
+    logits_t = (text_emb @ all_image.T) * logit_scale
+    labels = base + jnp.arange(image_emb.shape[0])
+    loss_i = optax.softmax_cross_entropy_with_integer_labels(logits_i, labels)
+    loss_t = optax.softmax_cross_entropy_with_integer_labels(logits_t, labels)
+    return 0.5 * (jnp.mean(loss_i) + jnp.mean(loss_t))
+
+
+def make_musk_contrastive_step(model, optimizer, *, aux_weight: float = 0.01):
+    """Jitted image-text contrastive train step for the MUSK dual tower."""
+
+    def loss_fn(params, images, token_ids, pad_mask):
+        v, t, scale = model.apply(params, images, token_ids,
+                                  text_padding_mask=pad_mask)
+        return clip_contrastive_loss(v, t, scale)
+
+    @jax.jit
+    def step(params, opt_state, images, token_ids, pad_mask):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, token_ids, pad_mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

@@ -14,6 +14,7 @@ from moc_tpu.zeroshot.text_tower import TextTower, TextConfig
 from moc_tpu.zeroshot.vision_tower import VisionTower, VisionConfig
 from moc_tpu.zeroshot.coca import CoCa, CoCaConfig, CONCH_VITB16
 from moc_tpu.zeroshot.tokenizer import ConchTokenizer
+from moc_tpu.zeroshot.musk_tokenizer import MuskTokenizer
 from moc_tpu.zeroshot.classifier import (
     build_zero_shot_classifier,
     cached_zero_shot_classifier,
@@ -37,6 +38,7 @@ __all__ = [
     "CoCaConfig",
     "CONCH_VITB16",
     "ConchTokenizer",
+    "MuskTokenizer",
     "build_zero_shot_classifier",
     "cached_zero_shot_classifier",
     "convert_conch_checkpoint",
