@@ -21,6 +21,7 @@ from moc_tpu.moc.core import (
     fuse_views,
     fuse_views_fixed,
     moc_slide_logits,
+    moc_slide_logits_dense,
 )
 from moc_tpu.moc.episode import (
     EpisodeResult,
@@ -50,6 +51,7 @@ __all__ = [
     "ablation_slide_logits",
     "ablation_evaluation",
     "moc_slide_logits",
+    "moc_slide_logits_dense",
     "EpisodeResult",
     "EvalMetrics",
     "init_senet",

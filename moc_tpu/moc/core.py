@@ -59,6 +59,7 @@ class MOCConfig:
     temperature: float = 56.3477
     feature_dim: int = 512
     approx_topk: bool = False  # TPU approximate top-k for the selection union
+    dense: bool = False  # selection-free fast path (see moc_slide_logits_dense)
 
     def include_flags(self) -> tuple[bool, bool, bool, bool]:
         return tuple(name not in self.discard for name in CLASSIFIER_NAMES)
@@ -186,3 +187,43 @@ def moc_slide_logits(
     weights = senet_apply(params, sel.feats)  # [S, 4]
     fused = fuse_views(weights, sel.views, cfg.include_flags())
     return ops.topj_pooling(fused, sel.valid, cfg.topk)
+
+
+def moc_slide_logits_dense(
+    senet_apply,
+    params,
+    feats: jax.Array,
+    valid: jax.Array,
+    w: jax.Array,
+    w_ext: jax.Array,
+    cfg: MOCConfig,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """Selection-free MOC forward (the TPU "dense" fast path).
+
+    Every classifier view AND the senet weighting are row-local functions of
+    a patch's own logits, so the 4-policy union's only effect on the final
+    prediction is *eligibility* for the top-``topk`` pool. This variant fuses
+    every valid row directly and pools the global top-``topk`` — removing all
+    the large top-k/gather work (measured ~3× faster at topj=400/N=16k).
+    An approximation of the reference semantics: it differs only when a row
+    outside the 4×topj union would rank in the fused top-``topk``.
+    """
+    n = feats.shape[0]
+    if rng is not None:
+        keep = jax.random.bernoulli(rng, 1.0 - cfg.drop_prob, (n,))
+        valid = valid & keep
+    logits = feats @ w
+    logits_ext = feats @ w_ext
+    c = cfg.n_classes
+    top2 = jax.lax.top_k(logits, 2)[0]
+    margin = jnp.abs(top2[:, 0] - top2[:, 1])
+    views = jnp.stack([
+        logits,
+        jax.nn.softmax(logits, axis=1),
+        jnp.broadcast_to(margin[:, None], logits.shape),
+        jnp.broadcast_to(jnp.max(logits_ext[:, c:], axis=1)[:, None], logits.shape),
+    ])  # [4, N, C]
+    weights = senet_apply(params, feats)  # [N, 4]
+    fused = fuse_views(weights, views, cfg.include_flags())
+    return ops.topj_pooling(fused, valid, cfg.topk)

@@ -26,7 +26,7 @@ from flax import struct
 from moc_tpu.data.batching import BagBatch
 from moc_tpu.data.loader import EpisodeBags
 from moc_tpu.metrics import accuracy, roc_auc_host, softmax_probs
-from moc_tpu.moc.core import MOCConfig, moc_slide_logits
+from moc_tpu.moc.core import MOCConfig, moc_slide_logits, moc_slide_logits_dense
 from moc_tpu.models.senet import SENet
 from moc_tpu import ops
 
@@ -89,9 +89,10 @@ def make_episode_fns(cfg: MOCConfig):
     """
     model = SENet(in_dim=cfg.feature_dim, out_dim=4)
     optimizer = make_optimizer(cfg)
+    slide_fn = moc_slide_logits_dense if cfg.dense else moc_slide_logits
 
     def slide_loss(params, feats, valid, label, w, w_ext, rng):
-        logits = moc_slide_logits(model.apply, params, feats, valid, w, w_ext, cfg, rng)
+        logits = slide_fn(model.apply, params, feats, valid, w, w_ext, cfg, rng)
         loss = optax.softmax_cross_entropy_with_integer_labels(logits[None], label[None])[0]
         return loss
 
@@ -120,7 +121,7 @@ def make_episode_fns(cfg: MOCConfig):
         """Pooled slide logits ``[B, C]`` for a padded eval chunk (no mask RNG)."""
 
         def per_slide(feats, valid):
-            return moc_slide_logits(model.apply, params, feats, valid, w, w_ext, cfg, None)
+            return slide_fn(model.apply, params, feats, valid, w, w_ext, cfg, None)
 
         return jax.vmap(per_slide)(batch.features, batch.mask)
 

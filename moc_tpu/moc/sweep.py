@@ -30,7 +30,7 @@ from flax import struct
 
 from moc_tpu.metrics.auc import auc_from_probs
 from moc_tpu.metrics.classification import softmax_probs
-from moc_tpu.moc.core import MOCConfig, moc_slide_logits
+from moc_tpu.moc.core import MOCConfig, moc_slide_logits, moc_slide_logits_dense
 from moc_tpu.moc.episode import make_optimizer
 from moc_tpu.models.senet import SENet
 
@@ -75,7 +75,8 @@ def _eval_split(model, params, feats, mask, labels, w, w_ext, cfg: MOCConfig):
     """Pooled logits → (auc, acc) on device, ignoring filler rows."""
 
     def per_slide(f, m):
-        return moc_slide_logits(model.apply, params, f, m, w, w_ext, cfg, None)
+        fn = moc_slide_logits_dense if cfg.dense else moc_slide_logits
+        return fn(model.apply, params, f, m, w, w_ext, cfg, None)
 
     logits = jax.vmap(per_slide)(feats, mask)  # [M, C]
     valid = labels >= 0
@@ -91,9 +92,10 @@ def make_sweep_fn(cfg: MOCConfig, repeat_num: int):
     vmap/shard it over a leading episode axis for the full sweep."""
     model = SENet(in_dim=cfg.feature_dim, out_dim=4)
     optimizer = make_optimizer(cfg)
+    slide_fn = moc_slide_logits_dense if cfg.dense else moc_slide_logits
 
     def slide_loss(params, feats, valid, label, w, w_ext, rng):
-        logits = moc_slide_logits(model.apply, params, feats, valid, w, w_ext, cfg, rng)
+        logits = slide_fn(model.apply, params, feats, valid, w, w_ext, cfg, rng)
         return optax.softmax_cross_entropy_with_integer_labels(logits[None], label[None])[0]
 
     def run(episode: StackedEpisode, w, w_ext, seed) -> SweepResult:

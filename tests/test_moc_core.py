@@ -150,3 +150,55 @@ def test_run_episode_learns_synthetic(tmp_path):
     assert result.best_val > 0.5
     assert result.test_at_best_val >= 0.8  # separable corpus: must classify well
     assert 0 <= result.best_epoch < cfg.num_epochs
+
+
+def test_dense_mode_matches_exact_on_separable_logits():
+    """Dense (selection-free) eval equals the exact path whenever the fused
+    top-k rows all lie inside the union — guaranteed here by construction."""
+    from moc_tpu.moc import moc_slide_logits, moc_slide_logits_dense
+    from moc_tpu.models import SENet
+
+    rng = np.random.default_rng(0)
+    n, d, c, ce = 512, 32, 2, 6
+    feats = rng.normal(size=(n, d)).astype(np.float32) * 0.1
+    # plant strong class-0 rows: they dominate every ranking AND the pool
+    feats[:20] += 3.0
+    valid = np.ones(n, bool)
+    w = rng.normal(size=(d, c)).astype(np.float32)
+    w_ext = rng.normal(size=(d, ce)).astype(np.float32)
+    cfg = MOCConfig(n_classes=c, n_ext_classes=ce, topj=64, topk=10, feature_dim=d)
+    model = SENet(in_dim=d, out_dim=4)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, d)))
+    exact = moc_slide_logits(model.apply, params, jnp.asarray(feats), jnp.asarray(valid),
+                             jnp.asarray(w), jnp.asarray(w_ext), cfg)
+    dense = moc_slide_logits_dense(model.apply, params, jnp.asarray(feats),
+                                   jnp.asarray(valid), jnp.asarray(w),
+                                   jnp.asarray(w_ext), cfg)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(dense), rtol=2e-5, atol=2e-5)
+
+
+def test_dense_flag_in_episode_fns():
+    import dataclasses as dc
+
+    from moc_tpu.moc import make_episode_fns
+    from moc_tpu.data.batching import BagBatch
+
+    rng = np.random.default_rng(1)
+    b, n, d = 2, 256, 32
+    batch = BagBatch(
+        features=jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32)),
+        mask=jnp.ones((b, n), bool),
+        labels=jnp.zeros((b,), jnp.int32),
+        n_patches=jnp.full((b,), n, jnp.int32),
+    )
+    w = jnp.asarray(rng.normal(size=(d, 2)).astype(np.float32))
+    w_ext = jnp.asarray(rng.normal(size=(d, 6)).astype(np.float32))
+    cfg = MOCConfig(n_classes=2, n_ext_classes=6, topj=16, topk=4,
+                    feature_dim=d, dense=True)
+    from moc_tpu.moc import init_senet
+
+    _, params = init_senet(jax.random.PRNGKey(0), cfg)
+    _, eval_batch, _ = make_episode_fns(cfg)
+    out = eval_batch(params, batch, w, w_ext)
+    assert out.shape == (b, 2)
+    assert np.all(np.isfinite(np.asarray(out)))
