@@ -43,6 +43,15 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _fit_block(requested: int, length: int) -> int:
+    """Largest block ≤ requested that divides ``length`` (prefers lane-aligned
+    sizes; falls back to the full length for awkward dilated-branch shapes)."""
+    for cand in (requested, 512, 256, 128):
+        if cand <= requested and length % cand == 0:
+            return cand
+    return length
+
+
 # ───────────────────────────── forward ─────────────────────────────
 
 
@@ -117,9 +126,8 @@ def _fwd(q, k, v, q_segment_ids, kv_segment_ids, sm_scale, causal,
          block_q, block_k):
     b, h, lq, d = q.shape
     lkv = k.shape[2]
-    block_q = min(block_q, lq)
-    block_k = min(block_k, lkv)
-    assert lq % block_q == 0 and lkv % block_k == 0, (lq, lkv, block_q, block_k)
+    block_q = _fit_block(min(block_q, lq), lq)
+    block_k = _fit_block(min(block_k, lkv), lkv)
     use_segments = q_segment_ids is not None
     if not use_segments:
         q_segment_ids = jnp.zeros((b, lq), jnp.int32)
@@ -280,8 +288,8 @@ def _bwd(q, k, v, q_seg, kv_seg, out, lse, do, sm_scale, causal,
          block_q, block_k):
     b, h, lq, d = q.shape
     lkv = k.shape[2]
-    block_q = min(block_q, lq)
-    block_k = min(block_k, lkv)
+    block_q = _fit_block(min(block_q, lq), lq)
+    block_k = _fit_block(min(block_k, lkv), lkv)
     use_segments = q_seg is not None
     if not use_segments:
         q_seg = jnp.zeros((b, lq), jnp.int32)

@@ -100,3 +100,16 @@ def test_bf16_forward():
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_non_divisible_lengths():
+    """Odd sequence lengths (dilated-branch shapes) pick a fitting block."""
+    q, k, v = _inputs(6, lq=384, lkv=640, d=128)
+    out, lse = flash_attention_with_lse(q, k, v, block_q=512, block_k=512)
+    ref, ref_lse = mha_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    q2, k2, v2 = _inputs(7, lq=96, lkv=96, d=128)  # smaller than every block
+    out2, _ = flash_attention_with_lse(q2, k2, v2)
+    ref2, _ = mha_reference(q2, k2, v2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=2e-5, atol=2e-5)
