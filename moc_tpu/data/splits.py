@@ -101,8 +101,30 @@ def _generate(
     seed: int,
     label_frac: float,
     shot: int | None,
+    patient_strat: bool = False,
+    patient_voting: str = "max",
 ) -> list[Split]:
+    """With ``patient_strat``, sampling units are PATIENTS (voted labels);
+    each sampled patient contributes all its slides to the split — the
+    reference's patient-level stratification (``dataset_generic.py:170-196``).
+    """
     ids = table.slide_ids
+    if patient_strat:
+        patients = table.patient_table(patient_voting)
+        case_ids = patients["case_id"].to_numpy()
+        unit_labels = patients["label"].to_numpy()
+        case_col = table.frame["case_id"].to_numpy()
+
+        def expand(unit_rows):
+            cases = set(case_ids[i] for i in unit_rows)
+            return [i for i, c in enumerate(case_col) if c in cases]
+    else:
+        unit_labels = table.labels
+
+        def expand(unit_rows):
+            return list(unit_rows)
+
+    class_pools = [np.where(unit_labels == c)[0] for c in range(table.num_classes)]
     splits = []
     rng = np.random.default_rng(seed)
     for _ in range(n_splits):
@@ -110,7 +132,7 @@ def _generate(
         val_rows: list[int] = []
         test_rows: list[int] = []
         for c in range(table.num_classes):
-            pool = table.class_indices(c)
+            pool = class_pools[c]
             val_ids = _stratified_pick(rng, pool, val_num[c])
             remaining = np.setdiff1d(pool, val_ids)
             test_ids = _stratified_pick(rng, remaining, test_num[c])
@@ -122,9 +144,9 @@ def _generate(
             else:
                 count = int(np.ceil(len(remaining) * label_frac))
                 train_ids = remaining[:count]
-            val_rows.extend(val_ids.tolist())
-            test_rows.extend(test_ids.tolist())
-            train_rows.extend(np.asarray(train_ids).tolist())
+            val_rows.extend(expand(val_ids.tolist()))
+            test_rows.extend(expand(test_ids.tolist()))
+            train_rows.extend(expand(np.asarray(train_ids).tolist()))
         splits.append(
             Split(
                 tuple(ids[i] for i in train_rows),
@@ -143,10 +165,12 @@ def generate_splits(
     test_num: Sequence[int],
     seed: int = 7,
     label_frac: float = 1.0,
+    patient_strat: bool = False,
 ) -> list[Split]:
     """Fully-supervised stratified splits (ref ``generate_split``)."""
     return _generate(table, n_splits=n_splits, val_num=val_num, test_num=test_num,
-                     seed=seed, label_frac=label_frac, shot=None)
+                     seed=seed, label_frac=label_frac, shot=None,
+                     patient_strat=patient_strat)
 
 
 def generate_fewshot_splits(
@@ -157,8 +181,10 @@ def generate_fewshot_splits(
     val_num: Sequence[int],
     test_num: Sequence[int],
     seed: int = 7,
+    patient_strat: bool = False,
 ) -> list[Split]:
     """Few-shot k-per-class splits (ref ``generate_split_few``): ``shot``
     train slides per class after carving out val/test."""
     return _generate(table, n_splits=n_splits, val_num=val_num, test_num=test_num,
-                     seed=seed, label_frac=1.0, shot=shot)
+                     seed=seed, label_frac=1.0, shot=shot,
+                     patient_strat=patient_strat)

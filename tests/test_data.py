@@ -164,3 +164,28 @@ def test_synthetic_corpus_is_separable(corpus):
         top = np.sort(logits, axis=0)[-10:].mean(axis=0)  # top-10 mean per class
         correct += int(np.argmax(top) == table.label_of(sid))
     assert correct / len(table) >= 0.9
+
+
+def test_patient_strat_splits():
+    """Patient-level stratification keeps all of a patient's slides in one split."""
+    import pandas as pd
+
+    rows = []
+    for p in range(12):
+        label = "x" if p < 6 else "y"
+        for s in range(2):  # two slides per patient
+            rows.append({"case_id": f"p{p:02d}", "slide_id": f"p{p:02d}_s{s}",
+                         "label": label})
+    df = pd.DataFrame(rows)
+    table = SlideTable.from_frame(df, {"x": 0, "y": 1})
+    from moc_tpu.data import generate_splits
+
+    splits = generate_splits(table, n_splits=2, val_num=[1, 1], test_num=[2, 2],
+                             patient_strat=True, seed=5)
+    for s in splits:
+        s.check_disjoint()
+        for part in (s.train, s.val, s.test):
+            cases = {sid.rsplit("_", 1)[0] for sid in part}
+            # every selected patient contributes BOTH slides
+            assert len(part) == 2 * len(cases)
+        assert len(s.val) == 4 and len(s.test) == 8  # (1+1, 2+2 patients) x 2 slides

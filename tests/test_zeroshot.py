@@ -204,3 +204,43 @@ def test_coca_smoke_small():
     np.testing.assert_allclose(np.linalg.norm(img_e, axis=1), 1.0, rtol=1e-5)
     np.testing.assert_allclose(np.linalg.norm(txt_e, axis=1), 1.0, rtol=1e-5)
     assert float(scale) > 0
+
+
+def test_coca_captioner_trains_and_generates():
+    """Caption decoder: teacher-forced loss decreases; generation runs."""
+    import optax
+
+    from moc_tpu.zeroshot.captioner import CaptionerConfig, CoCaCaptioner, generate_caption
+
+    cfg = CaptionerConfig(vocab_size=50, width=32, layers=2, heads=4,
+                          context_length=16)
+    model = CoCaCaptioner(cfg)
+    rng = np.random.default_rng(0)
+    caption_tokens = jnp.asarray(rng.normal(size=(2, 8, 32)).astype(np.float32))
+    # fixed target captions
+    ids = jnp.asarray(np.array([[1, 5, 6, 7, 2, 0, 0, 0],
+                                [1, 9, 9, 4, 2, 0, 0, 0]], np.int32))
+    params = model.init(jax.random.PRNGKey(0), ids, caption_tokens)
+    opt = optax.adam(5e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        loss, g = jax.value_and_grad(
+            lambda p: model.apply(p, ids, caption_tokens, method=model.caption_loss)
+        )(p)
+        up, s = opt.update(g, s, p)
+        return optax.apply_updates(p, up), s, loss
+
+    losses = []
+    for _ in range(10):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+    out = generate_caption(model, params, caption_tokens, seq_len=8)
+    assert out.shape == (2, 8)
+    out_s = generate_caption(model, params, caption_tokens, seq_len=8,
+                             mode="sample", rng=jax.random.PRNGKey(1),
+                             top_k=5, temperature=0.7)
+    assert out_s.shape == (2, 8)
