@@ -15,6 +15,7 @@ from moc_tpu.train.mil import (
     FoldResult,
     MilTrainConfig,
     build_model,
+    evaluate_model,
     train_fold,
     weighted_order,
 )
@@ -39,6 +40,7 @@ __all__ = [
     "FoldResult",
     "MilTrainConfig",
     "build_model",
+    "evaluate_model",
     "train_fold",
     "weighted_order",
     "bag_loss_fn",

@@ -246,6 +246,45 @@ def _auc_host(probs: np.ndarray, labels: np.ndarray, n_classes: int) -> float:
         return float(np.nanmean(aucs))
 
 
+def evaluate_model(cfg: MilTrainConfig, params, batches) -> dict:
+    """Standalone checkpoint evaluation (ref ``eval_utils.eval``,
+    ``/root/reference/utils/eval_utils.py:66-76``): run a trained model over
+    a bag stream and return probs/preds + the summary metrics."""
+    _, forward, _ = build_model(cfg)
+
+    @jax.jit
+    def eval_step(params, feats, mask):
+        return jax.vmap(lambda f, v: forward(params, f, v, None)[0])(feats, mask)
+
+    all_logits, all_labels = [], []
+    for batch in batches:
+        logits = np.asarray(eval_step(params, batch.features, batch.mask))
+        labels = np.asarray(batch.labels)
+        keep = labels >= 0
+        all_logits.append(logits[keep])
+        all_labels.append(labels[keep])
+    logits = np.concatenate(all_logits)
+    labels = np.concatenate(all_labels)
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=1))
+    preds = probs.argmax(1)
+    logger = AccuracyLogger(cfg.n_classes)
+    logger.log_batch(preds, labels)
+    return {
+        "auc": _auc_host(probs, labels, cfg.n_classes),
+        "acc": float((preds == labels).mean()),
+        "bacc": float(balanced_accuracy(jnp.asarray(logits), jnp.asarray(labels),
+                                        cfg.n_classes)),
+        "probs": probs,
+        "preds": preds,
+        "labels": labels,
+        "class_summary": [logger.get_summary(c) for c in range(cfg.n_classes)],
+        "patient_results": {
+            str(i): {"prob": probs[i].tolist(), "label": int(labels[i])}
+            for i in range(len(labels))
+        },
+    }
+
+
 def train_fold(
     loaders: dict,
     cfg: MilTrainConfig,

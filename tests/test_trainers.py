@@ -152,3 +152,37 @@ def test_run_lora_finetune_improves():
 
     best_params, best_auc = run_lora_finetune(encode, params, slides, val, cfg, epochs=4)
     assert best_auc >= 0.7, best_auc
+
+
+def test_evaluate_model_from_saved_params(tmp_path):
+    """Standalone checkpoint eval (the eval_utils.eval analogue): save a
+    trained fold's params, reload, evaluate — metrics match the fold result."""
+    import jax
+    import jax.numpy as jnp
+
+    from moc_tpu.data import BagLoader, SlideTable, make_synthetic_corpus, read_split_csv
+    from moc_tpu.data.synthetic import SyntheticWSIConfig
+    from moc_tpu.train import evaluate_model
+    from moc_tpu.utils.checkpoint import load_params, save_params
+
+    cfg_data = SyntheticWSIConfig(slides_per_class=8, min_patches=100,
+                                  max_patches=300, dim=512, seed=77, signal=1.0)
+    corpus = make_synthetic_corpus(str(tmp_path), cfg_data, shots=(2,), n_folds=1,
+                                   val_per_class=2, test_per_class=3)
+    table = SlideTable.from_csv(corpus["csv_path"], corpus["label_dict"])
+    split = read_split_csv(corpus["split_paths"][(2, 0)])
+    mk = lambda ids: (lambda: BagLoader(table.subset_by_slide_ids(ids),
+                                        corpus["data_dir"], cache=True).batches(batch_size=2))
+    loaders = {"train": mk(split.train), "val": mk(split.val), "test": mk(split.test)}
+    cfg = MilTrainConfig(model_type="abmil", n_classes=2, model_size="conch",
+                         max_epochs=3, lr=3e-4, batch_size=2)
+    result = train_fold(loaders, cfg)
+
+    p = str(tmp_path / "fold.msgpack")
+    save_params(p, result.params)
+    template = jax.tree.map(jnp.zeros_like, result.params)
+    restored = load_params(p, template)
+    metrics = evaluate_model(cfg, restored, loaders["test"]())
+    assert metrics["auc"] == pytest.approx(result.test_auc, abs=1e-6)
+    assert metrics["acc"] == pytest.approx(result.test_acc, abs=1e-6)
+    assert len(metrics["patient_results"]) == 6
