@@ -23,7 +23,13 @@ from moc_tpu.data.table import SlideTable
 
 
 class BagLoader:
-    """Reads bags for slides in a ``SlideTable`` with a host thread pool."""
+    """Reads bags for slides in a ``SlideTable`` with a host thread pool.
+
+    Optional reference behaviors (``dataset_generic.py:380-440``):
+      * ``bag_size``     — random fixed-size patch subset per read (seeded);
+      * ``preselect``    — per-slide stored patch indices to subselect;
+      * ``label_revert`` — invert binary labels (tumor0/normal1 ↔ 1/0).
+    """
 
     def __init__(
         self,
@@ -33,20 +39,46 @@ class BagLoader:
         use_h5: bool = True,
         num_workers: int = 8,
         cache: bool = False,
+        bag_size: int | None = None,
+        preselect: dict[str, "np.ndarray"] | None = None,
+        label_revert: bool = False,
+        seed: int = 0,
     ):
         self.table = table
         self.data_dir = data_dir
         self.use_h5 = use_h5
         self.num_workers = num_workers
+        self.bag_size = bag_size
+        self.preselect = preselect
+        self.label_revert = label_revert
+        self._rng = np.random.default_rng(seed)
         self._cache: dict[str, Bag] | None = {} if cache else None
+
+    def toggle_label_revert(self, toggle: bool) -> None:
+        self.label_revert = toggle
 
     def read(self, slide_id: str) -> Bag:
         if self._cache is not None and slide_id in self._cache:
-            return self._cache[slide_id]
-        bag = read_bag(self.data_dir, slide_id, use_h5=self.use_h5,
-                       label=self.table.label_of(slide_id))
-        if self._cache is not None:
-            self._cache[slide_id] = bag
+            bag = self._cache[slide_id]
+        else:
+            bag = read_bag(self.data_dir, slide_id, use_h5=self.use_h5,
+                           label=self.table.label_of(slide_id))
+            if self._cache is not None:
+                self._cache[slide_id] = bag
+        if self.preselect is not None and slide_id in self.preselect:
+            idx = np.asarray(self.preselect[slide_id])
+            bag = dataclasses.replace(
+                bag, features=bag.features[idx],
+                coords=bag.coords[idx] if bag.coords is not None else None,
+            )
+        elif self.bag_size is not None and bag.n_patches > self.bag_size:
+            idx = self._rng.permutation(bag.n_patches)[: self.bag_size]
+            bag = dataclasses.replace(
+                bag, features=bag.features[idx],
+                coords=bag.coords[idx] if bag.coords is not None else None,
+            )
+        if self.label_revert and bag.label is not None:
+            bag = dataclasses.replace(bag, label=1 - bag.label)
         return bag
 
     def read_all(self, slide_ids: Sequence[str] | None = None) -> list[Bag]:

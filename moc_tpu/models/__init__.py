@@ -24,6 +24,7 @@ from moc_tpu.models.vila import (
     ViLaTextEncoder,
     VilaConfig,
     build_prompt_constants,
+    load_vila_prompts,
 )
 from moc_tpu.models.titan import TitanConfig, TitanHead
 from moc_tpu.models.adapters import (
@@ -52,6 +53,7 @@ __all__ = [
     "ViLaTextEncoder",
     "VilaConfig",
     "build_prompt_constants",
+    "load_vila_prompts",
     "TitanConfig",
     "TitanHead",
     "AMUAdapter",

@@ -53,6 +53,21 @@ class PromptConstants:
     eot_idx: np.ndarray
 
 
+def load_vila_prompts(csv_path: str) -> list[str]:
+    """Read a ViLa two-scale prompt CSV (one full-sentence prompt per line,
+    first C lines = low scale, next C = high scale — the reference's
+    ``models/prompts/vila_text_prompt/*.csv`` consumed as
+    ``config.text_prompt``)."""
+    import csv
+
+    prompts = []
+    with open(csv_path, newline="") as f:
+        for row in csv.reader(f):
+            if row and row[0].strip():
+                prompts.append(row[0].strip())
+    return prompts
+
+
 def build_prompt_constants(token_embedding: np.ndarray, tokenizer, classnames,
                            n_ctx: int = 16) -> PromptConstants:
     """Assemble CoOp prompt constants from a token-embedding table ``[V, W]``

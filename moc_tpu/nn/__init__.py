@@ -26,10 +26,13 @@ from moc_tpu.nn.encoder import (
     EncoderLayer,
     MultiwayDense,
     MultiwayLayerNorm,
+    RMSNorm,
     RelativePositionBias,
     SelfAttention,
+    drop_path,
     xpos_rotary,
 )
+from moc_tpu.nn.encoder_decoder import EncoderDecoder, EncoderDecoderConfig
 from moc_tpu.nn.decoder import (
     Decoder,
     DecoderConfig,
@@ -63,8 +66,12 @@ __all__ = [
     "MultiwayDense",
     "MultiwayLayerNorm",
     "RelativePositionBias",
+    "RMSNorm",
     "SelfAttention",
+    "drop_path",
     "xpos_rotary",
+    "EncoderDecoder",
+    "EncoderDecoderConfig",
     "GLU",
     "MultiScaleRetention",
     "RetNetBlock",

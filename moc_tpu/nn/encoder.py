@@ -134,6 +134,27 @@ class RelativePositionBias(nn.Module):
         return table[buckets].transpose(2, 0, 1)  # [H, L, L]
 
 
+class RMSNorm(nn.Module):
+    """Root-mean-square norm (ref ``component/rms_norm.py``)."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        return x * jax.lax.rsqrt(var + self.eps) * scale
+
+
+def drop_path(x, rate: float, rng, deterministic: bool):
+    """Stochastic depth (ref ``component/droppath.py``): drop the whole
+    residual branch per sample with prob ``rate``."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
 # ─────────────────────────────── multiway ───────────────────────────────
 
 
