@@ -45,17 +45,21 @@ class VisionEmbedding(nn.Module):
                     strides=(c.patch_size, c.patch_size), padding="VALID",
                     name="proj")(images)
         x = x.reshape(b, -1, c.embed_dim)
+        # always materialized (ref ``contain_mask_token=True``) so converted
+        # checkpoints and init trees align even without masked pretraining
+        mask_token = self.param("mask_token", nn.initializers.normal(0.02),
+                                (c.embed_dim,))
         if masked_pos is not None:
-            mask_token = self.param("mask_token", nn.initializers.normal(0.02),
-                                    (c.embed_dim,))
             x = jnp.where(masked_pos[:, :, None], mask_token, x)
         cls = self.param("cls_token", nn.initializers.normal(0.02), (1, 1, c.embed_dim))
         return jnp.concatenate([jnp.broadcast_to(cls, (b, 1, c.embed_dim)), x], axis=1)
 
 
 class BEiT3(nn.Module):
-    """Multiway encoder over [text; vision] token streams
-    (ref ``BEiT3.py:16-96``; text occupies positions before the split)."""
+    """Multiway encoder over [vision; text] token streams
+    (ref ``BEiT3.py:48-96``: VISION tokens come first and set the multiway
+    split — branch A of every multiway module serves vision positions,
+    branch B text; single-modality calls use A alone)."""
 
     cfg: MuskConfig
 
@@ -65,7 +69,18 @@ class BEiT3(nn.Module):
         c = self.cfg
         assert textual_tokens is not None or visual_tokens is not None
         parts, pads = [], []
-        split = None
+        # split semantics (ref BEiT3.forward: -1 = all-A/vision, 0 = all-B/
+        # text, n_vis = mixed): None routes everything through A.
+        split = None if textual_tokens is None else 0
+        if visual_tokens is not None:
+            v = VisionEmbedding(c, name="vision_embed")(visual_tokens, vision_masked_pos)
+            n_vis = (c.image_size // c.patch_size) ** 2 + 1
+            vpos = self.param("vision_pos", nn.initializers.normal(0.02),
+                              (n_vis, c.embed_dim))
+            v = v + vpos[: v.shape[1]]
+            parts.append(v)
+            pads.append(jnp.zeros(v.shape[:2], bool))
+            split = v.shape[1] if textual_tokens is not None else None
         if textual_tokens is not None:
             t = nn.Embed(c.vocab_size, c.embed_dim, name="text_embed")(textual_tokens)
             tpos = self.param("text_pos", nn.initializers.normal(0.02),
@@ -76,15 +91,6 @@ class BEiT3(nn.Module):
                 text_padding_mask if text_padding_mask is not None
                 else jnp.zeros(t.shape[:2], bool)
             )
-            split = t.shape[1] if visual_tokens is not None else None
-        if visual_tokens is not None:
-            v = VisionEmbedding(c, name="vision_embed")(visual_tokens, vision_masked_pos)
-            n_vis = (c.image_size // c.patch_size) ** 2 + 1
-            vpos = self.param("vision_pos", nn.initializers.normal(0.02),
-                              (n_vis, c.embed_dim))
-            v = v + vpos[: v.shape[1]]
-            parts.append(v)
-            pads.append(jnp.zeros(v.shape[:2], bool))
         x = jnp.concatenate(parts, axis=1)
         padding = jnp.concatenate(pads, axis=1)
         cfg_enc = dataclasses.replace(self.cfg.encoder, embed_dim=c.embed_dim)

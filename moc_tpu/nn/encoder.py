@@ -160,8 +160,10 @@ def drop_path(x, rate: float, rng, deterministic: bool):
 
 class MultiwayDense(nn.Module):
     """Two parallel Dense experts split by modality position
-    (ref ``multiway_network.py:10-55``): tokens before ``split`` use branch A
-    (text), the rest branch B (vision)."""
+    (ref ``multiway_network.py:10-55``): tokens before ``split`` use branch
+    A, the rest branch B. In the BEiT3 stream order (vision first,
+    ``BEiT3.py:68-72``) A serves vision and B text; ``split=0`` routes
+    everything through B, ``split=None`` through A."""
 
     features: int
     use_bias: bool = True
@@ -237,19 +239,26 @@ class SelfAttention(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, x, padding_mask=None, rel_pos=None):
+    def __call__(self, x, padding_mask=None, rel_pos=None, split: int | None = None):
         cfg = self.cfg
         b, l, d = x.shape
         h = cfg.heads
         dh = d // h
-        q = nn.Dense(d, name="q_proj")(x)
-        k = nn.Dense(d, name="k_proj")(x)
-        v = nn.Dense(d, name="v_proj")(x)
+        if cfg.multiway:
+            # torchscale wraps the attention projections in MultiwayWrapper
+            # too (``multihead_attention.py:43-48``): per-modality q/k/v/out
+            q = MultiwayDense(d, name="q_proj")(x, split)
+            k = MultiwayDense(d, name="k_proj")(x, split)
+            v = MultiwayDense(d, name="v_proj")(x, split)
+        else:
+            q = nn.Dense(d, name="q_proj")(x)
+            k = nn.Dense(d, name="k_proj")(x)
+            v = nn.Dense(d, name="v_proj")(x)
 
-        def split(t):
+        def to_heads(t):
             return t.reshape(b, l, h, dh)
 
-        q, k, v = split(q), split(k), split(v)
+        q, k, v = to_heads(q), to_heads(k), to_heads(v)
         if cfg.xpos:
             flat = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, l, dh)
             unflat = lambda t: t.reshape(b, h, l, dh).transpose(0, 2, 1, 3)
@@ -282,7 +291,12 @@ class SelfAttention(nn.Module):
             ).transpose(0, 2, 1, 3).reshape(b, l, d)
 
         if cfg.subln:
-            attn = nn.LayerNorm(epsilon=cfg.layernorm_eps, name="inner_attn_ln")(attn)
+            if cfg.multiway:
+                attn = MultiwayLayerNorm(cfg.layernorm_eps, name="inner_attn_ln")(attn, split)
+            else:
+                attn = nn.LayerNorm(epsilon=cfg.layernorm_eps, name="inner_attn_ln")(attn)
+        if cfg.multiway:
+            return MultiwayDense(d, name="out_proj")(attn, split)
         return nn.Dense(d, name="out_proj")(attn)
 
 
@@ -299,7 +313,7 @@ class EncoderLayer(nn.Module):
         residual = x
         if cfg.normalize_before:
             x = MultiwayLayerNorm(cfg.layernorm_eps, name="self_attn_layer_norm")(x, split)
-        x = SelfAttention(cfg, name="self_attn")(x, padding_mask, rel_pos)
+        x = SelfAttention(cfg, name="self_attn")(x, padding_mask, rel_pos, split)
         x = residual * alpha + x
         if not cfg.normalize_before:
             x = MultiwayLayerNorm(cfg.layernorm_eps, name="self_attn_layer_norm")(x, split)
