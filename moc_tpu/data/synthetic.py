@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 
 from moc_tpu.data.bags import write_bag_h5
-from moc_tpu.data.splits import Split, write_split_csv
+from moc_tpu.data.splits import write_split_csv
 from moc_tpu.data.table import SlideTable
 
 

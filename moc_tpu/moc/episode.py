@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax import struct
 
 from moc_tpu.data.batching import BagBatch
 from moc_tpu.data.loader import EpisodeBags

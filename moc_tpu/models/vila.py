@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from moc_tpu.models.layers import NEG_INF
 from moc_tpu.nn.transformer import CrossAttention, LayerNorm, Transformer
 from moc_tpu.zeroshot.text_tower import TextConfig
 

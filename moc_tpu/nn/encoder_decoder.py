@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from moc_tpu.nn.decoder import Decoder, DecoderConfig

@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from moc_tpu.nn.transformer import gelu_exact
 
 
 @dataclasses.dataclass(frozen=True)

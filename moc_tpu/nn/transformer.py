@@ -10,7 +10,7 @@ conversion) and relies on XLA to fuse — no manual scheduling.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -25,12 +25,10 @@ mean is count-corrected, matching the reference's ``maxj = min(j, N)`` clamp.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
-from moc_tpu.ops.masking import NEG_INF, masked_col_topk, masked_logits, masked_row_margin, topk_mean
+from moc_tpu.ops.masking import NEG_INF, masked_col_topk, masked_row_margin, topk_mean
 
 
 def _gather_cols(mat: jax.Array, idx: jax.Array) -> jax.Array:

@@ -15,7 +15,7 @@ fallback, ``core_utils.py:519-524,607-620``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterator, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,6 @@ import numpy as np
 import optax
 
 from moc_tpu.data.batching import BagBatch
-from moc_tpu.data.loader import BagLoader
 from moc_tpu.metrics.classification import balanced_accuracy
 from moc_tpu.models import (
     CHIEF,

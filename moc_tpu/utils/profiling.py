@@ -13,7 +13,6 @@ from __future__ import annotations
 import contextlib
 
 import jax
-import jax.numpy as jnp
 
 
 @contextlib.contextmanager

@@ -15,7 +15,6 @@ coords can be dumped for visualization (``moc_tpu.viz``).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, Iterable, Sequence
 
 import jax

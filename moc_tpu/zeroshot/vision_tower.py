@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from moc_tpu.nn.transformer import AttentionalPooler, LayerNorm

@@ -120,3 +120,19 @@ def test_pipeline_apply_matches_sequential():
     # outputs valid on the last stage; shard_map with P() out replicates the
     # last ppermute'd value — instead compare via psum trick: gather outputs
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_three_axis_mesh_with_sequence():
+    """data x seq x expert (2x2x2) all active in one sharded train step."""
+    mesh = make_mesh({"data": 2, "seq": 2, "expert": 2})
+    model, params, optimizer, opt_state, shardings = make_pretrain_state(CFG, mesh)
+    step = make_sharded_train_step(CFG, mesh, model, optimizer, shardings)
+    ids, mask = _batch(9)
+    l0 = None
+    for _ in range(3):
+        params, opt_state, loss, aux = step(params, opt_state, ids, mask)
+        if l0 is None:
+            l0 = float(loss)
+    assert np.isfinite(float(loss))
+    assert float(loss) < l0
