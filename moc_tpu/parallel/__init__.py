@@ -23,6 +23,8 @@ from moc_tpu.parallel.mesh import (
 )
 from moc_tpu.parallel.dilated import dilated_attention, DilatedConfig
 from moc_tpu.parallel.moe import MoEConfig, MoELayer, top1_gate, top2_gate, moe_dispatch_combine
+from moc_tpu.parallel.pipeline import pipeline_apply
+from moc_tpu.parallel.ring import ring_attention
 
 __all__ = [
     "AXIS_DATA",
@@ -38,4 +40,6 @@ __all__ = [
     "top1_gate",
     "top2_gate",
     "moe_dispatch_combine",
+    "pipeline_apply",
+    "ring_attention",
 ]

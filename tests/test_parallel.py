@@ -175,3 +175,29 @@ def test_moe_expert_parallel_matches_single_device():
     )(x, params)
     np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_local), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(float(aux_ep), float(aux_local), rtol=1e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_full(causal):
+    """Ring attention over 4 sequence shards == unsharded full attention."""
+    from moc_tpu.parallel import ring_attention
+
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("seq",))
+    rng = np.random.default_rng(11)
+    b, h, l, d = 1, 2, 512, 128
+    q = jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, l, d)).astype(np.float32))
+
+    full, _ = mha_reference(q, k, v, causal=causal)
+
+    out = shard_map(
+        functools.partial(ring_attention, axis_name="seq", causal=causal,
+                          use_flash=False),
+        mesh=mesh,
+        in_specs=(P(None, None, "seq"), P(None, None, "seq"), P(None, None, "seq")),
+        out_specs=P(None, None, "seq"),
+        check_vma=False,
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), rtol=3e-4, atol=3e-4)
