@@ -76,9 +76,24 @@ def build_prompt_constants(token_embedding: np.ndarray, tokenizer, classnames,
     ref ``config.text_prompt``)."""
     ids = tokenizer(list(classnames))  # [2C, 128]
     emb = np.asarray(token_embedding)[ids]  # [2C, 128, W]
+    suffix = emb[:, 1 + n_ctx :]
+    # token positions 1..n_ctx are replaced by the learned ctx vectors, so
+    # prompts that only differ inside that window collapse to identical
+    # suffixes — every class gets the same text feature and gradients cancel
+    if len(classnames) > 1 and len(np.unique(
+            np.asarray(ids)[:, 1 + n_ctx:], axis=0)) == 1:
+        import warnings
+
+        warnings.warn(
+            "all prompt suffixes are identical after the first "
+            f"{1 + n_ctx} tokens; class words this early are discarded by "
+            "the soft-prompt window and the classifier cannot separate "
+            "classes — move distinguishing words later in the prompt",
+            stacklevel=2,
+        )
     return PromptConstants(
         token_prefix=emb[:, :1],
-        token_suffix=emb[:, 1 + n_ctx :],
+        token_suffix=suffix,
         eot_idx=np.argmax(ids, axis=1),
     )
 

@@ -20,6 +20,7 @@ from moc_tpu.train.mil import (
     weighted_order,
 )
 from moc_tpu.train.losses import bag_loss_fn, cross_entropy, smooth_top1_svm
+from moc_tpu.train.vila import VilaFoldResult, VilaTrainConfig, train_vila_fold
 from moc_tpu.train.lora_finetune import (
     LoraFinetuneConfig,
     make_lora_train_step,
@@ -46,6 +47,9 @@ __all__ = [
     "bag_loss_fn",
     "cross_entropy",
     "smooth_top1_svm",
+    "VilaFoldResult",
+    "VilaTrainConfig",
+    "train_vila_fold",
     "LoraFinetuneConfig",
     "make_lora_train_step",
     "run_lora_finetune",
