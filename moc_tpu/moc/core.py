@@ -107,21 +107,23 @@ def slide_process(
         keep = jax.random.bernoulli(rng, 1.0 - cfg.drop_prob, (n,))
         valid = valid & keep
 
-    logits = feats @ w  # [N, C]
-    logits_ext = feats @ w_ext  # [N, C_ext]
+    # one combined matmul = one pass over the [N, D] features (they dominate
+    # HBM traffic; two separate matmuls would read them twice)
+    c = cfg.n_classes
+    logits_all = feats @ jnp.concatenate([w, w_ext], axis=1)  # [N, C+C_ext]
+    logits = logits_all[:, :c]
+    logits_ext = logits_all[:, c:]
 
-    selected = ops.union_selection(
-        logits, logits_ext, valid, cfg.topj, cfg.n_classes, discard=cfg.discard,
-        approx=cfg.approx_topk,
-    )
     capacity = selection_capacity_for(cfg.topj, cfg.n_classes, n)
-    idx, sel_valid, count = ops.gather_selected(selected, capacity)
+    idx, sel_valid, count = ops.select_and_gather(
+        logits, logits_ext, valid, cfg.topj, cfg.n_classes, capacity,
+        discard=cfg.discard, approx=cfg.approx_topk,
+    )
 
     sel_feats = jnp.where(sel_valid[:, None], feats[idx], 0.0)  # [S, D]
     sel_logits = jnp.where(sel_valid[:, None], logits[idx], 0.0)  # [S, C]
     sel_logits_ext = jnp.where(sel_valid[:, None], logits_ext[idx], 0.0)
 
-    c = cfg.n_classes
     view_top = sel_logits
     view_softmax = jax.nn.softmax(sel_logits, axis=1)
     top2 = jax.lax.top_k(sel_logits, 2)[0]
@@ -213,9 +215,10 @@ def moc_slide_logits_dense(
     if rng is not None:
         keep = jax.random.bernoulli(rng, 1.0 - cfg.drop_prob, (n,))
         valid = valid & keep
-    logits = feats @ w
-    logits_ext = feats @ w_ext
     c = cfg.n_classes
+    logits_all = feats @ jnp.concatenate([w, w_ext], axis=1)  # one feats pass
+    logits = logits_all[:, :c]
+    logits_ext = logits_all[:, c:]
     top2 = jax.lax.top_k(logits, 2)[0]
     margin = jnp.abs(top2[:, 0] - top2[:, 1])
     views = jnp.stack([

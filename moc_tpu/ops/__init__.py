@@ -36,6 +36,7 @@ from moc_tpu.ops.selection import (
     select_bottomk_irrel,
     union_selection,
     gather_selected,
+    select_and_gather,
 )
 
 __all__ = [
@@ -61,4 +62,5 @@ __all__ = [
     "select_bottomk_irrel",
     "union_selection",
     "gather_selected",
+    "select_and_gather",
 ]

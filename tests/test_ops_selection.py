@@ -71,6 +71,38 @@ def test_gather_selected_sorted_and_padded():
     assert (idx[count:] == 0).all()
 
 
+@pytest.mark.parametrize("discard", [
+    (), ("topk",), ("delta_softmax", "bottomk"), ("delta_diff",),
+    ("topk", "delta_softmax", "delta_diff", "bottomk"),
+])
+def test_fused_union_matches_composed(discard):
+    from moc_tpu.ops.selection import union_selection_composed
+
+    for seed in (0, 1, 2):
+        _, _, p, pe, valid = make_bags(seed=seed, n=50, pad_to=64)
+        args = (jnp.asarray(p), jnp.asarray(pe), jnp.asarray(valid), 9)
+        fused = ops.union_selection(*args, n_classes=2, discard=discard)
+        composed = union_selection_composed(*args, n_classes=2, discard=discard)
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(composed))
+
+
+@pytest.mark.parametrize("discard", [(), ("delta_softmax", "bottomk")])
+def test_select_and_gather_matches_two_step(discard):
+    for seed, n, pad_to in ((0, 50, 64), (1, 10, 64), (2, 64, 64)):
+        _, _, p, pe, valid = make_bags(seed=seed, n=n, pad_to=pad_to)
+        j = 9
+        cap = selection_capacity(j, 2, n=pad_to)
+        sel = ops.union_selection(jnp.asarray(p), jnp.asarray(pe),
+                                  jnp.asarray(valid), j, n_classes=2,
+                                  discard=discard)
+        want = ops.gather_selected(sel, cap)
+        got = ops.select_and_gather(jnp.asarray(p), jnp.asarray(pe),
+                                    jnp.asarray(valid), j, n_classes=2,
+                                    capacity=cap, discard=discard)
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_capacity_bound_is_respected():
     """Worst-case adversarial bag: all four policies pick disjoint rows."""
     j, c = 4, 3
