@@ -15,9 +15,11 @@ Sequence/context parallelism (ref ``gather_kv`` 55-74, enabled by
 longer than the local shard gather their K/V across the axis with
 ``lax.all_gather`` (riding ICI; autodiff provides the reduce-scatter
 backward), then attention runs locally and recombination is unchanged.
-Causal cross-shard gathering is restricted to sl ≤ local length (the
-reference's causal gather drops the local rank's own K/V — a behavior we
-consider a bug and do not reproduce).
+Causal cross-shard segments decompose by source rank (earlier blocks fully
+visible, own block locally causal, later blocks masked) and merge by
+logsumexp. The reference's causal gather drops the local rank's own K/V — a
+behavior we consider a bug and do not reproduce; we keep the full causal
+prefix including the local block.
 """
 
 from __future__ import annotations
@@ -92,6 +94,33 @@ def sparse_to_dense(out: jax.Array, lse: jax.Array, ratio: int):
     return dense[:, :h], lse_dense[:, :h]
 
 
+def _causal_gathered(qs, kg, vg, p, use_flash):
+    """Causal attention of local queries against a rank-gathered segment.
+
+    ``qs [B, ls, H, D]``; ``kg/vg [W', B, ls, H, D]`` in rank order; ``p`` =
+    this rank's (traced) position within the segment group. Sparse positions
+    are monotone in global positions, so causality decomposes by source
+    block: block r < p fully visible, r == p locally causal, r > p masked.
+    Blocks are attended separately and merged by logsumexp (the cross-shard
+    online-softmax recombination also used by ``parallel.ring``).
+    """
+    from moc_tpu.parallel.ring import _merge_partials
+
+    attn = flash_attention_with_lse if use_flash else mha_reference
+    qf = qs.transpose(0, 2, 1, 3)  # [B, H, ls, D]
+
+    k_diag = jax.lax.dynamic_index_in_dim(kg, p, axis=0, keepdims=False)
+    v_diag = jax.lax.dynamic_index_in_dim(vg, p, axis=0, keepdims=False)
+    out, lse = attn(qf, k_diag.transpose(0, 2, 1, 3),
+                    v_diag.transpose(0, 2, 1, 3), causal=True)
+    for r in range(kg.shape[0]):
+        out_r, lse_r = attn(qf, kg[r].transpose(0, 2, 1, 3),
+                            vg[r].transpose(0, 2, 1, 3), causal=False)
+        lse_r = jnp.where(r < p, lse_r, NEG_LSE)
+        out, lse = _merge_partials(out, lse, out_r, lse_r)
+    return out, lse
+
+
 def _branch(q, k, v, sl, dr, causal, use_flash, axis_name):
     """One (segment_length, ratio) branch → (out [B,H,L,D], lse [B,H,L])."""
     b, l, h, d = q.shape
@@ -109,34 +138,37 @@ def _branch(q, k, v, sl, dr, causal, use_flash, axis_name):
 
     if axis_name is not None and sl > l:
         # context parallelism: the segment spans the whole axis (or a
-        # subgroup); gather K/V across it (ref gather_kv, non-causal path)
-        if causal:
-            raise NotImplementedError(
-                "causal cross-shard dilated attention not supported; "
-                "use segment lengths <= the local shard length"
-            )
+        # subgroup); gather K/V across it (ref gather_kv; unlike the
+        # reference's causal gather we keep the local rank's own K/V)
         world = jax.lax.psum(1, axis_name)
         ranks_per_segment = min(sl // l, world)
+        my = jax.lax.axis_index(axis_name)
         kg = jax.lax.all_gather(ks, axis_name)  # [W, B*n, ls, H, D]
         vg = jax.lax.all_gather(vs, axis_name)
         if ranks_per_segment < world:
-            my = jax.lax.axis_index(axis_name)
             start = (my // ranks_per_segment) * ranks_per_segment
             idx = start + jnp.arange(ranks_per_segment)
             kg = jnp.take(kg, idx, axis=0)
             vg = jnp.take(vg, idx, axis=0)
-        # [W', B*n, ls, H, D] -> [B*n, W'*ls, H, D]
-        ks = kg.transpose(1, 0, 2, 3, 4).reshape(b * n_seg, -1, h, d)
-        vs = vg.transpose(1, 0, 2, 3, 4).reshape(b * n_seg, -1, h, d)
-
-    # flash kernel layout [B, H, L, D]
-    qf = qs.transpose(0, 2, 1, 3)
-    kf = ks.transpose(0, 2, 1, 3)
-    vf = vs.transpose(0, 2, 1, 3)
-    if use_flash:
-        out, lse = flash_attention_with_lse(qf, kf, vf, causal=causal)
+        if causal:
+            out, lse = _causal_gathered(
+                qs, kg, vg, my % ranks_per_segment, use_flash)
+        else:
+            # [W', B*n, ls, H, D] -> [B*n, H, W'*ls, D]
+            kf = kg.transpose(1, 3, 0, 2, 4).reshape(b * n_seg, h, -1, d)
+            vf = vg.transpose(1, 3, 0, 2, 4).reshape(b * n_seg, h, -1, d)
+            qf = qs.transpose(0, 2, 1, 3)
+            attn = flash_attention_with_lse if use_flash else mha_reference
+            out, lse = attn(qf, kf, vf, causal=False)
     else:
-        out, lse = mha_reference(qf, kf, vf, causal=causal)
+        # flash kernel layout [B, H, L, D]
+        qf = qs.transpose(0, 2, 1, 3)
+        kf = ks.transpose(0, 2, 1, 3)
+        vf = vs.transpose(0, 2, 1, 3)
+        if use_flash:
+            out, lse = flash_attention_with_lse(qf, kf, vf, causal=causal)
+        else:
+            out, lse = mha_reference(qf, kf, vf, causal=causal)
     # back to [B*n, ls, H, D]
     out = out.transpose(0, 2, 1, 3)
     dense, lse_dense = sparse_to_dense(out, lse, dr)  # [B*n, H, sl_local, D]

@@ -118,6 +118,34 @@ def test_dilated_sequence_parallel_matches_single_device():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("ratio,subgroup", [(1, False), (2, False), (1, True)])
+def test_dilated_causal_sequence_parallel_matches_single_device(ratio, subgroup):
+    """Causal cross-shard segments (block-decomposed + lse merge) == unsharded."""
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("seq",))
+    rng = np.random.default_rng(6)
+    b, l, h, d = 1, 512, 4, 128
+    # subgroup: segment spans only 2 of the 4 ranks
+    sl = 256 if subgroup else 512
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    cfg = DilatedConfig(segment_lengths=(sl,), dilated_ratios=(ratio,),
+                        use_flash=False)
+
+    full = dilated_attention(q, k, v, cfg, causal=True)
+
+    sharded = shard_map(
+        functools.partial(dilated_attention, cfg=cfg, causal=True,
+                          axis_name="seq"),
+        mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq")),
+        out_specs=P(None, "seq"),
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(full),
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("gate", [top1_gate, top2_gate])
 def test_gates_dispatch_invariants(gate):
     rng = np.random.default_rng(5)
