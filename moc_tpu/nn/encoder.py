@@ -32,6 +32,7 @@ from flax import linen as nn
 from moc_tpu.nn.transformer import gelu_exact
 from moc_tpu.ops.flash_attention import flash_attention
 from moc_tpu.parallel.dilated import DilatedConfig, dilated_attention
+from moc_tpu.parallel.ring import ring_attention
 from moc_tpu.parallel.moe import MoEConfig, MoELayer
 
 
@@ -56,6 +57,7 @@ class EncoderConfig:
     moe: MoEConfig = MoEConfig()
     dilated: Optional[DilatedConfig] = None
     seq_axis: Optional[str] = None  # mesh axis for dilated context parallelism
+    ring_axis: Optional[str] = None  # mesh axis for ring-attention seq parallel
     expert_axis: Optional[str] = None  # mesh axis for MoE expert parallelism
     remat: bool = False
     layernorm_eps: float = 1e-5
@@ -268,6 +270,19 @@ class SelfAttention(nn.Module):
         if cfg.dilated is not None:
             attn = dilated_attention(q, k, v, cfg.dilated, causal=False,
                                      axis_name=cfg.seq_axis)  # [B, L, D]
+        elif cfg.ring_axis is not None:
+            # full global attention over a sequence-sharded mesh axis via
+            # neighbor-hop KV rotation (must run inside shard_map). Padding
+            # and rel-pos need global-position plumbing ring doesn't carry.
+            if padding_mask is not None or rel_pos is not None or cfg.xpos:
+                raise ValueError(
+                    "ring_axis supports unpadded, bias-free, xpos-free "
+                    "attention only (global positions are not plumbed "
+                    "through the ring rotation)")
+            attn = ring_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), cfg.ring_axis,
+            ).transpose(0, 2, 1, 3).reshape(b, l, d)
         elif rel_pos is not None:
             qh = q.transpose(0, 2, 1, 3)  # [B, H, L, Dh]
             kh = k.transpose(0, 2, 1, 3)

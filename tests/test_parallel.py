@@ -146,6 +146,33 @@ def test_dilated_causal_sequence_parallel_matches_single_device(ratio, subgroup)
                                rtol=2e-4, atol=2e-4)
 
 
+def test_encoder_ring_axis_matches_unsharded():
+    """Encoder with ring_axis under shard_map == plain encoder, same params."""
+    from moc_tpu.nn.encoder import Encoder, EncoderConfig
+
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("seq",))
+    base = EncoderConfig(embed_dim=64, ffn_dim=128, layers=2, heads=4)
+    ring = EncoderConfig(embed_dim=64, ffn_dim=128, layers=2, heads=4,
+                         ring_axis="seq")
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 256, 64)).astype(np.float32))
+    params = Encoder(base).init(jax.random.PRNGKey(0), x)
+    full, _ = Encoder(base).apply(params, x)
+
+    def fwd(params, x):
+        out, aux = Encoder(ring).apply(params, x)
+        return out
+
+    sharded = shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(), P(None, "seq")),
+        out_specs=P(None, "seq"),
+    )(params, x)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(full),
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("gate", [top1_gate, top2_gate])
 def test_gates_dispatch_invariants(gate):
     rng = np.random.default_rng(5)
