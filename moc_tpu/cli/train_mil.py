@@ -42,6 +42,9 @@ def get_args(argv=None):
     p.add_argument("--data_root", default="data")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--platform", default=None)
+    p.add_argument("--log_data", action="store_true",
+                   help="write train/val scalars (JSONL + TensorBoard) "
+                        "under <result_dir>/tb")
     return p.parse_args(argv)
 
 
@@ -93,7 +96,16 @@ def main(argv=None) -> int:
         weighted_sample=args.weighted_sample, batch_size=args.batch_size,
         seed=args.seed,
     )
-    result = train_fold(loaders, cfg, log=print)
+    writer = None
+    if args.log_data:
+        from moc_tpu.utils.logging import ScalarLogger
+
+        writer = ScalarLogger(os.path.join(
+            args.result_dir, "tb",
+            f"{args.model_type}_shot_{args.shot}_fold_{args.fold}"))
+    result = train_fold(loaders, cfg, log=print, writer=writer)
+    if writer is not None:
+        writer.close()
     payload = {
         "val_auc": result.val_auc, "val_acc": result.val_acc,
         "test_auc": result.test_auc, "test_acc": result.test_acc,

@@ -289,13 +289,17 @@ def train_fold(
     cfg: MilTrainConfig,
     *,
     log: Callable[[str], None] | None = None,
+    writer=None,
 ) -> FoldResult:
     """Train one fold. ``loaders`` maps split → callable yielding
     ``BagBatch`` iterables (e.g. ``lambda: loader.batches(batch_size=1)``).
 
     Mirrors ``core_utils.train``: per-slide steps with the CLAM bag/instance
     loss blend, early stopping on val AUC, best-params reload, final
-    val/test summaries."""
+    val/test summaries. ``writer`` is an optional
+    ``moc_tpu.utils.logging.ScalarLogger`` receiving the same train/val
+    scalars the reference logs behind ``args.log_data``
+    (``core_utils.py:360-369,644-648``)."""
     model, forward, init_fn = build_model(cfg)
     bag_loss = bag_loss_fn(cfg.bag_loss)
     optimizer = make_optimizer(cfg)
@@ -355,14 +359,22 @@ def train_fold(
     rng = jax.random.PRNGKey(cfg.seed + 1)
     stop_at = cfg.max_epochs
     for epoch in range(cfg.max_epochs):
+        from moc_tpu.utils.logging import AverageMeter
+
+        loss_meter = AverageMeter()
         for batch in loaders["train"]():
             rng, step_rng = jax.random.split(rng)
             params, opt_state, loss = train_step(
                 params, opt_state, batch.features, batch.mask, batch.labels, step_rng
             )
+            loss_meter.update(float(loss), int(np.sum(np.asarray(batch.labels) >= 0)))
         val = evaluate("val")
         if log:
             log(f"epoch {epoch}: val auc={val['auc']:.4f} acc={val['acc']:.4f}")
+        if writer is not None:
+            writer.add_scalars(
+                {"train/loss": loss_meter.avg, "val/auc": val["auc"],
+                 "val/error": 1.0 - val["acc"]}, epoch)
         stopper(epoch, val["auc"], params)
         if cfg.early_stopping and stopper.early_stop:
             stop_at = epoch
@@ -373,6 +385,13 @@ def train_fold(
 
     val = evaluate("val")
     test = evaluate("test")
+    if writer is not None:
+        # final summaries (ref core_utils.py:644-648)
+        writer.add_scalars(
+            {"final/val_auc": val["auc"], "final/val_error": 1.0 - val["acc"],
+             "final/test_auc": test["auc"],
+             "final/test_error": 1.0 - test["acc"]}, 0)
+        writer.flush()
     acc_logger = AccuracyLogger(cfg.n_classes)
     acc_logger.log_batch(test["preds"], test["labels"])
     patient_results = {

@@ -151,3 +151,30 @@ def test_policy_json_to_csv(tmp_path):
     assert os.path.exists(out)
     assert frame.loc["topj", "nsclc"] == 0.9
     assert np.isnan(frame.loc["delta", "rcc"])
+
+
+def test_scalar_logger_and_average_meter(tmp_path):
+    import json as _json
+
+    from moc_tpu.utils.logging import AverageMeter, ScalarLogger
+
+    m = AverageMeter()
+    m.update(2.0, 3)
+    m.update(5.0, 1)
+    assert m.count == 4 and abs(m.avg - 11.0 / 4) < 1e-9 and m.val == 5.0
+
+    d = str(tmp_path / "tb")
+    with ScalarLogger(d) as w:
+        assert w.enabled
+        w.add_scalar("train/loss", 0.5, 0)
+        w.add_scalars({"val/auc": 0.9, "val/error": 0.1}, 1)
+        w.flush()
+    lines = [_json.loads(l) for l in open(f"{d}/scalars.jsonl")]
+    assert {l["tag"] for l in lines} == {"train/loss", "val/auc", "val/error"}
+    assert lines[1]["step"] == 1
+
+    # disabled logger is a no-op
+    off = ScalarLogger(None)
+    assert not off.enabled
+    off.add_scalar("x", 1.0, 0)
+    off.close()
