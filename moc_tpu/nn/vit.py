@@ -55,13 +55,15 @@ class VisionTransformer(nn.Module):
 
 
 def resample_pos_embed(pos_embed: jnp.ndarray, new_grid: int,
-                       num_prefix: int = 1) -> jnp.ndarray:
-    """Bilinear pos-embed resampling between image sizes
-    (equivalent of timm ``resample_abs_pos_embed`` used at
-    ``coca_model.py:357-366``)."""
+                       num_prefix: int = 1,
+                       method: str = "bilinear") -> jnp.ndarray:
+    """Pos-embed resampling between image sizes — bilinear for CONCH/timm
+    (``coca_model.py:348-370``: ``resample_abs_pos_embed`` with
+    ``align_corners=False``), bicubic for MUSK/BEiT3
+    (``musk/utils.py:193-235``). Prefix (cls/dist) rows pass through."""
     prefix, grid_part = pos_embed[:, :num_prefix], pos_embed[:, num_prefix:]
     old_grid = int(round(grid_part.shape[1] ** 0.5))
     d = grid_part.shape[-1]
     grid_part = grid_part.reshape(1, old_grid, old_grid, d)
-    grid_part = jax.image.resize(grid_part, (1, new_grid, new_grid, d), "bilinear")
+    grid_part = jax.image.resize(grid_part, (1, new_grid, new_grid, d), method)
     return jnp.concatenate([prefix, grid_part.reshape(1, new_grid * new_grid, d)], axis=1)

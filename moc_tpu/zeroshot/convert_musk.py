@@ -107,13 +107,63 @@ def convert_beit3(sd, prefix: str = "beit3") -> dict:
     return out
 
 
-def convert_musk_checkpoint(state_dict) -> dict:
+def _cubic_resize_matrix(old: int, new: int, a: float = -0.75) -> np.ndarray:
+    """1-D cubic-convolution resampling matrix ``[new, old]`` matching
+    ``torch.nn.functional.interpolate(mode='bicubic',
+    align_corners=False)``: half-pixel source coordinates, Keys kernel with
+    ``a = -0.75``, edge-replicated borders."""
+    w = np.zeros((new, old), np.float64)
+    for i in range(new):
+        x = (i + 0.5) * old / new - 0.5
+        i0 = int(np.floor(x))
+        t = x - i0
+        for tap, s in enumerate((1.0 + t, t, 1.0 - t, 2.0 - t)):
+            s = abs(s)
+            if s <= 1.0:
+                coef = (a + 2.0) * s ** 3 - (a + 3.0) * s ** 2 + 1.0
+            elif s < 2.0:
+                coef = a * s ** 3 - 5.0 * a * s ** 2 + 8.0 * a * s - 4.0 * a
+            else:
+                coef = 0.0
+            w[i, min(max(i0 - 1 + tap, 0), old - 1)] += coef
+    return w.astype(np.float32)
+
+
+def interpolate_vision_pos(vision_pos: np.ndarray,
+                           new_num_patches: int) -> np.ndarray:
+    """Bicubic pos-embed interpolation for a different image size
+    (ref ``load_model_and_may_interpolate``, ``musk/utils.py:193-235``:
+    cls/extra rows kept, grid rows resized bicubic ``align_corners=False``).
+    ``vision_pos [1+num_patches, D]`` (reserved fairseq rows already
+    stripped, cls first). The resampling matrices replicate torch's cubic
+    kernel (``a=-0.75``) exactly — ``jax.image.resize`` uses Keys ``a=-0.5``
+    and would drift from checkpoints interpolated by the reference."""
+    old_patches = vision_pos.shape[0] - 1
+    if old_patches == new_num_patches:
+        return vision_pos
+    og = int(round(old_patches ** 0.5))
+    ng = int(round(new_num_patches ** 0.5))
+    grid = vision_pos[1:].reshape(og, og, -1).astype(np.float32)
+    w = _cubic_resize_matrix(og, ng)
+    # rows then cols: [ng, og]@[og, og, D] → [ng, og, D] → [ng, ng, D]
+    tmp = np.tensordot(w, grid, axes=(1, 0))  # [ng, og, D]
+    res = np.tensordot(w, tmp.transpose(1, 0, 2), axes=(1, 0))  # [ng, ng, D]
+    res = res.transpose(1, 0, 2).reshape(ng * ng, -1)
+    return np.concatenate([vision_pos[:1], res.astype(vision_pos.dtype)])
+
+
+def convert_musk_checkpoint(state_dict, num_patches: int | None = None) -> dict:
     """Full MUSK state dict → ``{"params": ...}`` for
-    ``moc_tpu.models.musk.MUSK``."""
+    ``moc_tpu.models.musk.MUSK``. ``num_patches`` (target ``(image_size //
+    patch_size)**2``) triggers bicubic pos-embed interpolation when it
+    differs from the checkpoint's grid."""
     sd = {k[7:] if k.startswith("module.") else k: v for k, v in state_dict.items()}
     if any(k.startswith("model.") for k in sd):  # timm checkpoint nesting
         sd = {k[6:]: v for k, v in sd.items() if k.startswith("model.")}
     params = {"beit3": convert_beit3(sd, "beit3")}
+    if num_patches is not None:
+        params["beit3"]["vision_pos"] = interpolate_vision_pos(
+            params["beit3"]["vision_pos"], num_patches)
     for head in ("vision_head", "language_head"):
         if f"{head}.weight" in sd:
             params[head] = _dense(sd, head)
@@ -130,5 +180,7 @@ def load_musk(checkpoint_path: str, cfg=None):
 
     ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt.get("state_dict", ckpt)) if isinstance(ckpt, dict) else ckpt
-    params = convert_musk_checkpoint(sd)
-    return MUSK(cfg or MuskConfig()), params
+    cfg = cfg or MuskConfig()
+    params = convert_musk_checkpoint(
+        sd, num_patches=(cfg.image_size // cfg.patch_size) ** 2)
+    return MUSK(cfg), params

@@ -103,3 +103,43 @@ def test_convert_musk_structure_and_forward():
     assert v.shape == (2, 48) and t.shape == (2, 48)
     assert np.all(np.isfinite(np.asarray(v))) and np.all(np.isfinite(np.asarray(t)))
     assert float(scale) > 14.0  # exp(log 1/0.07)
+
+
+def test_vision_pos_interpolation_matches_torch_bicubic():
+    import torch
+    import torch.nn.functional as F
+
+    from moc_tpu.zeroshot.convert_musk import interpolate_vision_pos
+
+    rng = np.random.default_rng(0)
+    for og, ng in ((14, 24), (24, 14)):
+        d = 32
+        pos = rng.normal(size=(1 + og * og, d)).astype(np.float32)
+        ours = interpolate_vision_pos(pos, ng * ng)
+        assert ours.shape == (1 + ng * ng, d)
+        np.testing.assert_array_equal(ours[0], pos[0])  # cls row untouched
+        pt = torch.from_numpy(pos[1:]).reshape(1, og, og, d).permute(0, 3, 1, 2)
+        pt = F.interpolate(pt.float(), size=(ng, ng), mode="bicubic",
+                           align_corners=False)
+        ref = pt.permute(0, 2, 3, 1).reshape(ng * ng, d).numpy()
+        np.testing.assert_allclose(ours[1:], ref, atol=2e-5)
+    # no-op when the grid already matches
+    pos = rng.normal(size=(1 + 196, 16)).astype(np.float32)
+    assert interpolate_vision_pos(pos, 196) is pos
+
+
+def test_conch_pos_resample_matches_torch_bilinear():
+    import torch
+    import torch.nn.functional as F
+
+    from moc_tpu.nn.vit import resample_pos_embed
+
+    rng = np.random.default_rng(1)
+    og, ng, d = 14, 28, 24
+    pos = rng.normal(size=(1, 1 + og * og, d)).astype(np.float32)
+    ours = np.asarray(resample_pos_embed(pos, ng))
+    pt = torch.from_numpy(pos[:, 1:]).reshape(1, og, og, d).permute(0, 3, 1, 2)
+    pt = F.interpolate(pt, size=(ng, ng), mode="bilinear", align_corners=False)
+    ref = pt.permute(0, 2, 3, 1).reshape(ng * ng, d).numpy()
+    np.testing.assert_allclose(ours[0, 1:], ref, atol=2e-5)
+    np.testing.assert_array_equal(ours[0, 0], pos[0, 0])
