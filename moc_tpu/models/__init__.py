@@ -15,6 +15,11 @@ from moc_tpu.models.layers import (
     masked_topk_feats,
 )
 from moc_tpu.models.clam import CLAM, ClamConfig, abmil, clam_mb, clam_sb
+from moc_tpu.models.convert_mil import (
+    clean_torch_state_dict,
+    convert_clam_checkpoint,
+    load_torch_mil_checkpoint,
+)
 from moc_tpu.models.mil import MILFc, MILFcMC, MilFcConfig
 from moc_tpu.models.transmil import NystromAttention, TransMIL, TransMILConfig
 from moc_tpu.models.chief import CHIEF, ChiefConfig
@@ -81,6 +86,9 @@ __all__ = [
     "masked_attention_weights",
     "masked_topk_feats",
     "CLAM",
+    "clean_torch_state_dict",
+    "convert_clam_checkpoint",
+    "load_torch_mil_checkpoint",
     "ClamConfig",
     "abmil",
     "clam_mb",

@@ -79,12 +79,14 @@ class CLAM(nn.Module):
         slide_emb = weights @ h  # [K, hidden]
 
         if cfg.multi_branch:
-            logits = StackedDense(cfg.n_classes, 1, name="classifiers")(
-                slide_emb
-            )  # [K, C, 1] — head c applied to branch c's embedding
+            clf = StackedDense(cfg.n_classes, 1, name="classifiers")
+            logits = clf(slide_emb)  # [K, C, 1] — head c on branch c's embedding
             logits = jnp.diagonal(logits[:, :, 0])  # [C]
+            patch_logits = clf(h)[:, :, 0]  # [N, C] (ref forward_patch_level, 270-278)
         else:
-            logits = nn.Dense(cfg.n_classes, name="classifiers")(slide_emb[0])
+            clf = nn.Dense(cfg.n_classes, name="classifiers")
+            logits = clf(slide_emb[0])
+            patch_logits = clf(h)  # [N, C] (ref forward_patch_level, 169-173)
 
         inst_loss = jnp.float32(0.0)
         if instance_eval:
@@ -95,6 +97,7 @@ class CLAM(nn.Module):
             "logits": logits,
             "attention": scores,
             "attention_weights": weights,
+            "patch_logits": patch_logits,
             "instance_loss": inst_loss,
         }
 

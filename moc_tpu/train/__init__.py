@@ -16,6 +16,8 @@ from moc_tpu.train.mil import (
     MilTrainConfig,
     build_model,
     evaluate_model,
+    evaluate_patch_level,
+    init_classifier_from_weights,
     train_fold,
     weighted_order,
 )
@@ -42,6 +44,8 @@ __all__ = [
     "MilTrainConfig",
     "build_model",
     "evaluate_model",
+    "evaluate_patch_level",
+    "init_classifier_from_weights",
     "train_fold",
     "weighted_order",
     "bag_loss_fn",

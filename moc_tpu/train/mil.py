@@ -64,6 +64,8 @@ class MilTrainConfig:
     weighted_sample: bool = False
     batch_size: int = 1  # slides per optimizer step (1 = reference semantics)
     seed: int = 1
+    conch_init: bool = False  # init CLAM classifier from zero-shot weights
+    conch_freeze: bool = False  # freeze that classifier during training
 
 
 # ------------------------------------------------------------------ helpers
@@ -184,6 +186,38 @@ def build_model(cfg: MilTrainConfig):
     raise ValueError(f"unknown model_type {cfg.model_type!r}")
 
 
+def init_classifier_from_weights(params, zs_weights) -> dict:
+    """Seed the CLAM slide classifier with zero-shot text weights
+    (ref ``CLAM_SB.init_with_conch``, ``model_clam.py:104-112``:
+    ``classifiers.weight ← Wᵀ``, bias zeroed; flax kernels are already
+    ``[in, out]`` so the matrix is assigned as-is)."""
+    w = np.asarray(zs_weights, np.float32)  # [hidden, C]
+    clf = dict(params["params"]["classifiers"])
+    if clf["kernel"].shape != w.shape:
+        raise ValueError(f"classifier kernel {clf['kernel'].shape} != "
+                         f"zero-shot weights {w.shape}")
+    clf["kernel"] = jnp.asarray(w)
+    clf["bias"] = jnp.zeros_like(clf["bias"])
+    p = dict(params)
+    p["params"] = dict(params["params"])
+    p["params"]["classifiers"] = clf
+    return p
+
+
+def _freeze_classifier(optimizer: optax.GradientTransformation,
+                       params) -> optax.GradientTransformation:
+    """Zero updates for the slide-classifier leaves (ref ``conch_freeze``,
+    ``model_clam.py:109-112``: requires_grad=False)."""
+    def label_tree(p):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "frozen" if any(
+                getattr(k, "key", None) == "classifiers" for k in path
+            ) else "train", p)
+
+    return optax.multi_transform(
+        {"train": optimizer, "frozen": optax.set_to_zero()}, label_tree)
+
+
 def make_optimizer(cfg: MilTrainConfig) -> optax.GradientTransformation:
     """``get_optim`` + CosineAnnealingLR(T_max=20)
     (ref ``utils/utils.py:270-279``, ``core_utils.py:205-206``)."""
@@ -284,12 +318,42 @@ def evaluate_model(cfg: MilTrainConfig, params, batches) -> dict:
     }
 
 
+def evaluate_patch_level(cfg: MilTrainConfig, params, batches) -> list:
+    """Per-slide patch-level logit dump (ref ``eval_lynature`` with
+    ``patch_eval=True``, ``eval_utils.py:78-113``): returns one ``[n_i, C]``
+    array per slide (pad rows stripped), for heatmaps/analysis."""
+    t = cfg.model_type
+    if t not in ("clam_sb", "clam_mb", "abmil", "mil"):
+        raise ValueError(f"patch-level eval not defined for {t!r}")
+    model, _, _ = build_model(cfg)
+    key = "patch_probs" if t == "mil" else "patch_logits"
+
+    @jax.jit
+    def step(params, feats, mask):
+        def one(f, v):
+            out = model.apply(params, f, v) if t == "mil" else \
+                model.apply(params, f, v, None)
+            return out[key]
+        return jax.vmap(one)(feats, mask)
+
+    dumps = []
+    for batch in batches:
+        pl = np.asarray(step(params, batch.features, batch.mask))
+        labels = np.asarray(batch.labels)
+        n = np.asarray(batch.n_patches)
+        for i in range(pl.shape[0]):
+            if labels[i] >= 0:
+                dumps.append(pl[i, : int(n[i])])
+    return dumps
+
+
 def train_fold(
     loaders: dict,
     cfg: MilTrainConfig,
     *,
     log: Callable[[str], None] | None = None,
     writer=None,
+    zs_classifier=None,
 ) -> FoldResult:
     """Train one fold. ``loaders`` maps split → callable yielding
     ``BagBatch`` iterables (e.g. ``lambda: loader.batches(batch_size=1)``).
@@ -308,6 +372,12 @@ def train_fold(
     first = next(iter(loaders["train"]()))
     rng_init = jax.random.PRNGKey(cfg.seed)
     params = init_fn(rng_init, first.features[0], first.mask[0])
+    if cfg.conch_init:
+        if zs_classifier is None:
+            raise ValueError("conch_init=True requires zs_classifier")
+        params = init_classifier_from_weights(params, zs_classifier)
+    if cfg.conch_freeze:
+        optimizer = _freeze_classifier(optimizer, params)
     opt_state = optimizer.init(params)
 
     def slide_loss(params, feats, valid, label, rng):

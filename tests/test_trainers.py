@@ -186,3 +186,45 @@ def test_evaluate_model_from_saved_params(tmp_path):
     assert metrics["auc"] == pytest.approx(result.test_auc, abs=1e-6)
     assert metrics["acc"] == pytest.approx(result.test_acc, abs=1e-6)
     assert len(metrics["patient_results"]) == 6
+
+
+def test_conch_init_freeze_and_patch_level(tmp_path):
+    from moc_tpu.data.synthetic import zero_shot_weights
+    from moc_tpu.train import evaluate_patch_level, init_classifier_from_weights
+
+    cfg_data = SyntheticWSIConfig(slides_per_class=8, min_patches=100,
+                                  max_patches=200, dim=512, seed=5, signal=1.0)
+    corpus = make_synthetic_corpus(str(tmp_path), cfg_data, shots=(2,), n_folds=1,
+                                   val_per_class=2, test_per_class=2)
+    table = SlideTable.from_csv(corpus["csv_path"], corpus["label_dict"])
+    split = read_split_csv(corpus["split_paths"][(2, 0)])
+    loaders = {
+        name: (lambda ids=ids: BagLoader(table.subset_by_slide_ids(ids),
+                                         corpus["data_dir"], cache=True)
+               .batches(batch_size=2))
+        for name, ids in (("train", split.train), ("val", split.val),
+                          ("test", split.test))
+    }
+    # CLAM classifier input is hidden=512; synthetic zs weights are [512, C]
+    w, _ = zero_shot_weights(cfg_data)
+    cfg = MilTrainConfig(model_type="clam_sb", n_classes=2, model_size="conch",
+                         max_epochs=2, conch_init=True, conch_freeze=True)
+    result = train_fold(loaders, cfg, zs_classifier=w)
+    # frozen classifier kernel must still equal the injected weights
+    np.testing.assert_array_equal(
+        np.asarray(result.params["params"]["classifiers"]["kernel"]), w)
+    np.testing.assert_array_equal(
+        np.asarray(result.params["params"]["classifiers"]["bias"]), 0.0)
+
+    # missing weights is an error
+    with pytest.raises(ValueError):
+        train_fold(loaders, cfg)
+
+    # patch-level dump: one [n_i, C] block per slide, pad rows stripped
+    dumps = evaluate_patch_level(cfg, jax.device_put(result.params),
+                                 loaders["test"]())
+    assert len(dumps) == 4
+    for d in dumps:
+        assert d.ndim == 2 and d.shape[1] == 2
+        assert 100 <= d.shape[0] <= 200
+        assert np.all(np.isfinite(d))
