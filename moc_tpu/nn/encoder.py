@@ -302,7 +302,7 @@ class SelfAttention(nn.Module):
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3),
                 q_segment_ids=seg, kv_segment_ids=seg,
-                block_q=min(512, l), block_k=min(512, l),
+                block_q=min(1024, l), block_k=min(1024, l),
             ).transpose(0, 2, 1, 3).reshape(b, l, d)
 
         if cfg.subln:

@@ -395,8 +395,8 @@ def flash_attention(
     kv_segment_ids: Optional[jax.Array] = None,
     causal: bool = False,
     sm_scale: Optional[float] = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
 ) -> jax.Array:
     """Flash attention ``[B, H, L, D] -> [B, H, Lq, D]`` (differentiable)."""
     if sm_scale is None:
@@ -409,7 +409,7 @@ def flash_attention(
 
 def flash_attention_with_lse(
     q, k, v, *, q_segment_ids=None, kv_segment_ids=None, causal=False,
-    sm_scale=None, block_q: int = 512, block_k: int = 512,
+    sm_scale=None, block_q: int = 1024, block_k: int = 1024,
 ):
     """Forward-only variant returning ``(out, lse [B, H, Lq])`` — the
     denominator statistics needed by dilated-attention branch recombination
