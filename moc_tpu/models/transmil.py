@@ -182,4 +182,7 @@ class TransMIL(nn.Module):
         x = PPEG(cfg.dim, name="pos_layer")(x, side, side, full_valid)
         x = TransLayer(cfg.dim, name="layer2")(x, full_valid)
         pooled = nn.LayerNorm(epsilon=1e-5, name="norm")(x)[0]
-        return {"logits": nn.Dense(cfg.n_classes, name="fc2")(pooled)}
+        head = nn.Dense(cfg.n_classes, name="fc2")
+        # patch-level logits skip the final norm and drop cls/wrap rows
+        # (ref ``forward_patch_level``, model_mil.py:172-226)
+        return {"logits": head(pooled), "patch_logits": head(x[1 : 1 + n])}

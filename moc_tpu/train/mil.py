@@ -323,7 +323,7 @@ def evaluate_patch_level(cfg: MilTrainConfig, params, batches) -> list:
     ``patch_eval=True``, ``eval_utils.py:78-113``): returns one ``[n_i, C]``
     array per slide (pad rows stripped), for heatmaps/analysis."""
     t = cfg.model_type
-    if t not in ("clam_sb", "clam_mb", "abmil", "mil"):
+    if t not in ("clam_sb", "clam_mb", "abmil", "mil", "transmil"):
         raise ValueError(f"patch-level eval not defined for {t!r}")
     model, _, _ = build_model(cfg)
     key = "patch_probs" if t == "mil" else "patch_logits"
@@ -331,7 +331,7 @@ def evaluate_patch_level(cfg: MilTrainConfig, params, batches) -> list:
     @jax.jit
     def step(params, feats, mask):
         def one(f, v):
-            out = model.apply(params, f, v) if t == "mil" else \
+            out = model.apply(params, f, v) if t in ("mil", "transmil") else \
                 model.apply(params, f, v, None)
             return out[key]
         return jax.vmap(one)(feats, mask)

@@ -228,3 +228,24 @@ def test_conch_init_freeze_and_patch_level(tmp_path):
         assert d.ndim == 2 and d.shape[1] == 2
         assert 100 <= d.shape[0] <= 200
         assert np.all(np.isfinite(d))
+
+
+def test_transmil_patch_level_shapes():
+    from moc_tpu.data.batching import BagBatch
+    from moc_tpu.train import evaluate_patch_level
+
+    cfg = MilTrainConfig(model_type="transmil", n_classes=2, model_size="conch")
+    model, forward, init_fn = build_model(cfg)
+    rng = np.random.default_rng(0)
+    pad, nv = 256, 200
+    feats = rng.normal(size=(1, pad, 512)).astype(np.float32)
+    feats[0, nv:] = 0.0
+    mask = np.arange(pad)[None, :] < nv
+    params = init_fn(jax.random.PRNGKey(0), jnp.asarray(feats[0]), jnp.asarray(mask[0]))
+    batch = BagBatch(features=jnp.asarray(feats), mask=jnp.asarray(mask),
+                     labels=jnp.asarray([1], jnp.int32),
+                     n_patches=jnp.asarray([nv], jnp.int32))
+    dumps = evaluate_patch_level(cfg, params, [batch])
+    assert len(dumps) == 1
+    assert dumps[0].shape == (nv, 2)
+    assert np.all(np.isfinite(dumps[0]))
