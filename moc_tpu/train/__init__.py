@@ -8,6 +8,7 @@ from moc_tpu.train.pretrain import (
     make_musk_contrastive_step,
     make_pretrain_state,
     make_sharded_train_step,
+    run_pretrain,
 )
 from moc_tpu.train.mil import (
     AccuracyLogger,
@@ -36,6 +37,7 @@ __all__ = [
     "encoder_param_shardings",
     "make_pretrain_state",
     "make_sharded_train_step",
+    "run_pretrain",
     "clip_contrastive_loss",
     "make_musk_contrastive_step",
     "AccuracyLogger",

@@ -203,3 +203,61 @@ def make_musk_contrastive_step(model, optimizer, *, aux_weight: float = 0.01):
         return params, opt_state, loss
 
     return step
+
+
+def run_pretrain(
+    cfg: PretrainConfig,
+    mesh: Mesh,
+    data_fn,
+    *,
+    total_steps: int,
+    ckpt_dir: str | None = None,
+    ckpt_every: int = 1000,
+    seed: int = 0,
+    log=None,
+):
+    """Preemption-safe pretrain driver over the sharded step.
+
+    The reference has no resume at all (SURVEY §5.3: crashes kill the
+    process); here training checkpoints ``{params, opt_state}`` to an orbax
+    directory every ``ckpt_every`` steps and re-invocation restarts from the
+    latest step. ``data_fn(step) -> (token_ids [B, L], mask_pos [B, L])``
+    must be a deterministic function of the step index so a resumed run
+    replays the exact same batch sequence.
+
+    Returns ``(params, opt_state, losses)`` with ``losses`` covering only
+    the steps executed in THIS invocation.
+    """
+    model, params, optimizer, opt_state, shardings = make_pretrain_state(
+        cfg, mesh, seed)
+    start = 0
+    if ckpt_dir is not None:
+        from moc_tpu.utils.checkpoint import latest_step, restore_checkpoint
+
+        last = latest_step(ckpt_dir)
+        if last is not None:
+            tree = restore_checkpoint(
+                ckpt_dir, {"params": jax.device_get(params),
+                           "opt_state": jax.device_get(opt_state)}, step=last)
+            params = jax.tree.map(jax.device_put, tree["params"], shardings)
+            opt_state = jax.tree.map(jnp.asarray, tree["opt_state"])
+            start = last
+            if log:
+                log(f"resumed from step {last}")
+
+    step_fn = make_sharded_train_step(cfg, mesh, model, optimizer, shardings)
+    losses = []
+    for i in range(start, total_steps):
+        token_ids, mask_pos = data_fn(i)
+        params, opt_state, loss, aux = step_fn(
+            params, opt_state, jnp.asarray(token_ids), jnp.asarray(mask_pos))
+        losses.append(float(loss))
+        if log:
+            log(f"step {i}: loss={losses[-1]:.4f} aux={float(aux):.4f}")
+        if ckpt_dir is not None and ((i + 1) % ckpt_every == 0
+                                     or i + 1 == total_steps):
+            from moc_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(ckpt_dir, i + 1,
+                            {"params": params, "opt_state": opt_state})
+    return params, opt_state, losses

@@ -136,3 +136,29 @@ def test_three_axis_mesh_with_sequence():
             l0 = float(loss)
     assert np.isfinite(float(loss))
     assert float(loss) < l0
+
+
+@pytest.mark.slow
+def test_run_pretrain_resume_exact(tmp_path):
+    """Interrupted+resumed run reproduces the uninterrupted run exactly."""
+    from moc_tpu.train import run_pretrain
+
+    mesh = make_mesh({"data": 2})
+    ckpt = str(tmp_path / "ckpt")
+
+    def data_fn(step):
+        return _batch(1000 + step)
+
+    # uninterrupted 4-step run (no checkpointing)
+    p_full, _, losses_full = run_pretrain(CFG, mesh, data_fn, total_steps=4,
+                                          seed=3)
+    # interrupted at step 2, then resumed
+    run_pretrain(CFG, mesh, data_fn, total_steps=2, ckpt_dir=ckpt,
+                 ckpt_every=2, seed=3)
+    p_res, _, losses_res = run_pretrain(CFG, mesh, data_fn, total_steps=4,
+                                        ckpt_dir=ckpt, ckpt_every=2, seed=3)
+    assert len(losses_res) == 2  # only steps 2-3 executed on resume
+    np.testing.assert_allclose(losses_res, losses_full[2:], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_res)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
