@@ -142,6 +142,7 @@ class ResidualAttentionBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     lora_rank: int = 0
+    block_lora_rank: int = 0
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -151,6 +152,13 @@ class ResidualAttentionBlock(nn.Module):
         x = x + MlpBlock(self.dim, self.mlp_ratio, name="mlp")(
             LayerNorm(name="ln_2")(x)
         )
+        if self.block_lora_rank > 0:
+            # whole-block residual LoRA on the block OUTPUT
+            # (ref ``_LoRA_block_timm``, ``lora.py:171-191``)
+            r = self.block_lora_rank
+            a = self.param("lora_block_a", _lora_a_init, (self.dim, r))
+            b = self.param("lora_block_b", nn.initializers.zeros, (r, self.dim))
+            x = x + (x @ a) @ b
         return x
 
 
@@ -169,6 +177,7 @@ class Transformer(nn.Module):
     remat: bool = False
     lora_rank: int = 0
     lora_last_n: int | None = None
+    block_lora_rank: int = 0  # whole-block residual LoRA (ref Block_LoRA)
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -176,11 +185,12 @@ class Transformer(nn.Module):
         if self.remat:
             block = nn.remat(block, static_argnums=())
         first_lora = 0
-        if self.lora_rank and self.lora_last_n is not None:
+        if (self.lora_rank or self.block_lora_rank) and self.lora_last_n is not None:
             first_lora = max(0, self.num_layers - self.lora_last_n)
         for i in range(self.num_layers):
             rank = self.lora_rank if i >= first_lora else 0
-            x = block(self.dim, self.num_heads, self.mlp_ratio, rank,
+            brank = self.block_lora_rank if i >= first_lora else 0
+            x = block(self.dim, self.num_heads, self.mlp_ratio, rank, brank,
                       name=f"resblocks_{i}")(x, mask)
         return x
 

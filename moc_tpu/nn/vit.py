@@ -28,6 +28,7 @@ class VisionTransformer(nn.Module):
     remat: bool = False
     lora_rank: int = 0
     lora_last_n: int | None = None
+    block_lora_rank: int = 0  # whole-block residual LoRA (ref Block_LoRA)
 
     @property
     def grid(self) -> int:
@@ -50,6 +51,7 @@ class VisionTransformer(nn.Module):
         x = Transformer(self.dim, self.num_layers, self.num_heads,
                         self.mlp_ratio, remat=self.remat,
                         lora_rank=self.lora_rank, lora_last_n=self.lora_last_n,
+                        block_lora_rank=self.block_lora_rank,
                         name="blocks")(x)
         return LayerNorm(name="norm")(x)
 

@@ -173,3 +173,45 @@ def test_titan_head():
     coords2 = coords[::-1]
     out2 = model.apply(params, feats, coords2, valid)
     assert not np.allclose(np.asarray(out["logits"]), np.asarray(out2["logits"]))
+
+
+def test_block_lora_residual():
+    """Whole-block residual LoRA (ref Block_LoRA, lora.py:193-244): zero-B
+    init is a no-op vs the plain model; the lora mask marks the new params
+    trainable; a nonzero B changes the output."""
+    from moc_tpu.models.lora import lora_mask
+    from moc_tpu.nn.vit import VisionTransformer
+
+    vit = VisionTransformer(image_size=32, patch_size=16, dim=64, num_layers=3,
+                            num_heads=4, block_lora_rank=4, lora_last_n=2)
+    imgs = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 32, 32, 3)).astype(np.float32))
+    params = vit.init(jax.random.PRNGKey(0), imgs)
+    blocks = params["params"]["blocks"]
+    assert "lora_block_a" not in blocks["resblocks_0"]
+    assert "lora_block_a" in blocks["resblocks_2"]
+
+    # zero-B init: identical to the plain model on shared params
+    plain = VisionTransformer(image_size=32, patch_size=16, dim=64,
+                              num_layers=3, num_heads=4)
+    stripped = jax.tree_util.tree_map(lambda x: x, params)
+    for blk in stripped["params"]["blocks"].values():
+        blk.pop("lora_block_a", None)
+        blk.pop("lora_block_b", None)
+    out_lora = vit.apply(params, imgs)
+    out_plain = plain.apply(stripped, imgs)
+    np.testing.assert_allclose(np.asarray(out_lora), np.asarray(out_plain),
+                               atol=1e-6)
+
+    mask = lora_mask(params)
+    assert mask["params"]["blocks"]["resblocks_2"]["lora_block_b"] is True
+    assert mask["params"]["blocks"]["resblocks_2"]["attn"]["in_proj"]["kernel"] is False
+
+    p2 = jax.tree_util.tree_map(lambda x: x, params)
+    b_shape = p2["params"]["blocks"]["resblocks_2"]["lora_block_b"].shape
+    # random B (a constant B is a per-token uniform shift that the final
+    # LayerNorm's mean subtraction would cancel)
+    p2["params"]["blocks"]["resblocks_2"]["lora_block_b"] = jnp.asarray(
+        np.random.default_rng(1).normal(size=b_shape).astype(np.float32) * 0.1)
+    out2 = vit.apply(p2, imgs)
+    assert float(jnp.abs(out2 - out_lora).max()) > 1e-3
