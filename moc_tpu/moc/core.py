@@ -216,9 +216,17 @@ def moc_slide_logits_dense(
         keep = jax.random.bernoulli(rng, 1.0 - cfg.drop_prob, (n,))
         valid = valid & keep
     c = cfg.n_classes
-    logits_all = feats @ jnp.concatenate([w, w_ext], axis=1)  # one feats pass
-    logits = logits_all[:, :c]
-    logits_ext = logits_all[:, c:]
+    # ONE pass over the [N, D] features: the scoring matmuls AND the senet's
+    # first layer share the read (feats dominate HBM traffic; separately they
+    # would stream the tensor twice)
+    senet_p = params.get("params", {}) if isinstance(params, dict) else {}
+    fused_senet = {"Dense_0", "Dense_1"} <= set(senet_p)
+    cols = [w, w_ext]
+    if fused_senet:
+        cols.append(senet_p["Dense_0"]["kernel"])
+    out_all = feats @ jnp.concatenate(cols, axis=1)
+    logits = out_all[:, :c]
+    logits_ext = out_all[:, c : c + w_ext.shape[1]]
     top2 = jax.lax.top_k(logits, 2)[0]
     margin = jnp.abs(top2[:, 0] - top2[:, 1])
     views = jnp.stack([
@@ -227,6 +235,12 @@ def moc_slide_logits_dense(
         jnp.broadcast_to(margin[:, None], logits.shape),
         jnp.broadcast_to(jnp.max(logits_ext[:, c:], axis=1)[:, None], logits.shape),
     ])  # [4, N, C]
-    weights = senet_apply(params, feats)  # [N, 4]
+    if fused_senet:
+        hidden = jax.nn.relu(out_all[:, c + w_ext.shape[1] :]
+                             + senet_p["Dense_0"]["bias"])
+        weights = jax.nn.sigmoid(hidden @ senet_p["Dense_1"]["kernel"]
+                                 + senet_p["Dense_1"]["bias"])  # [N, 4]
+    else:
+        weights = senet_apply(params, feats)  # [N, 4]
     fused = fuse_views(weights, views, cfg.include_flags())
     return ops.topj_pooling(fused, valid, cfg.topk)

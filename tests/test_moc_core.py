@@ -202,3 +202,39 @@ def test_dense_flag_in_episode_fns():
     out = eval_batch(params, batch, w, w_ext)
     assert out.shape == (b, 2)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dense_fused_senet_matches_unfused():
+    """The dense path's fused scoring+senet matmul must equal applying the
+    senet module separately (same weights, one feats pass)."""
+    from moc_tpu.moc import MOCConfig, init_senet
+    from moc_tpu.moc.core import fuse_views, moc_slide_logits_dense
+    from moc_tpu import ops
+
+    rng = np.random.default_rng(0)
+    n, d, c, ce = 300, 512, 2, 6
+    feats = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    valid = jnp.asarray(np.arange(n) < 250)
+    w = jnp.asarray(rng.normal(size=(d, c)).astype(np.float32))
+    we = jnp.asarray(rng.normal(size=(d, ce)).astype(np.float32))
+    cfg = MOCConfig(n_classes=c, n_ext_classes=ce, topj=40, topk=10,
+                    feature_dim=d, dense=True)
+    model, params = init_senet(jax.random.PRNGKey(3), cfg)
+
+    got = moc_slide_logits_dense(model.apply, params, feats, valid, w, we, cfg)
+
+    # unfused restatement: separate matmuls + the senet module itself
+    logits = feats @ w
+    logits_ext = feats @ we
+    top2 = jax.lax.top_k(logits, 2)[0]
+    margin = jnp.abs(top2[:, 0] - top2[:, 1])
+    views = jnp.stack([
+        logits, jax.nn.softmax(logits, axis=1),
+        jnp.broadcast_to(margin[:, None], logits.shape),
+        jnp.broadcast_to(jnp.max(logits_ext[:, c:], axis=1)[:, None], logits.shape),
+    ])
+    weights = model.apply(params, feats)
+    fused = fuse_views(weights, views, cfg.include_flags())
+    want = ops.topj_pooling(fused, valid, cfg.topk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
