@@ -38,6 +38,8 @@ from moc_tpu.models.adapters import (
     ClipAdapter,
     MoEClipAdapter,
     TipAdapter,
+    fewshot_aux_features,
+    gt_mask_keep,
     linear_adapter_init,
     load_balancing_loss,
     uncertainty,
@@ -66,6 +68,8 @@ __all__ = [
     "ClipAdapter",
     "MoEClipAdapter",
     "TipAdapter",
+    "fewshot_aux_features",
+    "gt_mask_keep",
     "linear_adapter_init",
     "load_balancing_loss",
     "uncertainty",

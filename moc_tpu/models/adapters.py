@@ -89,6 +89,49 @@ def linear_adapter_init(features: np.ndarray, labels: np.ndarray, n_classes: int
     return w
 
 
+def gt_mask_keep(coords: np.ndarray, wsi_dims: tuple[int, int],
+                 mask: np.ndarray, patch_size: int = 224) -> np.ndarray:
+    """Boolean keep flags: a patch survives when its ``patch_size`` window
+    overlaps the tumor ground-truth bitmap.
+
+    OpenSlide-free restatement of the Camelyon GT filter
+    (ref ``init_adapter_weight_c16wGT``, ``model_adapters.py:29-75``):
+    ``mask [W', H']`` is a downscaled binary tumor bitmap indexed ``[x, y]``
+    (nonzero = tumor); patch coords are level-0 pixels scaled into it.
+    """
+    coords = np.asarray(coords)
+    w0, h0 = wsi_dims
+    mw, mh = mask.shape
+    keep = np.zeros(len(coords), bool)
+    for i, (x, y) in enumerate(coords):
+        x1 = int(x / w0 * mw)
+        x2 = int((x + patch_size) / w0 * mw)
+        y1 = int(y / h0 * mh)
+        y2 = int((y + patch_size) / h0 * mh)
+        keep[i] = np.asarray(mask)[x1:x2, y1:y2].sum() > 0
+    return keep
+
+
+def fewshot_aux_features(slide_feats, slide_labels, keeps=None):
+    """AMU auxiliary-feature init from few-shot slides (ref
+    ``init_adapter_weight``/``_c16wGT``, ``model_adapters.py:12-75``):
+    per-slide keep-filter (GT mask; ``None`` keeps all, as the reference does
+    for normal slides), per-row mean-centering + L2, then a global mean over
+    every kept patch, L2-normalized. Returns ``(aux_feature [D], labels)``.
+    """
+    kept = []
+    for i, feats in enumerate(slide_feats):
+        f = np.asarray(feats, np.float32)
+        if keeps is not None and keeps[i] is not None:
+            f = f[np.asarray(keeps[i])]
+        f = f - f.mean(axis=-1, keepdims=True)
+        f = f / np.linalg.norm(f, axis=-1, keepdims=True).clip(1e-12)
+        kept.append(f)
+    aux = np.concatenate(kept, axis=0).mean(axis=0)
+    aux = aux / max(np.linalg.norm(aux), 1e-12)
+    return aux, np.asarray(slide_labels)
+
+
 class Bottleneck(nn.Module):
     """c_in → c_in/r → c_in, bias-free, double ReLU (ref adapter MLP)."""
 

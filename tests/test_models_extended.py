@@ -215,3 +215,29 @@ def test_block_lora_residual():
         np.random.default_rng(1).normal(size=b_shape).astype(np.float32) * 0.1)
     out2 = vit.apply(p2, imgs)
     assert float(jnp.abs(out2 - out_lora).max()) > 1e-3
+
+
+def test_gt_mask_fewshot_init():
+    """Mask-filtered few-shot aux init (ref init_adapter_weight_c16wGT)."""
+    from moc_tpu.models import fewshot_aux_features, gt_mask_keep
+
+    rng = np.random.default_rng(0)
+    # 10k x 10k slide, 100x100 bitmap with tumor in the top-left quadrant
+    mask = np.zeros((100, 100), np.uint8)
+    mask[:50, :50] = 1
+    coords = np.array([[100, 100], [6000, 6000], [4900, 100], [100, 4900]])
+    keep = gt_mask_keep(coords, (10000, 10000), mask, patch_size=224)
+    # first patch inside; second outside; third/fourth straddle the border
+    assert keep[0] and not keep[1]
+    assert keep[2] and keep[3]  # windows overlap the tumor edge
+
+    tumor = rng.normal(size=(4, 16)).astype(np.float32)
+    normal = rng.normal(size=(3, 16)).astype(np.float32)
+    aux, labels = fewshot_aux_features([tumor, normal], [1, 0],
+                                       keeps=[keep, None])
+    assert aux.shape == (16,)
+    np.testing.assert_allclose(np.linalg.norm(aux), 1.0, rtol=1e-6)
+    np.testing.assert_array_equal(labels, [1, 0])
+    # filtered variant differs from the unfiltered one
+    aux_all, _ = fewshot_aux_features([tumor, normal], [1, 0])
+    assert np.abs(aux - aux_all).max() > 1e-6
