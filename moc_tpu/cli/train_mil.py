@@ -19,7 +19,7 @@ def get_args(argv=None):
     p = argparse.ArgumentParser(description="Baseline MIL fold training")
     p.add_argument("--model_type", default="clam_sb",
                    choices=["clam_sb", "clam_mb", "abmil", "transmil", "mil",
-                            "chief", "titan"])
+                            "chief", "titan", "vila"])
     p.add_argument("--model_size", default="conch")
     p.add_argument("--dataset", default="synthetic",
                    choices=["nsclc", "rcc", "synthetic"])
@@ -45,7 +45,88 @@ def get_args(argv=None):
     p.add_argument("--log_data", action="store_true",
                    help="write train/val scalars (JSONL + TensorBoard) "
                         "under <result_dir>/tb")
+    # ViLa dual-scale options (ref Generic_MIL_Dataset_ViLa + config.text_prompt)
+    p.add_argument("--data_dir_l", default=None,
+                   help="large-scale feature dir for --model_type vila "
+                        "(defaults to the small-scale dir)")
+    p.add_argument("--vila_prompt_csv", default=None,
+                   help="two-scale full-sentence prompt CSV; a synthetic "
+                        "prompt set is generated when omitted")
+    p.add_argument("--conch_checkpoint", default=None,
+                   help="CONCH checkpoint for the prompt token-embedding "
+                        "table (random table when omitted, synthetic only)")
     return p.parse_args(argv)
+
+
+def _train_vila(args, table, parts, data_dir, n_classes) -> int:
+    """ViLa fold training (the reference dispatches 'vila' inside
+    ``core_utils.train``; its data interface is dual-scale bag pairs plus
+    CONCH prompt constants, so it gets its own branch here)."""
+    import numpy as np
+
+    from moc_tpu.data.vila_data import DualScaleLoader
+    from moc_tpu.models import build_prompt_constants
+    from moc_tpu.models.vila import VilaConfig, load_vila_prompts
+    from moc_tpu.train import VilaTrainConfig, train_vila_fold
+    from moc_tpu.zeroshot import ConchTokenizer
+    from moc_tpu.zeroshot.text_tower import TextConfig
+
+    use_h5 = os.path.isdir(os.path.join(data_dir, "h5_files"))
+    loader = DualScaleLoader(table, data_dir, args.data_dir_l or data_dir,
+                             use_h5=use_h5)
+    splits = {name: loader.read_all(ids) for name, ids in parts.items()}
+    feat_dim = int(splits["train"][0].feats_s.shape[-1])
+
+    if args.vila_prompt_csv:
+        classnames = load_vila_prompts(args.vila_prompt_csv)
+    else:
+        # synthetic two-scale prompts; class words must land past the
+        # soft-prompt window (positions 1..16 are replaced by learned ctx)
+        tmpl = ("an image patch of tissue sampled from a surgical resection "
+                "specimen processed and stained with hematoxylin and eosin "
+                "at SCALE magnification showing morphology consistent with "
+                "subtype TYPE")
+        classnames = [tmpl.replace("SCALE", s).replace("TYPE", f"class{c}")
+                      for s in ("low", "high") for c in range(n_classes)]
+
+    tokenizer = ConchTokenizer(args.tokenizer_file) if getattr(
+        args, "tokenizer_file", None) else ConchTokenizer()
+    if args.conch_checkpoint:
+        from moc_tpu.zeroshot.convert import load_conch
+
+        _, conch_params = load_conch(args.conch_checkpoint)
+        table_np = np.asarray(
+            conch_params["params"]["text"]["token_embedding"]["embedding"])
+        text_cfg = TextConfig(output_dim=feat_dim)
+    else:
+        rng = np.random.default_rng(args.seed)
+        text_cfg = TextConfig(context_length=128, vocab_size=32007, width=64,
+                              heads=4, layers=2, output_dim=feat_dim)
+        table_np = rng.normal(size=(text_cfg.vocab_size, text_cfg.width)
+                              ).astype(np.float32) * 0.02
+    prompts = build_prompt_constants(table_np, tokenizer, classnames)
+
+    cfg = VilaTrainConfig(
+        model=VilaConfig(n_classes=n_classes, input_size=feat_dim,
+                         text=text_cfg),
+        lr=args.lr, reg=args.reg, max_epochs=args.max_epochs,
+        early_stopping=args.early_stopping, seed=args.seed,
+    )
+    result = train_vila_fold(splits, prompts, cfg, log=print)
+
+    payload = {
+        "val_auc": result.val_auc, "test_auc": result.test_auc,
+        "test_acc": result.test_acc, "stop_epoch": result.stop_epoch,
+    }
+    out = os.path.join(args.result_dir,
+                       f"vila_shot_{args.shot}_fold_{args.fold}.json")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=4)
+    from moc_tpu.utils.checkpoint import save_params
+
+    save_params(out.replace(".json", ".msgpack"), result.params)
+    print(f"test auc={result.test_auc:.4f} acc={result.test_acc:.4f} → {out}")
+    return 0
 
 
 def main(argv=None) -> int:
@@ -80,6 +161,9 @@ def main(argv=None) -> int:
     table = SlideTable.from_csv(csv_path, label_dict)
     split = read_split_csv(split_csv)
     parts = {"train": split.train, "val": split.val, "test": split.test}
+
+    if args.model_type == "vila":
+        return _train_vila(args, table, parts, data_dir, n_classes)
     loaders = {
         name: (lambda ids=ids: BagLoader(table.subset_by_slide_ids(ids), data_dir,
                                          cache=True)

@@ -94,3 +94,15 @@ def test_ebrains_presets():
     # ext label dict extends the class dict with the 4 normal-tissue classes
     ext = PRESETS["ebrains12"].label_dict_ext
     assert ext["Stroma"] >= 12 and len(set(ext.values())) == 16
+
+
+@pytest.mark.slow
+def test_train_mil_cli_vila(tmp_path):
+    out = str(tmp_path / "vila_run")
+    r = _run_cli(["moc_tpu.cli.train_mil", "--dataset", "synthetic",
+                  "--model_type", "vila", "--shot", "2", "--fold", "0",
+                  "--max_epochs", "2", "--lr", "1e-3", "--result_dir", out])
+    assert r.returncode == 0, r.stderr[-3000:]
+    payload = json.load(open(os.path.join(out, "vila_shot_2_fold_0.json")))
+    assert {"val_auc", "test_auc", "test_acc", "stop_epoch"} <= set(payload)
+    assert os.path.exists(os.path.join(out, "vila_shot_2_fold_0.msgpack"))
