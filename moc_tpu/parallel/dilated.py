@@ -40,6 +40,11 @@ class DilatedConfig:
     segment_lengths: tuple[int, ...] = (2048, 4096, 8192, 16384, 32768)
     dilated_ratios: tuple[int, ...] = (1, 2, 4, 6, 12)
     use_flash: bool = True  # False = jnp reference attention (small shapes)
+    # cross-shard K/V movement: "allgather" materializes the whole segment's
+    # K/V at once (one collective, W'x peak memory); "ring" rotates one block
+    # per hop with lax.ppermute (neighbor-only ICI traffic, 1x peak memory,
+    # compute overlaps communication) — same results either way
+    gather_mode: str = "allgather"
 
 
 def _pad_to(x, axis, multiple):
@@ -121,7 +126,38 @@ def _causal_gathered(qs, kg, vg, p, use_flash):
     return out, lse
 
 
-def _branch(q, k, v, sl, dr, causal, use_flash, axis_name):
+def _ring_segment(qs, ks, vs, axis_name, perm, rps, p, causal, use_flash):
+    """Ring-rotated segment attention: K/V blocks hop around the segment
+    group with ``lax.ppermute`` while each rank accumulates attention
+    against the block in front of it, merging partials by logsumexp.
+
+    ``qs/ks/vs [B, ls, H, D]`` are the local sparse blocks; ``p`` = this
+    rank's (traced) position in its group. After ``step`` hops the resident
+    block originated at group position ``(p - step) % rps``, so under causal
+    masking step 0 is the locally-causal diagonal (static!) and later steps
+    are included fully iff their origin precedes ``p``.
+    """
+    from moc_tpu.parallel.ring import _merge_partials
+
+    attn = flash_attention_with_lse if use_flash else mha_reference
+    qf = qs.transpose(0, 2, 1, 3)
+    out, lse = attn(qf, ks.transpose(0, 2, 1, 3), vs.transpose(0, 2, 1, 3),
+                    causal=causal)
+    k_blk, v_blk = ks, vs
+    for step in range(1, rps):
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        out_i, lse_i = attn(qf, k_blk.transpose(0, 2, 1, 3),
+                            v_blk.transpose(0, 2, 1, 3), causal=False)
+        if causal:
+            src = (p - step) % rps
+            lse_i = jnp.where(src < p, lse_i, NEG_LSE)
+        out, lse = _merge_partials(out, lse, out_i, lse_i)
+    return out, lse
+
+
+def _branch(q, k, v, sl, dr, causal, use_flash, axis_name,
+            gather_mode="allgather"):
     """One (segment_length, ratio) branch → (out [B,H,L,D], lse [B,H,L])."""
     b, l, h, d = q.shape
     sl_local = min(sl, l)
@@ -143,17 +179,30 @@ def _branch(q, k, v, sl, dr, causal, use_flash, axis_name):
         world = jax.lax.psum(1, axis_name)
         ranks_per_segment = min(sl // l, world)
         my = jax.lax.axis_index(axis_name)
-        kg = jax.lax.all_gather(ks, axis_name)  # [W, B*n, ls, H, D]
-        vg = jax.lax.all_gather(vs, axis_name)
-        if ranks_per_segment < world:
-            start = (my // ranks_per_segment) * ranks_per_segment
-            idx = start + jnp.arange(ranks_per_segment)
-            kg = jnp.take(kg, idx, axis=0)
-            vg = jnp.take(vg, idx, axis=0)
-        if causal:
+        if gather_mode == "ring":
+            rps = ranks_per_segment
+            perm = [(g * rps + i, g * rps + (i + 1) % rps)
+                    for g in range(world // rps) for i in range(rps)]
+            out, lse = _ring_segment(qs, ks, vs, axis_name, perm, rps,
+                                     my % rps, causal, use_flash)
+        elif causal:
+            kg = jax.lax.all_gather(ks, axis_name)  # [W, B*n, ls, H, D]
+            vg = jax.lax.all_gather(vs, axis_name)
+            if ranks_per_segment < world:
+                start = (my // ranks_per_segment) * ranks_per_segment
+                idx = start + jnp.arange(ranks_per_segment)
+                kg = jnp.take(kg, idx, axis=0)
+                vg = jnp.take(vg, idx, axis=0)
             out, lse = _causal_gathered(
                 qs, kg, vg, my % ranks_per_segment, use_flash)
         else:
+            kg = jax.lax.all_gather(ks, axis_name)
+            vg = jax.lax.all_gather(vs, axis_name)
+            if ranks_per_segment < world:
+                start = (my // ranks_per_segment) * ranks_per_segment
+                idx = start + jnp.arange(ranks_per_segment)
+                kg = jnp.take(kg, idx, axis=0)
+                vg = jnp.take(vg, idx, axis=0)
             # [W', B*n, ls, H, D] -> [B*n, H, W'*ls, D]
             kf = kg.transpose(1, 3, 0, 2, 4).reshape(b * n_seg, h, -1, d)
             vf = vg.transpose(1, 3, 0, 2, 4).reshape(b * n_seg, h, -1, d)
@@ -196,7 +245,8 @@ def dilated_attention(
     assert len(cfg.segment_lengths) == len(cfg.dilated_ratios)
     outs, lses = [], []
     for sl, dr in zip(cfg.segment_lengths, cfg.dilated_ratios):
-        o, s = _branch(q, k, v, sl, dr, causal, cfg.use_flash, axis_name)
+        o, s = _branch(q, k, v, sl, dr, causal, cfg.use_flash, axis_name,
+                       gather_mode=cfg.gather_mode)
         outs.append(o)
         lses.append(s)
     all_lse = jnp.stack(lses)  # [n_branch, B, H, L]

@@ -146,6 +146,35 @@ def test_dilated_causal_sequence_parallel_matches_single_device(ratio, subgroup)
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("causal,ratio,sl", [
+    (False, 1, 512), (True, 1, 512), (True, 2, 512), (False, 1, 256),
+])
+def test_dilated_ring_gather_matches_allgather(causal, ratio, sl):
+    """gather_mode='ring' (ppermute block rotation) == 'allgather'."""
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("seq",))
+    rng = np.random.default_rng(8)
+    b, l, h, d = 1, 512, 4, 128
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+
+    def run(mode):
+        cfg = DilatedConfig(segment_lengths=(sl,), dilated_ratios=(ratio,),
+                            use_flash=False, gather_mode=mode)
+        return shard_map(
+            functools.partial(dilated_attention, cfg=cfg, causal=causal,
+                              axis_name="seq"),
+            mesh=mesh,
+            in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq")),
+            out_specs=P(None, "seq"),
+        )(q, k, v)
+
+    np.testing.assert_allclose(np.asarray(run("ring")),
+                               np.asarray(run("allgather")),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_encoder_ring_axis_matches_unsharded():
     """Encoder with ring_axis under shard_map == plain encoder, same params."""
     from moc_tpu.nn.encoder import Encoder, EncoderConfig
