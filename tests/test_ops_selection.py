@@ -113,3 +113,18 @@ def test_capacity_bound_is_respected():
     valid = np.ones(n, bool)
     sel = ops.union_selection(jnp.asarray(logits), jnp.asarray(ext), jnp.asarray(valid), j, n_classes=c)
     assert int(np.asarray(sel).sum()) <= selection_capacity(j, c)
+
+
+def test_select_and_gather_bottomk_only():
+    """bottomk as the sole policy exercises the empty-direct-candidates path."""
+    _, _, p, pe, valid = make_bags(seed=5)
+    j = 9
+    cap = selection_capacity(j, 2, n=p.shape[0])
+    discard = ("topk", "delta_softmax", "delta_diff")
+    sel = ops.union_selection(jnp.asarray(p), jnp.asarray(pe), jnp.asarray(valid),
+                              j, n_classes=2, discard=discard)
+    want = ops.gather_selected(sel, cap)
+    got = ops.select_and_gather(jnp.asarray(p), jnp.asarray(pe), jnp.asarray(valid),
+                                j, n_classes=2, capacity=cap, discard=discard)
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
