@@ -23,7 +23,12 @@ from moc_tpu.train.mil import (
     weighted_order,
 )
 from moc_tpu.train.losses import bag_loss_fn, cross_entropy, smooth_top1_svm
-from moc_tpu.train.vila import VilaFoldResult, VilaTrainConfig, train_vila_fold
+from moc_tpu.train.vila import (
+    VilaFoldResult,
+    VilaTrainConfig,
+    evaluate_vila,
+    train_vila_fold,
+)
 from moc_tpu.train.lora_finetune import (
     LoraFinetuneConfig,
     make_lora_train_step,
@@ -56,6 +61,7 @@ __all__ = [
     "VilaFoldResult",
     "VilaTrainConfig",
     "train_vila_fold",
+    "evaluate_vila",
     "LoraFinetuneConfig",
     "make_lora_train_step",
     "run_lora_finetune",

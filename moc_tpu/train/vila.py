@@ -43,6 +43,31 @@ class VilaFoldResult:
     params: dict
 
 
+def evaluate_vila(cfg: VilaTrainConfig, params,
+                  bags: Sequence[DualScaleBag], prompts: PromptConstants) -> dict:
+    """Standalone ViLa checkpoint evaluation (the vila arm of
+    ``eval_utils.eval``, ``/root/reference/utils/eval_utils.py:66-76``):
+    probs/preds + AUC/acc over a dual-scale bag stream."""
+    model = ViLaMIL(cfg.model)
+
+    @jax.jit
+    def infer(params, bag: DualScaleBag):
+        return model.apply(params, bag.feats_s, bag.mask_s, bag.feats_l,
+                           bag.mask_l, prompts)["logits"]
+
+    logits = np.stack([np.asarray(infer(params, b)) for b in bags])
+    labels = np.asarray([int(b.label) for b in bags])
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=1))
+    preds = probs.argmax(1)
+    return {
+        "auc": _auc_host(probs, labels, cfg.model.n_classes),
+        "acc": float((preds == labels).mean()),
+        "probs": probs,
+        "preds": preds,
+        "labels": labels,
+    }
+
+
 def train_vila_fold(
     splits: dict[str, Sequence[DualScaleBag]],
     prompts: PromptConstants,

@@ -81,3 +81,11 @@ def test_train_vila_fold_learns_separable():
     # best-val params were restored and are host-side pytrees
     leaves = jax.tree_util.tree_leaves(res.params)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+    # standalone checkpoint eval reproduces the fold's test metrics
+    from moc_tpu.train.vila import evaluate_vila
+
+    ev = evaluate_vila(cfg, jax.device_put(res.params), splits["test"], _prompts())
+    assert abs(ev["auc"] - res.test_auc) < 1e-9
+    assert abs(ev["acc"] - res.test_acc) < 1e-9
+    assert ev["probs"].shape == (8, 2)
