@@ -81,7 +81,6 @@ def bench_jax() -> float:
 def bench_torch_cpu(n_slides: int = 3) -> float:
     """The reference's eager per-slide pipeline, re-stated in torch on CPU."""
     import torch
-    import torch.nn.functional as F
 
     torch.manual_seed(0)
     w = torch.randn(DIM, N_CLASSES)

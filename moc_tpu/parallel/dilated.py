@@ -25,7 +25,6 @@ prefix including the local block.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

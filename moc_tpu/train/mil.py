@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from moc_tpu.data.batching import BagBatch
 from moc_tpu.metrics.classification import balanced_accuracy
 from moc_tpu.models import (
     CHIEF,
