@@ -122,12 +122,15 @@ def bench_torch_cpu(n_slides: int = 3) -> float:
     feats = [torch.randn(N_PATCHES, DIM) for _ in range(n_slides)]
     with torch.no_grad():
         one_slide(feats[0])  # warm
-        t0 = time.perf_counter()
-        for f in feats:
-            one_slide(f)
-        dt = time.perf_counter() - t0
+        # best-of-3 so transient host load doesn't skew the recorded ratio
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for f in feats:
+                one_slide(f)
+            dt = min(dt, time.perf_counter() - t0)
     sps = n_slides / dt
-    log(f"torch-cpu baseline: {n_slides} slides in {dt:.3f}s -> {sps:.1f} slides/s")
+    log(f"torch-cpu baseline: {n_slides} slides in {dt:.3f}s (best of 3) -> {sps:.1f} slides/s")
     return sps
 
 
