@@ -166,7 +166,11 @@ class TransMIL(nn.Module):
         h = nn.relu(nn.Dense(cfg.dim, name="fc1")(feats))
 
         # square grid by wrap-padding (ref lines 224-227), validity wraps too
-        side = int(jnp.ceil(jnp.sqrt(n)).item()) if False else int(-(-(n ** 0.5) // 1))
+        import math
+
+        side = math.isqrt(n)
+        if side * side < n:
+            side += 1
         extra = side * side - n
         if extra:
             h = jnp.concatenate([h, h[:extra]], axis=0)
