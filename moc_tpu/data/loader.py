@@ -93,6 +93,7 @@ class BagLoader:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         with_coords: bool = False,
         shuffle_seed: int | None = None,
+        shard: tuple[int, int] | None = None,
     ) -> Iterator[BagBatch]:
         """Yield bucketed padded batches covering the whole table.
 
@@ -100,8 +101,17 @@ class BagLoader:
         once; within a bucket, batches are chunks of ``batch_size`` (the last
         chunk is repeated-padded to full size with mask-invalidated rows so
         shapes stay static — consumers must weight by ``labels >= 0``).
+
+        ``shard=(index, count)`` reads only every ``count``-th slide starting
+        at ``index`` — shard-by-slide host IO for multi-host feeding (e.g.
+        ``(jax.process_index(), jax.process_count())``); shards are disjoint
+        and cover the table.
         """
-        bags = self.read_all()
+        ids = list(self.table.slide_ids)
+        if shard is not None:
+            index, count = shard
+            ids = ids[index::count]
+        bags = self.read_all(ids) if shard is not None else self.read_all()
         if shuffle_seed is not None:
             rng = np.random.default_rng(shuffle_seed)
             rng.shuffle(bags)

@@ -189,3 +189,38 @@ def test_patient_strat_splits():
             # every selected patient contributes BOTH slides
             assert len(part) == 2 * len(cases)
         assert len(s.val) == 4 and len(s.test) == 8  # (1+1, 2+2 patients) x 2 slides
+
+
+def test_bagloader_sharded_batches(tmp_path):
+    """shard=(i, k) splits slides disjointly and covers the table."""
+    from moc_tpu.data import BagLoader, SlideTable, make_synthetic_corpus
+    from moc_tpu.data.synthetic import SyntheticWSIConfig
+
+    corpus = make_synthetic_corpus(
+        str(tmp_path), SyntheticWSIConfig(slides_per_class=5, min_patches=40,
+                                          max_patches=70, dim=16, seed=0),
+        shots=(1,), n_folds=1, val_per_class=1, test_per_class=1)
+    table = SlideTable.from_csv(corpus["csv_path"], corpus["label_dict"])
+    loader = BagLoader(table, corpus["data_dir"])
+
+    def slide_set(shard):
+        ids = set()
+        for b in loader.batches(batch_size=2, shard=shard):
+            labels = np.asarray(b.labels)
+            n = np.asarray(b.n_patches)
+            ids.update((int(l), int(k)) for l, k in zip(labels, n) if l >= 0)
+        return ids
+
+    full = slide_set(None)
+    s0 = slide_set((0, 2))
+    s1 = slide_set((1, 2))
+    assert s0 | s1 == full
+    # bag identities (label, n_patches) are unique enough in this corpus to
+    # check disjointness by total count
+    n_full = sum(1 for b in loader.batches(batch_size=1)
+                 if int(np.asarray(b.labels)[0]) >= 0)
+    n0 = sum(1 for b in loader.batches(batch_size=1, shard=(0, 2))
+             if int(np.asarray(b.labels)[0]) >= 0)
+    n1 = sum(1 for b in loader.batches(batch_size=1, shard=(1, 2))
+             if int(np.asarray(b.labels)[0]) >= 0)
+    assert n0 + n1 == n_full
