@@ -60,6 +60,12 @@ class MOCConfig:
     feature_dim: int = 512
     approx_topk: bool = False  # TPU approximate top-k for the selection union
     dense: bool = False  # selection-free fast path (see moc_slide_logits_dense)
+    # scoring-matmul dtype for the full-bag pass: "bfloat16" halves its HBM
+    # read (the eval hot path's largest term). Selected rows are re-scored in
+    # f32, so views/pooling stay exact; only the union membership can differ
+    # for near-tied rows at the rank-topj boundary (same approximation class
+    # as approx_topk). Default f32 = bit-exact selection semantics.
+    score_dtype: str = "float32"
 
     def include_flags(self) -> tuple[bool, bool, bool, bool]:
         return tuple(name not in self.discard for name in CLASSIFIER_NAMES)
@@ -110,7 +116,12 @@ def slide_process(
     # one combined matmul = one pass over the [N, D] features (they dominate
     # HBM traffic; two separate matmuls would read them twice)
     c = cfg.n_classes
-    logits_all = feats @ jnp.concatenate([w, w_ext], axis=1)  # [N, C+C_ext]
+    w_all = jnp.concatenate([w, w_ext], axis=1)
+    if cfg.score_dtype == "bfloat16":
+        logits_all = (feats.astype(jnp.bfloat16) @ w_all.astype(jnp.bfloat16)
+                      ).astype(jnp.float32)  # [N, C+C_ext]
+    else:
+        logits_all = feats @ w_all
     logits = logits_all[:, :c]
     logits_ext = logits_all[:, c:]
 
@@ -121,8 +132,15 @@ def slide_process(
     )
 
     sel_feats = jnp.where(sel_valid[:, None], feats[idx], 0.0)  # [S, D]
-    sel_logits = jnp.where(sel_valid[:, None], logits[idx], 0.0)  # [S, C]
-    sel_logits_ext = jnp.where(sel_valid[:, None], logits_ext[idx], 0.0)
+    if cfg.score_dtype == "bfloat16":
+        # re-score the selected rows in f32 so the views/pooling are exact
+        # regardless of the reduced-precision ranking pass
+        sel_all = sel_feats @ w_all  # [S, C+C_ext]
+        sel_logits = sel_all[:, :c]
+        sel_logits_ext = sel_all[:, c:]
+    else:
+        sel_logits = jnp.where(sel_valid[:, None], logits[idx], 0.0)  # [S, C]
+        sel_logits_ext = jnp.where(sel_valid[:, None], logits_ext[idx], 0.0)
 
     view_top = sel_logits
     view_softmax = jax.nn.softmax(sel_logits, axis=1)

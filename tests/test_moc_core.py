@@ -238,3 +238,40 @@ def test_dense_fused_senet_matches_unfused():
     want = ops.topj_pooling(fused, valid, cfg.topk)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_score_dtype_views_exact_and_selection_close():
+    """score_dtype=bfloat16: union membership may flip near-tied boundary
+    rows, but views for selected rows are exact (f32 re-score)."""
+    import dataclasses as dc
+
+    from moc_tpu.moc import MOCConfig
+    from moc_tpu.moc.core import slide_process
+
+    rng = np.random.default_rng(0)
+    n, d, c, ce = 512, 512, 2, 6
+    feats = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    valid = jnp.asarray(np.arange(n) < 450)
+    w = jnp.asarray(rng.normal(size=(d, c)).astype(np.float32))
+    we = jnp.asarray(rng.normal(size=(d, ce)).astype(np.float32))
+    cfg = MOCConfig(n_classes=c, n_ext_classes=ce, topj=40, topk=10, feature_dim=d)
+
+    exact = slide_process(feats, valid, w, we, cfg)
+    fast = slide_process(feats, valid, w, we,
+                         dc.replace(cfg, score_dtype="bfloat16"))
+
+    sel_e = set(np.asarray(exact.idx)[np.asarray(exact.valid)].tolist())
+    sel_f = set(np.asarray(fast.idx)[np.asarray(fast.valid)].tolist())
+    overlap = len(sel_e & sel_f) / max(len(sel_e | sel_f), 1)
+    assert overlap > 0.95, overlap
+
+    # rows selected by both must carry identical (f32-exact) view values
+    common = sorted(sel_e & sel_f)
+    pos_e = {int(i): p for p, i in enumerate(np.asarray(exact.idx))
+             if bool(np.asarray(exact.valid)[p])}
+    pos_f = {int(i): p for p, i in enumerate(np.asarray(fast.idx))
+             if bool(np.asarray(fast.valid)[p])}
+    ve, vf = np.asarray(exact.views), np.asarray(fast.views)
+    for i in common[:50]:
+        np.testing.assert_allclose(ve[:, pos_e[i]], vf[:, pos_f[i]],
+                                   rtol=1e-6, atol=1e-6)
