@@ -275,3 +275,29 @@ def test_bf16_score_dtype_views_exact_and_selection_close():
     for i in common[:50]:
         np.testing.assert_allclose(ve[:, pos_e[i]], vf[:, pos_f[i]],
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_dense_bf16_keeps_argmax_on_separable():
+    import dataclasses as dc
+
+    from moc_tpu.moc import MOCConfig, init_senet
+    from moc_tpu.moc.core import moc_slide_logits_dense
+
+    rng = np.random.default_rng(1)
+    n, d, c, ce = 400, 512, 2, 6
+    cfg = MOCConfig(n_classes=c, n_ext_classes=ce, topj=40, topk=10,
+                    feature_dim=d, dense=True)
+    model, params = init_senet(jax.random.PRNGKey(0), cfg)
+    w = jnp.asarray(rng.normal(size=(d, c)).astype(np.float32))
+    we = jnp.asarray(rng.normal(size=(d, ce)).astype(np.float32))
+    valid = jnp.asarray(np.arange(n) < 350)
+    for label in (0, 1):
+        mu = np.zeros(d, np.float32)
+        mu += np.asarray(w[:, label]) * 0.05  # lean toward class `label`
+        feats = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32) + mu)
+        f32 = moc_slide_logits_dense(model.apply, params, feats, valid, w, we, cfg)
+        b16 = moc_slide_logits_dense(model.apply, params, feats, valid, w, we,
+                                     dc.replace(cfg, score_dtype="bfloat16"))
+        assert int(jnp.argmax(f32)) == int(jnp.argmax(b16))
+        np.testing.assert_allclose(np.asarray(b16), np.asarray(f32),
+                                   rtol=3e-2, atol=3e-2)
