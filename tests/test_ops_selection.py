@@ -128,3 +128,36 @@ def test_select_and_gather_bottomk_only():
                                 j, n_classes=2, capacity=cap, discard=discard)
     for a, b in zip(want, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_fuzz_selection_stack_vs_oracle():
+    """Randomized shapes/params: the fused stack must reproduce the numpy
+    oracle union and the sorted gather exactly."""
+    rng = np.random.default_rng(2024)
+    for trial in range(20):
+        n = int(rng.integers(3, 200))
+        c = int(rng.integers(2, 5))
+        n_bg = int(rng.integers(1, 5))
+        pad_to = n + int(rng.integers(0, 70))
+        j = int(rng.integers(1, 30))
+        logits = rng.normal(size=(n, c)).astype(np.float32)
+        ext = np.concatenate(
+            [logits, rng.normal(size=(n, n_bg)).astype(np.float32)], axis=1)
+        p = np.full((pad_to, c), 99.0, np.float32); p[:n] = logits
+        pe = np.full((pad_to, c + n_bg), 99.0, np.float32); pe[:n] = ext
+        valid = np.arange(pad_to) < n
+
+        want = sorted(
+            orc.sel_topj(logits, min(j, n))
+            | orc.sel_delta_softmax(logits, min(j, n))
+            | orc.sel_delta_diff(logits, min(j, n))
+            | orc.sel_bottomk_irrel(ext, min(j, n), c))
+        cap = selection_capacity(j, c, n=pad_to)
+        idx, sv, count = ops.select_and_gather(
+            jnp.asarray(p), jnp.asarray(pe), jnp.asarray(valid), j,
+            n_classes=c, capacity=cap)
+        idx, sv, count = np.asarray(idx), np.asarray(sv), int(count)
+        assert count == len(want), (trial, n, c, j)
+        np.testing.assert_array_equal(idx[:count], want)
+        assert not sv[count:].any()
