@@ -171,14 +171,26 @@ def sample_generate(
     temperature: float = 1.0,
     top_k: Optional[int] = None,
     top_p: Optional[float] = None,
+    min_len: int = 0,
+    repetition_penalty: float = 1.0,
+    vocab_size: Optional[int] = None,
     memory=None,
     memory_mask=None,
 ):
     """Top-k / nucleus (top-p) sampling decode as one ``lax.scan``
     (ref ``coca_model.generate``: ``top_k`` keeps the k most probable tokens,
     ``top_p`` keeps the smallest prefix of the sorted distribution whose mass
-    exceeds ``1 − top_p`` — note the reference's inverted convention)."""
+    exceeds ``1 − top_p`` — note the reference's inverted convention).
+
+    ``min_len`` forbids EOS before that many generated tokens
+    (≙ HF ``MinLengthLogitsProcessor``); ``repetition_penalty`` down-weights
+    already-emitted tokens, positive logits divided / negative multiplied
+    (≙ HF ``RepetitionPenaltyLogitsProcessor``; requires ``vocab_size`` so
+    the seen-token mask has a static shape). Processors run before the
+    temperature/top-k/top-p warpers, matching the reference's stack order."""
     caches = decoder.init_cache(batch, seq_len)
+    if repetition_penalty != 1.0 and vocab_size is None:
+        raise ValueError("repetition_penalty requires vocab_size")
 
     def filter_logits(logits):
         if top_k is not None:
@@ -196,20 +208,36 @@ def sample_generate(
             logits = jnp.where(rank < n_keep, logits, -jnp.inf)
         return logits
 
+    track_seen = repetition_penalty != 1.0
+
     def step(carry, idx):
-        tokens, caches, done, key = carry
+        tokens, caches, done, key, seen = carry
         x = embed_fn(tokens, idx)
         h, caches = decoder.apply(params, x, memory, memory_mask, caches, idx)
-        logits = filter_logits(logits_fn(h) / max(temperature, 1e-6))
+        logits = logits_fn(h)
+        if track_seen:
+            penalized = jnp.where(logits > 0, logits / repetition_penalty,
+                                  logits * repetition_penalty)
+            logits = jnp.where(seen, penalized, logits)
+        if eos_id is not None and min_len > 0:
+            eos_col = jnp.arange(logits.shape[-1]) == eos_id
+            logits = jnp.where((idx + 1 < min_len) & eos_col[None, :],
+                               -jnp.inf, logits)
+        logits = filter_logits(logits / max(temperature, 1e-6))
         key, sub = jax.random.split(key)
         nxt = jax.random.categorical(sub, logits).astype(jnp.int32)
         if eos_id is not None:
             nxt = jnp.where(done, eos_id, nxt)
             done = done | (nxt == eos_id)
-        return (nxt, caches, done, key), nxt
+        if track_seen:
+            seen = seen | (jnp.arange(seen.shape[-1])[None, :] == nxt[:, None])
+        return (nxt, caches, done, key, seen), nxt
 
+    seen0 = jnp.zeros((batch, vocab_size if track_seen else 1), bool)
+    if track_seen:
+        seen0 = seen0.at[:, bos_id].set(True)  # HF penalizes the prompt too
     init = (jnp.full((batch,), bos_id, jnp.int32), caches,
-            jnp.zeros((batch,), bool), rng)
+            jnp.zeros((batch,), bool), rng, seen0)
     _, out = jax.lax.scan(step, init, jnp.arange(seq_len))
     return out.T
 

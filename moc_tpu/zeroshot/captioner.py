@@ -79,9 +79,13 @@ def generate_caption(
     top_k: int | None = 1,
     top_p: float | None = None,
     temperature: float = 1.0,
+    min_seq_len: int = 5,
+    repetition_penalty: float = 1.0,
     caption_mask=None,
 ):
-    """Decode captions from image caption tokens ``[B, 256, width]``."""
+    """Decode captions from image caption tokens ``[B, 256, width]``
+    (ref ``coca_model.generate`` defaults: ``min_seq_len=5``,
+    ``repetition_penalty=1.0``)."""
     cfg = captioner.cfg
     batch = caption_tokens.shape[0]
     bound = captioner.bind(params)
@@ -105,5 +109,7 @@ def generate_caption(
         bound.decoder, dec_params, embed_fn, logits_fn, rng, batch=batch,
         seq_len=seq_len, bos_id=cfg.sot_id, eos_id=cfg.eot_id,
         top_k=top_k, top_p=top_p, temperature=temperature,
+        min_len=min_seq_len, repetition_penalty=repetition_penalty,
+        vocab_size=cfg.vocab_size if repetition_penalty != 1.0 else None,
         memory=caption_tokens, memory_mask=caption_mask,
     )

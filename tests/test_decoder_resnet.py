@@ -113,3 +113,54 @@ def test_sample_generate_topk_topp():
     s = sample_generate(dec, params, embed_fn, logits_fn, jax.random.PRNGKey(9),
                         batch=b, seq_len=l, bos_id=1, top_k=1)
     np.testing.assert_array_equal(np.asarray(g), np.asarray(s))
+
+
+def test_sample_generate_min_len_and_repetition_penalty():
+    from moc_tpu.nn.decoder import sample_generate
+
+    vocab, d, b, l = 23, 32, 2, 8
+    dec = Decoder(CFG)
+    params = dec.init(jax.random.PRNGKey(0), jnp.zeros((b, 1, d)))
+    emb = jax.random.normal(jax.random.PRNGKey(1), (vocab, d)) * 0.1
+    head = jax.random.normal(jax.random.PRNGKey(2), (d, vocab))
+
+    def embed_fn(tokens, idx):
+        return emb[tokens][:, None, :]
+
+    eos = 3
+
+    def eos_loving_logits(h):
+        base = h[:, 0] @ head
+        return base.at[:, eos].add(100.0)  # EOS always wins greedily
+
+    # min_len forbids EOS before 4 generated tokens, then it fires at once
+    out = sample_generate(dec, params, embed_fn, eos_loving_logits,
+                          jax.random.PRNGKey(3), batch=b, seq_len=l,
+                          bos_id=1, eos_id=eos, top_k=1, min_len=4)
+    out = np.asarray(out)
+    assert not (out[:, :3] == eos).any()
+    assert (out[:, 3] == eos).all()
+
+    # repetition penalty: greedy decoding with a fixed winner token repeats
+    # it forever without penalty, and cannot with a strong penalty
+    def peaked_logits(h):
+        base = jnp.zeros((h.shape[0], vocab))
+        return base.at[:, 7].set(5.0).at[:, 8].set(4.0).at[:, 9].set(3.0)
+
+    no_pen = np.asarray(sample_generate(
+        dec, params, embed_fn, peaked_logits, jax.random.PRNGKey(4),
+        batch=b, seq_len=4, bos_id=1, top_k=1))
+    assert (no_pen == 7).all()
+    pen = np.asarray(sample_generate(
+        dec, params, embed_fn, peaked_logits, jax.random.PRNGKey(4),
+        batch=b, seq_len=4, bos_id=1, top_k=1,
+        repetition_penalty=10.0, vocab_size=vocab))
+    # penalized greedy walks down the ranking instead of repeating
+    np.testing.assert_array_equal(pen[0, :3], [7, 8, 9])
+
+    # vocab_size required with penalty
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sample_generate(dec, params, embed_fn, peaked_logits,
+                        jax.random.PRNGKey(5), batch=b, seq_len=2, bos_id=1,
+                        repetition_penalty=2.0)
