@@ -174,6 +174,7 @@ def sample_generate(
     min_len: int = 0,
     repetition_penalty: float = 1.0,
     vocab_size: Optional[int] = None,
+    pad_id: Optional[int] = None,
     memory=None,
     memory_mask=None,
 ):
@@ -227,7 +228,9 @@ def sample_generate(
         key, sub = jax.random.split(key)
         nxt = jax.random.categorical(sub, logits).astype(jnp.int32)
         if eos_id is not None:
-            nxt = jnp.where(done, eos_id, nxt)
+            # after EOS the reference emits pad tokens (coca_model.py:318-320)
+            fill = eos_id if pad_id is None else pad_id
+            nxt = jnp.where(done, fill, nxt)
             done = done | (nxt == eos_id)
         if track_seen:
             seen = seen | (jnp.arange(seen.shape[-1])[None, :] == nxt[:, None])
@@ -252,6 +255,7 @@ def greedy_generate(
     seq_len: int,
     bos_id: int,
     eos_id: Optional[int] = None,
+    pad_id: Optional[int] = None,
     memory=None,
     memory_mask=None,
 ):
@@ -271,7 +275,8 @@ def greedy_generate(
         logits = logits_fn(h)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         if eos_id is not None:
-            nxt = jnp.where(done, eos_id, nxt)
+            fill = eos_id if pad_id is None else pad_id
+            nxt = jnp.where(done, fill, nxt)
             done = done | (nxt == eos_id)
         return (nxt, caches, done), nxt
 

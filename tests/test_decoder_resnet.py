@@ -164,3 +164,25 @@ def test_sample_generate_min_len_and_repetition_penalty():
         sample_generate(dec, params, embed_fn, peaked_logits,
                         jax.random.PRNGKey(5), batch=b, seq_len=2, bos_id=1,
                         repetition_penalty=2.0)
+
+
+def test_generate_pads_after_eos():
+    from moc_tpu.nn.decoder import greedy_generate
+
+    vocab, d, b, l = 23, 32, 2, 6
+    dec = Decoder(CFG)
+    params = dec.init(jax.random.PRNGKey(0), jnp.zeros((b, 1, d)))
+    emb = jax.random.normal(jax.random.PRNGKey(1), (vocab, d)) * 0.1
+    eos = 3
+
+    def embed_fn(tokens, idx):
+        return emb[tokens][:, None, :]
+
+    def eos_logits(h):
+        return jnp.zeros((h.shape[0], vocab)).at[:, eos].set(9.0)
+
+    out = np.asarray(greedy_generate(dec, params, embed_fn, eos_logits,
+                                     batch=b, seq_len=l, bos_id=1, eos_id=eos,
+                                     pad_id=0))
+    # EOS fires immediately, then pads (ref coca_model.py:318-320)
+    assert (out[:, 0] == eos).all() and (out[:, 1:] == 0).all()
