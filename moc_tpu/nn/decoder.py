@@ -284,3 +284,86 @@ def greedy_generate(
             jnp.zeros((batch,), bool))
     _, out = jax.lax.scan(step, init, jnp.arange(seq_len))
     return out.T  # [B, seq_len]
+
+
+def beam_generate(
+    decoder: Decoder,
+    params,
+    embed_fn,
+    logits_fn,
+    *,
+    batch: int,
+    seq_len: int,
+    bos_id: int,
+    eos_id: Optional[int] = None,
+    beam_size: int = 4,
+    length_penalty: float = 1.0,
+    pad_id: Optional[int] = None,
+    memory=None,
+    memory_mask=None,
+):
+    """Beam-search decoding as one ``lax.scan`` (an upgrade beyond the
+    reference: ``coca_model.generate``'s ``generation_type="beam_search"``
+    default raises upstream — only top-k/top-p are implemented there).
+
+    Beams ride the batch axis (``B·K`` rows); each step expands every live
+    beam over the vocabulary, keeps the top-``beam_size`` joint-logprob
+    candidates per batch element, and reorders the KV caches by the winning
+    parents. Finished beams continue with 0-logprob pad steps so scores
+    freeze. Returns ``[B, seq_len]`` token ids of the best beam by
+    ``score / length**length_penalty``.
+    """
+    b, k = batch, beam_size
+    caches = decoder.init_cache(b * k, seq_len)
+    mem = None if memory is None else jnp.repeat(memory, k, axis=0)
+    mem_mask = None if memory_mask is None else jnp.repeat(memory_mask, k, axis=0)
+    fill_id = eos_id if pad_id is None else pad_id
+    neg = jnp.float32(-1e30)
+    rows = jnp.arange(b)[:, None]  # [B, 1]
+
+    def step(carry, idx):
+        tokens, caches, done, scores, lengths, seqs = carry
+        x = embed_fn(tokens, idx)
+        h, caches = decoder.apply(params, x, mem, mem_mask, caches, idx)
+        logp = jax.nn.log_softmax(logits_fn(h).astype(jnp.float32), axis=-1)
+        v = logp.shape[-1]
+        logp = logp.reshape(b, k, v)
+        if eos_id is not None:
+            # finished beams: only the fill token continues, at zero cost
+            frozen = jnp.full((v,), neg).at[fill_id].set(0.0)
+            logp = jnp.where(done[:, :, None], frozen[None, None, :], logp)
+        total = scores[:, :, None] + logp  # [B, K, V]
+        # step 0: all beams are identical; keep only beam 0's candidates so
+        # the top-k picks k DISTINCT first tokens
+        total = jnp.where((idx == 0) & (jnp.arange(k)[None, :, None] > 0),
+                          neg, total)
+        new_scores, flat = jax.lax.top_k(total.reshape(b, k * v), k)  # [B, K]
+        parent = flat // v  # [B, K]
+        token = (flat % v).astype(jnp.int32)
+
+        # reorder per-beam state by winning parent
+        gather = (rows * k + parent).reshape(-1)  # [B*K]
+        caches = jax.tree_util.tree_map(lambda c: c[gather], caches)
+        done = done[rows, parent]
+        lengths = lengths[rows, parent]
+        seqs = seqs[rows, parent]  # [B, K, L]
+
+        if eos_id is not None:
+            now_done = (~done) & (token == eos_id)
+            lengths = jnp.where(now_done, idx + 1, lengths)
+            done = done | now_done
+        seqs = jax.lax.dynamic_update_slice(seqs, token[:, :, None], (0, 0, idx))
+        return (token.reshape(-1), caches, done, new_scores, lengths, seqs), None
+
+    seqs0 = jnp.full((b, k, seq_len), fill_id if eos_id is not None else 0,
+                     jnp.int32)
+    init = (
+        jnp.full((b * k,), bos_id, jnp.int32), caches,
+        jnp.zeros((b, k), bool), jnp.zeros((b, k), jnp.float32),
+        jnp.full((b, k), seq_len, jnp.int32), seqs0,
+    )
+    (_, _, _, scores, lengths, seqs), _ = jax.lax.scan(
+        step, init, jnp.arange(seq_len))
+    norm = scores / jnp.maximum(lengths.astype(jnp.float32), 1.0) ** length_penalty
+    best = jnp.argmax(norm, axis=1)  # [B]
+    return seqs[jnp.arange(b), best]  # [B, seq_len]

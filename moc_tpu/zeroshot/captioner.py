@@ -74,8 +74,10 @@ def generate_caption(
     caption_tokens: jax.Array,
     *,
     seq_len: int = 30,
-    mode: str = "greedy",  # greedy | sample
+    mode: str = "greedy",  # greedy | sample | beam
     rng: jax.Array | None = None,
+    beam_size: int = 4,
+    length_penalty: float = 1.0,
     top_k: int | None = 1,
     top_p: float | None = None,
     temperature: float = 1.0,
@@ -102,6 +104,15 @@ def generate_caption(
         return greedy_generate(
             bound.decoder, dec_params, embed_fn, logits_fn, batch=batch,
             seq_len=seq_len, bos_id=cfg.sot_id, eos_id=cfg.eot_id,
+            memory=caption_tokens, memory_mask=caption_mask,
+        )
+    if mode == "beam":
+        from moc_tpu.nn.decoder import beam_generate
+
+        return beam_generate(
+            bound.decoder, dec_params, embed_fn, logits_fn, batch=batch,
+            seq_len=seq_len, bos_id=cfg.sot_id, eos_id=cfg.eot_id,
+            beam_size=beam_size, length_penalty=length_penalty,
             memory=caption_tokens, memory_mask=caption_mask,
         )
     assert rng is not None

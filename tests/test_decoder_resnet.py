@@ -186,3 +186,70 @@ def test_generate_pads_after_eos():
                                      pad_id=0))
     # EOS fires immediately, then pads (ref coca_model.py:318-320)
     assert (out[:, 0] == eos).all() and (out[:, 1:] == 0).all()
+
+
+class _StubDecoder:
+    """Pass-through 'decoder' so generation tests can rig an exact Markov
+    chain: the hidden state IS the one-hot of the last token."""
+
+    def init_cache(self, batch, max_len):
+        return [(jnp.zeros((batch, 1)), jnp.zeros((batch, 1)))]
+
+    def apply(self, params, x, memory, memory_mask, caches, idx):
+        return x, caches
+
+
+def test_beam_search_beats_greedy_on_rigged_chain():
+    from moc_tpu.nn.decoder import beam_generate, greedy_generate
+
+    # vocab: 0=bos, 1=A, 2=B, 3=eos, 4=D. NORMALIZED transition rows:
+    # bos -> A .6, B .4 | A -> D .5, eos .1, bos .4 | B -> eos .9, bos .1
+    # greedy: A (0.6) then D -> P=0.30; optimal: B then eos -> P=0.36
+    V = 5
+    M = np.full((V, V), 1e-6, np.float32)
+    M[0, 1], M[0, 2] = 0.6, 0.4
+    M[1, 4], M[1, 3], M[1, 0] = 0.5, 0.1, 0.4
+    M[2, 3], M[2, 0] = 0.9, 0.1
+    M[4, 3], M[4, 0] = 0.2, 0.8
+    logM = jnp.asarray(np.log(M / M.sum(1, keepdims=True)))
+    eye = jnp.eye(V)
+
+    def embed_fn(tokens, idx):
+        return eye[tokens][:, None, :]
+
+    def logits_fn(h):
+        return h[:, 0] @ logM  # exact next-token log-probs of the chain
+
+    dec = _StubDecoder()
+    greedy = np.asarray(greedy_generate(dec, {}, embed_fn, logits_fn,
+                                        batch=1, seq_len=2, bos_id=0, eos_id=3))
+    beam = np.asarray(beam_generate(dec, {}, embed_fn, logits_fn,
+                                    batch=1, seq_len=2, bos_id=0, eos_id=3,
+                                    beam_size=2))
+    # greedy takes A then D (0.6*0.5=0.30); the true best is B,eos (0.36)
+    np.testing.assert_array_equal(greedy[0], [1, 4])
+    np.testing.assert_array_equal(beam[0], [2, 3])
+
+
+def test_beam_size_one_equals_greedy():
+    from moc_tpu.nn.decoder import beam_generate, greedy_generate
+
+    vocab, d, b, l = 19, 32, 2, 7
+    dec = Decoder(CFG)
+    params = dec.init(jax.random.PRNGKey(0), jnp.zeros((b, 1, d)))
+    emb = jax.random.normal(jax.random.PRNGKey(1), (vocab, d)) * 0.1
+    head = jax.random.normal(jax.random.PRNGKey(2), (d, vocab)) * 0.5
+
+    def embed_fn(tokens, idx):
+        return emb[tokens][:, None, :]
+
+    def logits_fn(h):
+        return h[:, 0] @ head
+
+    g = np.asarray(greedy_generate(dec, params, embed_fn, logits_fn,
+                                   batch=b, seq_len=l, bos_id=1, eos_id=2,
+                                   pad_id=0))
+    bm = np.asarray(beam_generate(dec, params, embed_fn, logits_fn,
+                                  batch=b, seq_len=l, bos_id=1, eos_id=2,
+                                  beam_size=1, pad_id=0))
+    np.testing.assert_array_equal(g, bm)
