@@ -113,8 +113,9 @@ class MUSK(nn.Module):
 
     def setup(self):
         self.beit3 = BEiT3(self.cfg, name="beit3")
-        self.vision_head = nn.Dense(self.cfg.out_dim, name="vision_head")
-        self.language_head = nn.Dense(self.cfg.out_dim, name="language_head")
+        # bias-free heads, matching ``modeling.py:102-103``
+        self.vision_head = nn.Dense(self.cfg.out_dim, use_bias=False, name="vision_head")
+        self.language_head = nn.Dense(self.cfg.out_dim, use_bias=False, name="language_head")
         self.logit_scale = self.param("logit_scale", lambda *_: jnp.log(1 / 0.07))
 
     def __call__(self, images=None, token_ids=None, text_padding_mask=None,

@@ -14,10 +14,13 @@ first two rows are reserved, ``BEiT3.py:32-39``) onto ``moc_tpu.models.musk``:
     params;
   * heads (``vision_head``/``language_head``) and ``logit_scale``.
 
-No runnable reference oracle exists in this environment (torchscale imports
-fairscale at module scope), so correctness is covered by structural tests:
-synthetic checkpoints of matching shapes convert into trees that initialize
-and forward identically shaped models, with spot-checked value mappings.
+Parity is verified end-to-end against the reference torch model itself:
+``tests/test_musk_oracle.py`` stubs the inert ``fairscale``/``timm`` imports,
+random-inits the reference MUSK on CPU, converts its ``state_dict`` with
+:func:`convert_musk_checkpoint`, and asserts the flax forward matches the
+torch forward on vision-only / text-only / mixed-modality inputs (masked
+positions excluded). ``tests/test_convert_musk.py`` adds structural checks
+on synthetic checkpoints.
 """
 
 from __future__ import annotations
@@ -32,7 +35,10 @@ def _np(v) -> np.ndarray:
 
 
 def _dense(sd, prefix):
-    return {"kernel": _np(sd[f"{prefix}.weight"]).T, "bias": _np(sd[f"{prefix}.bias"])}
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:  # MUSK heads are bias-free (modeling.py:102-103)
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
 
 
 def _ln(sd, prefix):

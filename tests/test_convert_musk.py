@@ -59,9 +59,7 @@ def _fake_state_dict(rng):
         put(f"beit3.encoder.layer_norm.{br}.weight", d)
         put(f"beit3.encoder.layer_norm.{br}.bias", d)
     put("vision_head.weight", 48, d)
-    put("vision_head.bias", 48)
     put("language_head.weight", 48, d)
-    put("language_head.bias", 48)
     sd["logit_scale"] = np.asarray(np.log(1 / 0.07), np.float32)
     return sd
 
