@@ -224,3 +224,110 @@ def test_bagloader_sharded_batches(tmp_path):
     n1 = sum(1 for b in loader.batches(batch_size=1, shard=(1, 2))
              if int(np.asarray(b.labels)[0]) >= 0)
     assert n0 + n1 == n_full
+
+
+def test_append_hdf5_streaming(tmp_path):
+    """save_hdf5 semantics (ref utils/file_utils.py:16-34): create-resizable
+    on first write with attrs, append along axis 0 afterwards."""
+    import h5py
+
+    from moc_tpu.data import append_hdf5
+
+    path = str(tmp_path / "stream.h5")
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    b = np.arange(12, 24, dtype=np.float32).reshape(3, 4)
+    append_hdf5(path, {"features": a, "coords": np.ones((3, 2), np.int32)},
+                attr_dict={"features": {"patch_size": 256}})
+    append_hdf5(path, {"features": b, "coords": 2 * np.ones((3, 2), np.int32)})
+    with h5py.File(path, "r") as f:
+        np.testing.assert_array_equal(f["features"][:], np.concatenate([a, b]))
+        assert f["coords"].shape == (6, 2)
+        assert f["features"].attrs["patch_size"] == 256
+        assert f["features"].maxshape == (None, 4)
+
+
+def test_pkl_roundtrip(tmp_path):
+    from moc_tpu.data import load_pkl, save_pkl
+
+    p = str(tmp_path / "x.pkl")
+    save_pkl(p, {"a": [1, 2], "b": "c"})
+    assert load_pkl(p) == {"a": [1, 2], "b": "c"}
+
+
+def test_points_in_polygon_square_and_triangle():
+    from moc_tpu.data.regions import points_in_polygon
+
+    square = np.array([[0, 0], [10, 0], [10, 10], [0, 10]])
+    pts = np.array([[5, 5], [15, 5], [-1, 2], [9.9, 9.9], [5, 10.1]])
+    np.testing.assert_array_equal(
+        points_in_polygon(pts, square), [True, False, False, True, False])
+    tri = np.array([[0, 0], [10, 0], [0, 10]])
+    pts = np.array([[1, 1], [6, 6], [4, 4], [9, 0.5]])
+    np.testing.assert_array_equal(
+        points_in_polygon(pts, tri), [True, False, True, True])
+
+
+def test_region_grid_contour_modes():
+    """Hard ⊆ easy ⊆ everything; holes subtract; center mode matches a
+    manual oracle on a square."""
+    from moc_tpu.data.regions import RegionGrid, grid_coords
+
+    square = np.array([[0, 0], [1000, 0], [1000, 1000], [0, 1000]])
+    hole = [np.array([[400, 400], [600, 400], [600, 600], [400, 600]])]
+
+    center = RegionGrid([square], patch_size=256, step_size=256,
+                        contour_fn="center")
+    # manual oracle: centers at coord+128 must lie in [0,1000]^2
+    grid = grid_coords((0, 0), (1000, 1000), 256, 256)
+    expect = grid[((grid + 128) <= 1000).all(axis=1)]
+    np.testing.assert_array_equal(np.sort(center.coords, axis=0),
+                                  np.sort(expect, axis=0))
+
+    hard = RegionGrid([square], patch_size=256, step_size=256,
+                      contour_fn="four_pt_hard", use_center_shift=True)
+    easy = RegionGrid([square], patch_size=256, step_size=256,
+                      contour_fn="four_pt_easy", use_center_shift=True)
+    hard_set = {tuple(c) for c in hard.coords}
+    easy_set = {tuple(c) for c in easy.coords}
+    assert hard_set <= easy_set
+    assert len(hard) > 0
+
+    # hole must cover a grid center (centers are at 128 + 256k): use (384, 384)
+    hole = [np.array([[300, 300], [500, 300], [500, 500], [300, 500]])]
+    holed = RegionGrid([square], holes=[hole], patch_size=256, step_size=256,
+                       contour_fn="center")
+    assert len(holed) < len(center)
+    # patches whose center falls in the hole are gone
+    centers = holed.coords + 128
+    inside_hole = ((centers >= 300) & (centers < 500)).all(axis=1)
+    assert not inside_hole.any()
+
+
+def test_region_grid_read_batches_and_downsample():
+    from moc_tpu.data.regions import IMAGENET_MEAN, IMAGENET_STD, RegionGrid
+
+    square = np.array([[0, 0], [64, 0], [64, 64], [0, 64]])
+    rg = RegionGrid([square], patch_size=16, step_size=16, contour_fn="basic",
+                    custom_downsample=2)
+    assert rg.read_size == 32
+
+    canvas = np.arange(128 * 128 * 3, dtype=np.uint8).reshape(128, 128, 3)
+
+    def reader(coord, size):
+        x, y = coord
+        return canvas[y:y + size, x:x + size]
+
+    batches = list(rg.read_batches(reader, batch_size=4, normalize=False))
+    patches = np.concatenate([p for p, _ in batches])
+    coords = np.concatenate([c for _, c in batches])
+    assert patches.shape == (len(rg), 16, 16, 3)
+    assert len(coords) == len(rg)
+    # 2x2 mean pooling oracle on the first patch
+    x, y = int(coords[0][0]), int(coords[0][1])
+    raw = canvas[y:y + 32, x:x + 32].astype(np.float32)
+    oracle = raw.reshape(16, 2, 16, 2, 3).mean((1, 3))
+    np.testing.assert_allclose(patches[0], oracle, rtol=1e-6)
+
+    normed = next(iter(rg.read_batches(reader, batch_size=4)))[0]
+    un = normed[0] * IMAGENET_STD + IMAGENET_MEAN
+    np.testing.assert_allclose(un * 255.0, oracle, atol=1e-3)
