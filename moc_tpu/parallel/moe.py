@@ -20,6 +20,7 @@ load-balancing loss. TPU-native differences:
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Callable
 
 import jax
@@ -32,75 +33,115 @@ class MoEConfig:
     n_experts: int = 8
     capacity_factor: float = 1.25
     gate_type: str = "top2"  # "top1" | "top2"
-    eval_capacity_factor: float | None = None
+    # eval-mode capacity = ceil(fraction × n_tokens), the reference's
+    # EVAL_CAPACITY_TOKEN_FRACTION protocol (routing.py:30,58-61)
+    eval_capacity_fraction: float | None = None
+    # top2 gate-weight normalization point (routing.py:300-307,399-407):
+    # False (reference default) renormalizes AFTER capacity dropping, so a
+    # token whose second expert overflowed gives full weight to its first
+    normalize_before_drop: bool = False
 
 
-def _capacity(n_tokens: int, n_experts: int, factor: float) -> int:
-    cap = int(n_tokens / n_experts * factor)
-    return max(4, cap)
+def capacity_for(n_tokens: int, n_experts: int, gate_type: str,
+                 capacity_factor: float = 1.0,
+                 eval_capacity_fraction: float | None = None) -> int:
+    """Reference capacity formulas: top1 ``int(cf·⌈S/E⌉)``
+    (``routing.py:60-61``), top2 ``2·⌈S/E⌉`` (``routing.py:281-282``); in
+    eval mode ``⌈fraction·S⌉`` (``routing.py:57-58,278-279``)."""
+
+    if eval_capacity_fraction is not None and eval_capacity_fraction > 0.0:
+        return math.ceil(eval_capacity_fraction * n_tokens)
+    if gate_type == "top1":
+        return int(capacity_factor * math.ceil(n_tokens / n_experts))
+    return 2 * math.ceil(n_tokens / n_experts)
 
 
-def _one_hot_dispatch(expert_idx, gate_vals, n_experts, capacity, priority=None):
-    """Position-within-capacity bookkeeping shared by both gates.
+def _positions(mask: jax.Array) -> jax.Array:
+    """Per-token rank within its expert's queue: cumsum-minus-one over the
+    token axis (ref ``fused_cumsum_sub_one``, ``moe_layer.py:39``)."""
+    return jnp.cumsum(mask, axis=0) - mask
 
-    expert_idx ``[S]``, gate_vals ``[S]`` → (combine ``[S, E, C]``,
-    dispatch bool ``[S, E, C]``). Tokens beyond an expert's capacity drop.
+
+def _combine_sec(gate_s, mask, locations, capacity):
+    """``[S,E]`` capped mask + per-token location → combine ``[S,E,C]``."""
+    loc_s = jnp.sum(locations * mask, axis=1).astype(jnp.int32)
+    gates_se = gate_s[:, None] * mask
+    loc_sc = jax.nn.one_hot(loc_s, capacity, dtype=gate_s.dtype)
+    return gates_se[:, :, None] * loc_sc[:, None, :]
+
+
+def top1_gate(logits: jax.Array, capacity: int,
+              input_mask: jax.Array | None = None):
+    """Switch-style top-1 gate, exact reference semantics
+    (``top1gating``, ``routing.py:36-140``, minus the xmoe/gumbel options).
+
+    ``input_mask`` (True = padding) removes tokens from routing entirely.
+    Returns (combine ``[S, E, C]``, dispatch bool ``[S, E, C]``, aux_loss);
+    aux = mean(me·ce)·E² over pre-capacity assignments (routing.py:95-100).
     """
-    onehot = jax.nn.one_hot(expert_idx, n_experts)  # [S, E]
-    if priority is not None:
-        onehot = onehot * priority[:, None]
-    pos = jnp.cumsum(onehot, axis=0) - onehot  # rank of token within expert
-    pos = jnp.sum(pos * onehot, axis=1).astype(jnp.int32)  # [S]
-    keep = (pos < capacity) & (jnp.sum(onehot, axis=1) > 0)
-    pos_oh = jax.nn.one_hot(pos, capacity)  # [S, C]
-    dispatch = onehot[:, :, None] * pos_oh[:, None, :] * keep[:, None, None]
-    combine = dispatch * gate_vals[:, None, None]
-    return combine, dispatch.astype(bool)
-
-
-def top1_gate(logits: jax.Array, capacity: int):
-    """Switch-style top-1 gate (ref ``routing.py:36-228`` minus gumbel).
-
-    Returns (combine ``[S, E, C]``, dispatch ``[S, E, C]``, aux_loss)."""
-    s, e = logits.shape
-    gates = jax.nn.softmax(logits, axis=-1)
-    idx = jnp.argmax(gates, axis=-1)
-    gate_val = jnp.max(gates, axis=-1)
-    combine, dispatch = _one_hot_dispatch(idx, gate_val, e, capacity)
-    me = jnp.mean(gates, axis=0)
-    ce = jnp.mean(jax.nn.one_hot(idx, e), axis=0)
-    aux = jnp.sum(me * ce) * e
-    return combine, dispatch, aux
-
-
-def top2_gate(logits: jax.Array, capacity: int, normalize: bool = True):
-    """GShard top-2 gate with normalized weights (ref ``Top2Gate``,
-    ``routing.py:258-524``, ``second_expert_policy='all'``)."""
     s, e = logits.shape
     gates = jax.nn.softmax(logits, axis=-1)
     idx1 = jnp.argmax(gates, axis=-1)
-    masked = gates * (1.0 - jax.nn.one_hot(idx1, e))
-    idx2 = jnp.argmax(masked, axis=-1)
-    g1 = jnp.take_along_axis(gates, idx1[:, None], axis=1)[:, 0]
-    g2 = jnp.take_along_axis(gates, idx2[:, None], axis=1)[:, 0]
-    if normalize:
-        denom = jnp.maximum(g1 + g2, 1e-9)
-        g1, g2 = g1 / denom, g2 / denom
-    c1, d1 = _one_hot_dispatch(idx1, g1, e, capacity)
-    # second choices queue behind first choices of the same expert
-    used = jnp.sum(d1, axis=(0, 2))  # [E] tokens already placed per expert
-    onehot2 = jax.nn.one_hot(idx2, e)
-    pos2 = jnp.cumsum(onehot2, axis=0) - onehot2
-    pos2 = (jnp.sum(pos2 * onehot2, axis=1)
-            + jnp.sum(onehot2 * used[None, :], axis=1)).astype(jnp.int32)
-    keep2 = pos2 < capacity
-    pos2_oh = jax.nn.one_hot(pos2, capacity)
-    d2 = onehot2[:, :, None] * pos2_oh[:, None, :] * keep2[:, None, None]
-    c2 = d2 * g2[:, None, None]
+    mask1 = jax.nn.one_hot(idx1, e, dtype=gates.dtype)
+    if input_mask is not None:
+        mask1 = mask1 * (~input_mask)[:, None].astype(gates.dtype)
+    gate1_s = jnp.sum(gates * mask1, axis=1)
+    locations1 = _positions(mask1)
     me = jnp.mean(gates, axis=0)
-    ce = jnp.mean(jax.nn.one_hot(idx1, e), axis=0)
-    aux = jnp.sum(me * ce) * e
-    return c1 + c2, (d1 | d2.astype(bool)), aux
+    ce = jnp.mean(mask1, axis=0)
+    aux = jnp.mean(me * ce) * e * e
+    mask1 = mask1 * (locations1 < capacity)
+    combine = _combine_sec(gate1_s, mask1, locations1, capacity)
+    return combine, combine.astype(bool), aux
+
+
+def top2_gate(logits: jax.Array, capacity: int,
+              input_mask: jax.Array | None = None,
+              normalize_before_drop: bool = False):
+    """GShard top-2 gate, exact reference semantics (``top2gating``,
+    ``routing.py:258-448``, ``second_expert_policy='all'`` — the sampling/
+    random policies inject torch RNG and stay out of the jit path).
+
+    The second choice is the logits argmax with the first masked to −inf
+    (``routing.py:293-296``); its queue position offsets by the TOTAL
+    first-choice count per expert — including first choices that themselves
+    overflow (``routing.py:344-347``). Gate weights renormalize before or
+    after capacity dropping per ``normalize_before_drop``
+    (``routing.py:300-307,399-407``).
+    """
+    s, e = logits.shape
+    gates = jax.nn.softmax(logits, axis=-1)
+    idx1 = jnp.argmax(gates, axis=-1)
+    mask1 = jax.nn.one_hot(idx1, e, dtype=gates.dtype)
+    logits_except1 = jnp.where(mask1.astype(bool), -jnp.inf, logits)
+    idx2 = jnp.argmax(logits_except1, axis=-1)
+    mask2 = jax.nn.one_hot(idx2, e, dtype=gates.dtype)
+    gate1_s = jnp.sum(gates * mask1, axis=1)
+    gate2_s = jnp.sum(gates * mask2, axis=1)
+    eps = jnp.finfo(gates.dtype).eps
+    if normalize_before_drop:
+        denom = jnp.maximum(gate1_s + gate2_s, eps)
+        gate1_s, gate2_s = gate1_s / denom, gate2_s / denom
+    if input_mask is not None:
+        nonpad = (~input_mask)[:, None].astype(gates.dtype)
+        mask1 = mask1 * nonpad
+        mask2 = mask2 * nonpad
+    locations1 = _positions(mask1)
+    # second choices queue behind ALL first choices (capped or not)
+    locations2 = _positions(mask2) + jnp.sum(mask1, axis=0, keepdims=True)
+    me = jnp.mean(gates, axis=0)
+    ce = jnp.mean(mask1, axis=0)
+    aux = jnp.mean(me * ce) * e * e
+    mask1 = mask1 * (locations1 < capacity)
+    mask2 = mask2 * (locations2 < capacity)
+    if not normalize_before_drop:
+        gate1_s = jnp.sum(gates * mask1, axis=1)
+        gate2_s = jnp.sum(gates * mask2, axis=1)
+        denom = jnp.maximum(gate1_s + gate2_s, eps)
+        gate1_s, gate2_s = gate1_s / denom, gate2_s / denom
+    combine = (_combine_sec(gate1_s, mask1, locations1, capacity)
+               + _combine_sec(gate2_s, mask2, locations2, capacity))
+    return combine, combine.astype(bool), aux
 
 
 def moe_dispatch_combine(
@@ -122,9 +163,14 @@ def moe_dispatch_combine(
     s, d = x.shape
     e = gate_logits.shape[-1]
     if capacity is None:
-        capacity = _capacity(s, e, cfg.capacity_factor)
-    gate = top1_gate if cfg.gate_type == "top1" else top2_gate
-    combine, dispatch, aux = gate(gate_logits, capacity)
+        capacity = capacity_for(s, e, cfg.gate_type, cfg.capacity_factor,
+                                cfg.eval_capacity_fraction)
+    if cfg.gate_type == "top1":
+        combine, dispatch, aux = top1_gate(gate_logits, capacity)
+    else:
+        combine, dispatch, aux = top2_gate(
+            gate_logits, capacity,
+            normalize_before_drop=cfg.normalize_before_drop)
 
     expert_in = jnp.einsum("sd,sec->ecd", x, dispatch.astype(x.dtype))  # [E, C, D]
     if axis_name is not None:

@@ -1,0 +1,120 @@
+"""MoE gate parity against the reference torchscale routing functions.
+
+``top1gating``/``top2gating`` (``xmoe/routing.py``) are pure functions of the
+gate logits, so they serve as exact oracles for ``moc_tpu.parallel.moe``:
+same combine weights ``[S, E, C]``, dispatch mask, and aux loss — including
+the subtle bits (second choices queue behind ALL first choices, gate-weight
+renormalization after capacity dropping, padding-mask handling, capacity
+formulas). Skipped without ``/root/reference``.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+HAS_REFERENCE = os.path.isdir(os.path.join(REFERENCE, "models", "musk"))
+
+torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.skipif(not HAS_REFERENCE, reason="reference unavailable")
+
+
+@pytest.fixture(scope="module")
+def routing():
+    path = os.path.join(REFERENCE, "models", "musk")
+    if path not in sys.path:
+        sys.path.insert(0, path)
+    from torchscale.component.xmoe import routing as r
+
+    # torch.histc has no CPU kernel for integer dtypes; it only feeds the
+    # oracle's logging metadata, never the routing outputs
+    real_histc = torch.histc
+    torch.histc = lambda t, *a, **k: real_histc(t.float(), *a, **k)
+    yield r
+    torch.histc = real_histc
+
+
+def _logits(s=50, e=8, seed=0):
+    return np.random.default_rng(seed).normal(size=(s, e)).astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("cf", [1.0, 2.0])
+def test_top1_gate_parity(routing, seed, cf):
+    from moc_tpu.parallel.moe import capacity_for, top1_gate
+
+    logits = _logits(seed=seed)
+    s, e = logits.shape
+    l_aux, combine, dispatch, _ = routing.top1gating(
+        torch.from_numpy(logits), capacity_factor=cf)
+    cap = capacity_for(s, e, "top1", cf)
+    assert combine.shape[-1] == cap  # same capacity formula
+    jc, jd, jaux = top1_gate(logits, cap)
+    np.testing.assert_allclose(np.asarray(jc), combine.numpy(), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(jd), dispatch.numpy())
+    np.testing.assert_allclose(float(jaux), float(l_aux), rtol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("normalize_before", [False, True])
+def test_top2_gate_parity(routing, seed, normalize_before):
+    from moc_tpu.parallel.moe import capacity_for, top2_gate
+
+    logits = _logits(s=37, e=4, seed=seed)  # S/E > capacity → real drops
+    s, e = logits.shape
+    l_aux, combine, dispatch, _ = routing.top2gating(
+        torch.from_numpy(logits), second_expert_policy="all",
+        normalize_gate_prob_before_dropping=normalize_before)
+    cap = capacity_for(s, e, "top2")
+    assert combine.shape[-1] == cap
+    jc, jd, jaux = top2_gate(logits, cap, normalize_before_drop=normalize_before)
+    np.testing.assert_allclose(np.asarray(jc), combine.numpy(), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(jd), dispatch.numpy())
+    np.testing.assert_allclose(float(jaux), float(l_aux), rtol=1e-5)
+
+
+def test_top1_gate_padding_parity(routing):
+    from moc_tpu.parallel.moe import capacity_for, top1_gate
+
+    logits = _logits(s=24, e=4, seed=3)
+    pad = np.zeros(24, bool)
+    pad[17:] = True
+    l_aux, combine, dispatch, _ = routing.top1gating(
+        torch.from_numpy(logits), input_mask=torch.from_numpy(pad))
+    cap = capacity_for(24, 4, "top1")
+    jc, jd, jaux = top1_gate(logits, cap, input_mask=pad)
+    np.testing.assert_allclose(np.asarray(jc), combine.numpy(), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(jd), dispatch.numpy())
+    np.testing.assert_allclose(float(jaux), float(l_aux), rtol=1e-5)
+    # padded tokens route nowhere
+    assert not np.asarray(jd)[17:].any()
+
+
+def test_top2_gate_padding_parity(routing):
+    from moc_tpu.parallel.moe import capacity_for, top2_gate
+
+    logits = _logits(s=24, e=4, seed=4)
+    pad = np.zeros(24, bool)
+    pad[20:] = True
+    l_aux, combine, dispatch, _ = routing.top2gating(
+        torch.from_numpy(logits), input_mask=torch.from_numpy(pad),
+        second_expert_policy="all")
+    cap = capacity_for(24, 4, "top2")
+    jc, jd, jaux = top2_gate(logits, cap, input_mask=pad)
+    np.testing.assert_allclose(np.asarray(jc), combine.numpy(), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(jd), dispatch.numpy())
+    np.testing.assert_allclose(float(jaux), float(l_aux), rtol=1e-5)
+
+
+def test_eval_capacity_fraction(routing):
+    from moc_tpu.parallel.moe import capacity_for
+
+    logits = _logits(s=40, e=8, seed=5)
+    _, combine, _, _ = routing.top1gating(
+        torch.from_numpy(logits), eval_mode=True,
+        moe_eval_capacity_token_fraction=0.25)
+    assert combine.shape[-1] == capacity_for(40, 8, "top1",
+                                             eval_capacity_fraction=0.25)
