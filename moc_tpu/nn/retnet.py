@@ -7,8 +7,8 @@ attention matrix with row-sum normalization in the parallel form, a
 recurrent state ``S_n = γ S_{n−1} + k_nᵀ v_n`` for O(1) decoding, per-head
 GroupNorm, and a swish gate before the output projection.
 
-The recurrent form is a ``lax.scan`` (the TPU-native替代 of the reference's
-per-step Python loop); parallel↔recurrent equivalence is tested.
+The recurrent form is a ``lax.scan`` (the TPU-native replacement of the
+reference's per-step Python loop); parallel↔recurrent equivalence is tested.
 """
 
 from __future__ import annotations
@@ -28,7 +28,8 @@ class RetNetConfig:
     heads: int = 4
     ffn_dim: int = 1024
     layers: int = 6
-    layernorm_eps: float = 1e-5
+    layernorm_eps: float = 1e-6  # ref RetNetConfig default (config.py:285)
+    activation: str = "gelu"  # GLU activation (ref config.py:257)
 
 
 def retention_rel_pos(slen: int, heads: int, head_qk_dim: int):
@@ -93,8 +94,10 @@ class MultiScaleRetention(nn.Module):
             mask = _decay_mask(l, decay)  # [H, L, L] (sqrt-row-sum normalized)
             qk = jnp.einsum("blhd,bmhd->bhlm", qh, kh) * mask[None]
             if self.stabilize:
+                # ref parallel_forward: detached SUM-OF-ABS row scale,
+                # clamped to [1, 5e4] (multiscale_retention.py:83-85)
                 qk = qk / jax.lax.stop_gradient(
-                    jnp.abs(jnp.sum(qk, axis=-1, keepdims=True)).clip(1.0)
+                    jnp.sum(jnp.abs(qk), axis=-1, keepdims=True).clip(1.0, 5e4)
                 )
             out = jnp.einsum("bhlm,bmhv->blhv", qk, vh)
             new_state = None
@@ -160,40 +163,52 @@ class MultiScaleRetention(nn.Module):
         else:
             raise ValueError(mode)
 
-        out = nn.GroupNorm(num_groups=h, epsilon=c.layernorm_eps,
-                           use_bias=False, use_scale=False,
-                           name="group_norm")(out.reshape(b, l, h * dv))
-        out = jax.nn.silu(g) * out
+        # per-head affine-free RMSNorm (ref RMSNorm(head_dim,
+        # elementwise_affine=False), multiscale_retention.py:66): makes the
+        # output invariant to the per-row positive stabilization scalings of
+        # every form, which is what ties parallel/recurrent/chunkwise together
+        out = out * jax.lax.rsqrt(
+            jnp.mean(jnp.square(out), axis=-1, keepdims=True) + c.layernorm_eps)
+        out = jax.nn.silu(g) * out.reshape(b, l, h * dv)
         out = nn.Dense(c.embed_dim, use_bias=False, name="out_proj")(out)
         return out, new_state
 
 
 class GLU(nn.Module):
-    """Gated linear unit FFN (ref ``component/gate_linear_unit.py``)."""
+    """Gated linear unit FFN (ref ``component/gate_linear_unit.py:34-44``:
+    ``fc2(act(fc1(x)) · gate(x))`` — the activation is on the fc1 branch)."""
 
     dim: int
     ffn_dim: int
+    activation: str = "gelu"
 
     @nn.compact
     def __call__(self, x):
-        gate = jax.nn.silu(nn.Dense(self.ffn_dim, use_bias=False, name="gate")(x))
-        h = nn.Dense(self.ffn_dim, use_bias=False, name="fc1")(x)
-        return nn.Dense(self.dim, use_bias=False, name="fc2")(gate * h)
+        act = (jax.nn.silu if self.activation in ("swish", "silu")
+               else lambda v: jax.nn.gelu(v, approximate=False))
+        g = nn.Dense(self.ffn_dim, use_bias=False, name="gate")(x)
+        h = act(nn.Dense(self.ffn_dim, use_bias=False, name="fc1")(x))
+        return nn.Dense(self.dim, use_bias=False, name="fc2")(h * g)
 
 
 class RetNetBlock(nn.Module):
+    """Pre-norm retention + GLU block; all norms are affine RMSNorm
+    (ref ``architecture/retnet.py:95,127`` — NOT LayerNorm)."""
+
     cfg: RetNetConfig
 
     @nn.compact
-    def __call__(self, x, mode="parallel", state=None):
+    def __call__(self, x, mode="parallel", state=None, chunk_size: int = 64):
+        from moc_tpu.nn.encoder import RMSNorm
+
         c = self.cfg
         h, new_state = MultiScaleRetention(c, name="retention")(
-            nn.LayerNorm(epsilon=c.layernorm_eps, name="retention_layer_norm")(x),
-            mode=mode, state=state,
+            RMSNorm(eps=c.layernorm_eps, name="retention_layer_norm")(x),
+            mode=mode, state=state, chunk_size=chunk_size,
         )
         x = x + h
-        x = x + GLU(c.embed_dim, c.ffn_dim, name="ffn")(
-            nn.LayerNorm(epsilon=c.layernorm_eps, name="final_layer_norm")(x)
+        x = x + GLU(c.embed_dim, c.ffn_dim, c.activation, name="ffn")(
+            RMSNorm(eps=c.layernorm_eps, name="final_layer_norm")(x)
         )
         return x, new_state
 
@@ -204,12 +219,16 @@ class RetNetDecoder(nn.Module):
     cfg: RetNetConfig
 
     @nn.compact
-    def __call__(self, x, mode: str = "parallel", states=None):
+    def __call__(self, x, mode: str = "parallel", states=None,
+                 chunk_size: int = 64):
+        from moc_tpu.nn.encoder import RMSNorm
+
         c = self.cfg
         new_states = []
         for i in range(c.layers):
             s = states[i] if states is not None else None
-            x, ns = RetNetBlock(c, name=f"layers_{i}")(x, mode=mode, state=s)
+            x, ns = RetNetBlock(c, name=f"layers_{i}")(
+                x, mode=mode, state=s, chunk_size=chunk_size)
             new_states.append(ns)
-        x = nn.LayerNorm(epsilon=c.layernorm_eps, name="layer_norm")(x)
+        x = RMSNorm(eps=c.layernorm_eps, name="layer_norm")(x)
         return x, new_states
