@@ -33,6 +33,12 @@ class MoEConfig:
     n_experts: int = 8
     capacity_factor: float = 1.25
     gate_type: str = "top2"  # "top1" | "top2"
+    # per-expert inner LayerNorm between fc1 and fc2 (the reference builds
+    # experts as FeedForwardNetwork(..., args.subln) — ``make_experts``,
+    # ``feedforward_network.py:60-68``). None = inherit the caller's subln
+    # (the Encoder passes its own); treated as False standalone.
+    expert_subln: bool | None = None
+    layernorm_eps: float = 1e-5
     # eval-mode capacity = ceil(fraction × n_tokens), the reference's
     # EVAL_CAPACITY_TOKEN_FRACTION protocol (routing.py:30,58-61)
     eval_capacity_fraction: float | None = None
@@ -222,8 +228,26 @@ class MoELayer(nn.Module):
         else:
             w1l, b1l, w2l, b2l = w1, b1, w2, b2
 
+        if self.cfg.expert_subln:
+            ln_scale = self.param("experts_ln_scale", nn.initializers.ones,
+                                  (e, self.hidden_dim))
+            ln_bias = self.param("experts_ln_bias", nn.initializers.zeros,
+                                 (e, self.hidden_dim))
+
         def expert_fn(tokens):  # [E_local, T, D]
-            h = jax.nn.gelu(jnp.einsum("etd,edh->eth", tokens, w1l) + b1l[:, None])
+            # exact (erf) GELU, matching the reference's F.gelu in fp32
+            # (``feedforward_network.py:135``)
+            h = jax.nn.gelu(jnp.einsum("etd,edh->eth", tokens, w1l)
+                            + b1l[:, None], approximate=False)
+            if self.cfg.expert_subln:
+                if self.axis_name is not None:
+                    sc, bi = sl(ln_scale), sl(ln_bias)
+                else:
+                    sc, bi = ln_scale, ln_bias
+                mu = jnp.mean(h, axis=-1, keepdims=True)
+                var = jnp.var(h, axis=-1, keepdims=True)
+                h = (h - mu) * jax.lax.rsqrt(var + self.cfg.layernorm_eps)
+                h = h * sc[:, None] + bi[:, None]
             return jnp.einsum("eth,ehd->etd", h, w2l) + b2l[:, None]
 
         return moe_dispatch_combine(x, gate_logits, expert_fn, self.cfg,

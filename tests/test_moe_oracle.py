@@ -118,3 +118,80 @@ def test_eval_capacity_fraction(routing):
         moe_eval_capacity_token_fraction=0.25)
     assert combine.shape[-1] == capacity_for(40, 8, "top1",
                                              eval_capacity_fraction=0.25)
+
+
+# ───────────────────────── full MOELayer oracle ─────────────────────────
+#
+# The reference MOELayer cannot even construct without an initialized
+# process group (``get_moe_group`` returns None otherwise,
+# ``global_groups.py:11-33``); a single-process gloo world exercises the
+# full dispatch → experts → combine path with identity collectives.
+
+
+@pytest.fixture(scope="module")
+def torch_moe_mod(routing):
+    import torch.distributed as dist
+
+    if not dist.is_initialized():
+        dist.init_process_group(
+            "gloo", init_method=f"file:///tmp/moc_moe_pg_{os.getpid()}",
+            rank=0, world_size=1)
+    from torchscale.component import feedforward_network as ffn_mod
+    from torchscale.component.xmoe import moe_layer as ml
+
+    return ml, ffn_mod
+
+
+def _build_torch_moe(torch_moe_mod, gate_type, e, cf, subln, d, f, seed=0):
+    ml, ffn_mod = torch_moe_mod
+    from torchscale.architecture.config import EncoderConfig as TorchCfg
+    from torchscale.component.xmoe.routing import Top1Gate, Top2Gate
+
+    torch.manual_seed(seed)
+    args = TorchCfg(encoder_embed_dim=d, encoder_ffn_embed_dim=f,
+                    moe_expert_count=e, dropout=0.0, activation_dropout=0.0,
+                    subln=subln)
+    args.batch_size = args.batch_size_valid = 0
+    if gate_type == "top1":
+        gate = Top1Gate(d, e, use_fp32=False, capacity_factor=cf)
+    else:
+        gate = Top2Gate(d, e, use_fp32=False, second_expert_policy="all",
+                        normalize_gate_prob_before_dropping=False)
+    experts = ffn_mod.make_experts(args, d, f)
+    layer = ml.MOELayer(gate, experts, args).train()
+    return layer
+
+
+def _convert_moe(layer, subln):
+    experts = list(layer.experts)
+    st = lambda f: np.stack([f(x).detach().numpy() for x in experts])
+    params = {
+        "gate": {"kernel": layer.gate.wg.weight.detach().numpy().T},
+        "experts_w1": st(lambda x: x.fc1.weight.T),
+        "experts_b1": st(lambda x: x.fc1.bias),
+        "experts_w2": st(lambda x: x.fc2.weight.T),
+        "experts_b2": st(lambda x: x.fc2.bias),
+    }
+    if subln:
+        params["experts_ln_scale"] = st(lambda x: x.ffn_layernorm.weight)
+        params["experts_ln_bias"] = st(lambda x: x.ffn_layernorm.bias)
+    return {"params": params}
+
+
+@pytest.mark.parametrize("gate_type", ["top1", "top2"])
+@pytest.mark.parametrize("subln", [True, False])
+def test_moe_layer_full_parity(torch_moe_mod, gate_type, subln):
+    from moc_tpu.parallel.moe import MoEConfig, MoELayer
+
+    b, t, d, f, e, cf = 2, 18, 16, 32, 4, 1.0
+    layer = _build_torch_moe(torch_moe_mod, gate_type, e, cf, subln, d, f)
+    x = np.random.default_rng(0).normal(size=(b, t, d)).astype(np.float32)
+    with torch.no_grad():
+        ref, l_aux = layer(torch.from_numpy(x))
+    jlayer = MoELayer(dim=d, hidden_dim=f,
+                      cfg=MoEConfig(n_experts=e, capacity_factor=cf,
+                                    gate_type=gate_type, expert_subln=subln))
+    y, aux = jlayer.apply(_convert_moe(layer, subln), x.reshape(b * t, d))
+    np.testing.assert_allclose(np.asarray(y).reshape(b, t, d), ref.numpy(),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(aux), float(l_aux), rtol=1e-4)
