@@ -16,69 +16,127 @@ decodes any number of steps (the reference re-runs Python per token).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from moc_tpu.nn.transformer import LayerNorm, MlpBlock, _merge_heads, _split_heads
+from moc_tpu.nn.encoder import (
+    FeedForward,
+    RelativePositionBias,
+    xpos_apply,
+    xpos_rotary,
+)
+from moc_tpu.nn.transformer import LayerNorm, _merge_heads, _split_heads
 
 
 @dataclasses.dataclass(frozen=True)
 class DecoderConfig:
+    """Mirrors the torchscale ``DecoderConfig`` knobs the reference exercises
+    (``architecture/config.py:87-168``). Defaults keep the plain pre-LN form
+    (torchscale itself defaults ``subln=True``; callers opt in)."""
+
     embed_dim: int = 512
     ffn_dim: int = 2048
     layers: int = 6
     heads: int = 8
     cross_attention: bool = False  # attend over encoder/image tokens
     normalize_before: bool = True
+    subln: bool = False
+    deepnorm: bool = False
+    xpos: bool = False
+    xpos_scale_base: int = 512
+    rel_pos_buckets: int = 0
+    max_rel_pos: int = 0
     layernorm_eps: float = 1e-5
+
+    def __post_init__(self):
+        if self.deepnorm:
+            # torchscale's DecoderConfig.postprocessing (config.py:152-155)
+            # flips ``encoder_normalize_before`` — an attribute the decoder
+            # never reads — so a deepnorm decoder stays PRE-LN (unlike the
+            # encoder, which goes post-LN). Mirrored verbatim: only subln
+            # is disabled here.
+            object.__setattr__(self, "subln", False)
 
 
 class CachedAttention(nn.Module):
-    """Self-attention that can run full-sequence (causal mask) or single-step
-    against a preallocated KV cache."""
+    """Causal self-attention that runs full-sequence (causal mask) or
+    incrementally against a preallocated static-shape KV cache
+    (ref ``multihead_attention.py:110-171``: growing ``prev_key`` concat →
+    here ``dynamic_update_slice`` writes at ``index``; supports multi-token
+    prefix priming ≙ the reference's ``is_first_step``).
 
-    dim: int
-    heads: int
+    xPos (ref ``XPOS``, applied q downscale=False / k True) uses the
+    per-step coordinate system the reference rebuilds each decode step:
+    query offset ``src_len−1``, decay centered at ``ceil(src_len/2)``
+    (``multihead_attention.py:157-164``). Optional ``subln`` inner
+    LayerNorm sits between attention and out_proj (self-attn only)."""
+
+    cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, x, *, cache=None, index=None):
-        d, h = self.dim, self.heads
+    def __call__(self, x, *, cache=None, index=None, rel_pos=None,
+                 padding_mask=None):
+        c = self.cfg
+        d, h = c.embed_dim, c.heads
         q = nn.Dense(d, name="q_proj")(x)
         k = nn.Dense(d, name="k_proj")(x)
         v = nn.Dense(d, name="v_proj")(x)
-        qh, kh, vh = (_split_heads(t, h) for t in (q, k, v))  # [B, H, L, dh]
+        qh, kh, vh = (_split_heads(t, h) for t in (q, k, v))  # [B, H, T, dh]
+        t = x.shape[1]
 
         if cache is None:
-            l = x.shape[1]
-            causal = jnp.tril(jnp.ones((l, l), bool))
+            causal = jnp.tril(jnp.ones((t, t), bool))
             mask = jnp.where(causal, 0.0, -jnp.inf)[None, None]
+            if padding_mask is not None:  # [B, T] True = pad (key side,
+                # ref ``attention_ops`` key_padding_mask masked_fill)
+                mask = mask + jnp.where(
+                    padding_mask[:, None, None, :], -jnp.inf, 0.0)
+            if c.xpos:
+                qh = xpos_rotary(qh, c.xpos_scale_base, downscale=False)
+                kh = xpos_rotary(kh, c.xpos_scale_base, downscale=True)
             new_cache = None
         else:
-            # single token: write k/v at `index`, attend over filled prefix
+            # write k/v rows [index, index+t), attend over the causal prefix
             ck, cv = cache  # [B, H, max_len, dh]
             ck = jax.lax.dynamic_update_slice(ck, kh, (0, 0, index, 0))
             cv = jax.lax.dynamic_update_slice(cv, vh, (0, 0, index, 0))
             kh, vh = ck, cv
-            pos = jnp.arange(ck.shape[2])
-            mask = jnp.where(pos <= index, 0.0, -jnp.inf)[None, None, None, :]
+            kpos = jnp.arange(ck.shape[2])
+            qpos = index + jnp.arange(t)
+            mask = jnp.where(kpos[None, :] <= qpos[:, None], 0.0, -jnp.inf)[
+                None, None
+            ]
+            if c.xpos:
+                center = (index + t + 1) // 2  # ceil(src_len/2), src_len=index+t
+                qh = xpos_apply(qh, qpos, center, c.xpos_scale_base, False)
+                kh = xpos_apply(kh, kpos, center, c.xpos_scale_base, True)
             new_cache = (ck, cv)
 
         scale = (d // h) ** -0.5
         logits = jnp.einsum("bhqd,bhkd->bhqk", qh * scale, kh) + mask
+        if rel_pos is not None:
+            logits = logits + rel_pos[None]
         w = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
-        return nn.Dense(d, name="out_proj")(_merge_heads(out)), new_cache
+        out = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", w, vh))
+        if c.subln:
+            out = nn.LayerNorm(epsilon=c.layernorm_eps, name="inner_attn_ln")(out)
+        return nn.Dense(d, name="out_proj")(out), new_cache
 
 
 class DecoderCrossAttention(nn.Module):
+    """Encoder-decoder attention (ref ``decoder.py:119-128``: no
+    ``inner_attn_ln`` even under subln, no xPos — both gate on
+    ``self_attention``)."""
+
     dim: int
     heads: int
 
     @nn.compact
-    def __call__(self, x, memory, memory_mask=None):
+    def __call__(self, x, memory, memory_mask=None, rel_pos=None):
         d, h = self.dim, self.heads
         q = _split_heads(nn.Dense(d, name="q_proj")(x), h)
         k = _split_heads(nn.Dense(d, name="k_proj")(memory), h)
@@ -87,6 +145,8 @@ class DecoderCrossAttention(nn.Module):
         logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
         if memory_mask is not None:
             logits = jnp.where(memory_mask[:, None, None, :], logits, -jnp.inf)
+        if rel_pos is not None:
+            logits = logits + rel_pos[None]
         w = jax.nn.softmax(logits, axis=-1)
         return nn.Dense(d, name="out_proj")(
             _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", w, v))
@@ -94,11 +154,22 @@ class DecoderCrossAttention(nn.Module):
 
 
 class DecoderLayer(nn.Module):
+    """Pre/post-LN causal layer with optional deepnorm α-residual
+    (ref ``decoder.py:88-94,130-131``: decoder-only α=(2L)^¼,
+    encoder-decoder α=(3L)^¼)."""
+
     cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, x, memory=None, memory_mask=None, cache=None, index=None):
+    def __call__(self, x, memory=None, memory_mask=None, cache=None,
+                 index=None, self_rel_pos=None, cross_rel_pos=None,
+                 padding_mask=None):
         c = self.cfg
+        if c.deepnorm:
+            n = 3.0 if c.cross_attention else 2.0
+            alpha = math.pow(n * c.layers, 0.25)
+        else:
+            alpha = 1.0
 
         def maybe_pre(x, name):
             return LayerNorm(name=name)(x) if c.normalize_before else x
@@ -107,40 +178,68 @@ class DecoderLayer(nn.Module):
             return x if c.normalize_before else LayerNorm(name=name)(x)
 
         residual = x
-        h, new_cache = CachedAttention(c.embed_dim, c.heads, name="self_attn")(
-            maybe_pre(x, "self_attn_layer_norm"), cache=cache, index=index
+        h, new_cache = CachedAttention(c, name="self_attn")(
+            maybe_pre(x, "self_attn_layer_norm"), cache=cache, index=index,
+            rel_pos=self_rel_pos, padding_mask=padding_mask,
         )
-        x = maybe_post(residual + h, "self_attn_layer_norm")
+        x = maybe_post(residual * alpha + h, "self_attn_layer_norm")
 
         if c.cross_attention:
             assert memory is not None
             residual = x
             h = DecoderCrossAttention(c.embed_dim, c.heads, name="encoder_attn")(
-                maybe_pre(x, "encoder_attn_layer_norm"), memory, memory_mask
+                maybe_pre(x, "encoder_attn_layer_norm"), memory, memory_mask,
+                rel_pos=cross_rel_pos,
             )
-            x = maybe_post(residual + h, "encoder_attn_layer_norm")
+            x = maybe_post(residual * alpha + h, "encoder_attn_layer_norm")
 
         residual = x
-        h = MlpBlock(c.embed_dim, c.ffn_dim / c.embed_dim, name="ffn")(
+        h = FeedForward(c.embed_dim, c.ffn_dim, subln=c.subln,
+                        eps=c.layernorm_eps, name="ffn")(
             maybe_pre(x, "final_layer_norm")
         )
-        x = maybe_post(residual + h, "final_layer_norm")
+        x = maybe_post(residual * alpha + h, "final_layer_norm")
         return x, new_cache
 
 
 class Decoder(nn.Module):
-    """Full-sequence (training) and cached single-step (decoding) forward."""
+    """Full-sequence (training) and cached incremental (decoding) forward.
+
+    Relative-position bias (ref ``decoder.py:269-284,404-417``) is shared
+    across layers; the cached step evaluates the bias row at query position
+    ``index`` (the reference's incremental slice ``[-1:, :, :]`` indexes the
+    batch·heads dim and would fail upstream — rebuilt correctly here)."""
 
     cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, x, memory=None, memory_mask=None, caches=None, index=None):
+    def __call__(self, x, memory=None, memory_mask=None, caches=None,
+                 index=None, padding_mask=None):
         c = self.cfg
+        self_bias = cross_bias = None
+        if c.rel_pos_buckets > 0 and c.max_rel_pos > 0:
+            self_rel = RelativePositionBias(
+                num_buckets=c.rel_pos_buckets, max_distance=c.max_rel_pos,
+                heads=c.heads, name="self_attn_relative_position")
+            cross_rel = (RelativePositionBias(
+                num_buckets=c.rel_pos_buckets, max_distance=c.max_rel_pos,
+                heads=c.heads, name="cross_attn_relative_position")
+                if c.cross_attention else None)
+            t = x.shape[1]
+            if caches is None:
+                self_bias = self_rel(t, t)
+            else:
+                self_bias = self_rel(t, caches[0][0].shape[2], step=index)
+            if cross_rel is not None and memory is not None:
+                cross_bias = cross_rel(t, memory.shape[1],
+                                       step=0 if caches is None else index)
         new_caches = []
         for i in range(c.layers):
             cache = caches[i] if caches is not None else None
             x, nc = DecoderLayer(c, name=f"layers_{i}")(
-                x, memory, memory_mask, cache, index
+                x, memory, memory_mask, cache, index,
+                self_rel_pos=self_bias, cross_rel_pos=cross_bias,
+                padding_mask=padding_mask,
             )
             new_caches.append(nc)
         if c.normalize_before:

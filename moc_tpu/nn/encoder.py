@@ -71,30 +71,49 @@ class EncoderConfig:
 # ─────────────────────────── positional systems ───────────────────────────
 
 
-def xpos_rotary(x: jax.Array, scale_base: int, downscale: bool, offset: int = 0):
-    """xPos rotary embedding (ref ``xpos_relative_position.py:38-65``).
-    ``x [B, L, Dh]`` (per-head), applied to q (downscale=False) / k (True)."""
-    length, dh = x.shape[-2], x.shape[-1]
+def xpos_apply(x: jax.Array, pos: jax.Array, center, scale_base: int,
+               downscale: bool):
+    """xPos rotation + exponential decay at explicit positions.
+
+    ``x [..., T, Dh]``; ``pos [T]`` absolute token positions (may be traced);
+    ``center`` the zero-point of the DECAY exponent (the reference centers it
+    at ``ceil(total/2)`` per call — the attention score only sees the
+    *difference* of q/k decay exponents, so any shared center is equivalent;
+    exposing it lets the cached decode step reproduce the reference's
+    per-step coordinates exactly). Rotary ANGLES always use the raw 0-based
+    positions (ref ``fixed_pos_embedding``). ``inv_freq`` spans ``Dh/2``."""
+    dh = x.shape[-1]
     half = dh // 2
+    posf = pos.astype(jnp.float32)
     scale_vec = (jnp.arange(0, dh, 2) + 0.4 * dh) / (1.4 * dh)  # [half]
-    min_pos = -(length + offset) // 2
-    positions = jnp.arange(min_pos, min_pos + length + offset)[-length:]
-    scale = scale_vec[None, :] ** (positions[:, None] / scale_base)  # [L, half]
-    inv_freq = 1.0 / (10000 ** (jnp.arange(half * 2)[: half * 2] / (half * 2)))
-    # the reference derives sin/cos from the *scale matrix's* shape: [L, half]
-    ang = positions[:, None].astype(jnp.float32) * inv_freq[None, :half]
-    sin, cos = jnp.sin(ang), jnp.cos(ang)
+    scale = scale_vec[None, :] ** ((posf[:, None] - center) / scale_base)
     if downscale:
         scale = 1.0 / scale
+    inv_freq = 1.0 / (10000 ** (jnp.arange(half) / half))
+    ang = posf[:, None] * inv_freq[None, :]
 
-    def dup(m):  # interleave-duplicate [L, half] -> [L, dh]
+    def dup(m):  # interleave-duplicate [T, half] -> [T, dh]
         return jnp.repeat(m, 2, axis=-1)
 
-    sin, cos = dup(sin * scale), dup(cos * scale)
+    sin, cos = dup(jnp.sin(ang) * scale), dup(jnp.cos(ang) * scale)
     x1 = x[..., ::2]
     x2 = x[..., 1::2]
     rot = jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
     return x * cos + rot * sin
+
+
+def xpos_rotary(x: jax.Array, scale_base: int, downscale: bool, offset: int = 0):
+    """xPos rotary embedding (ref ``xpos_relative_position.py:38-65``).
+    ``x [..., L, Dh]`` (per-head), applied to q (downscale=False) / k (True).
+
+    Two coordinate systems coexist (ref ``XPOS.forward``): the DECAY
+    exponent runs over the zero-centered range ``arange(min_pos,
+    min_pos+L+offset)`` while the rotary ANGLES use plain 0-based positions
+    ``arange(L+offset)``; both take the last ``L`` rows."""
+    length = x.shape[-2]
+    total = length + offset
+    pos = jnp.arange(total)[-length:]
+    return xpos_apply(x, pos, (total + 1) // 2, scale_base, downscale)
 
 
 class RelativePositionBias(nn.Module):
@@ -127,10 +146,12 @@ class RelativePositionBias(nn.Module):
         return ret + jnp.where(is_small, n, val_large)
 
     @nn.compact
-    def __call__(self, qlen: int, klen: int):
+    def __call__(self, qlen: int, klen: int, step=0):
+        """``step`` offsets the query positions (ref ``compute_bias(step)``)
+        — used by cached decoding where the query is row ``index``."""
         table = self.param("rel_attn_bias", nn.initializers.normal(0.02),
                            (self.num_buckets, self.heads))
-        ctx = jnp.arange(qlen)[:, None]
+        ctx = jnp.arange(qlen)[:, None] + step
         mem = jnp.arange(klen)[None, :]
         buckets = self._bucket(mem - ctx)
         return table[buckets].transpose(2, 0, 1)  # [H, L, L]
@@ -338,7 +359,12 @@ class EncoderLayer(nn.Module):
             x = MultiwayLayerNorm(cfg.layernorm_eps, name="final_layer_norm")(x, split)
         if self.is_moe:
             b, l, d = x.shape
-            y, aux = MoELayer(dim=d, hidden_dim=cfg.ffn_dim, cfg=cfg.moe,
+            # experts inherit the encoder's subln (ref ``make_experts`` passes
+            # ``args.subln``, feedforward_network.py:60-68)
+            mcfg = cfg.moe
+            if mcfg.expert_subln is None:
+                mcfg = dataclasses.replace(mcfg, expert_subln=cfg.subln)
+            y, aux = MoELayer(dim=d, hidden_dim=cfg.ffn_dim, cfg=mcfg,
                               axis_name=cfg.expert_axis, name="moe_layer")(
                 x.reshape(b * l, d)
             )
