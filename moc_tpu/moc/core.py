@@ -59,6 +59,10 @@ class MOCConfig:
     temperature: float = 56.3477
     feature_dim: int = 512
     approx_topk: bool = False  # TPU approximate top-k for the selection union
+    # exact selection backend: "threshold" (bitwise radix threshold search,
+    # default — measured 15% faster end-to-end on v5e) or "sort" (batched
+    # top_k). Bit-identical outputs; see ``ops.union_selection_threshold``.
+    select_method: str = "threshold"
     dense: bool = False  # selection-free fast path (see moc_slide_logits_dense)
     # scoring-matmul dtype for the full-bag pass: "bfloat16" halves its HBM
     # read (the eval hot path's largest term; measured +34% exact-path and
@@ -129,7 +133,7 @@ def slide_process(
     capacity = selection_capacity_for(cfg.topj, cfg.n_classes, n)
     idx, sel_valid, count = ops.select_and_gather(
         logits, logits_ext, valid, cfg.topj, cfg.n_classes, capacity,
-        discard=cfg.discard, approx=cfg.approx_topk,
+        discard=cfg.discard, approx=cfg.approx_topk, method=cfg.select_method,
     )
 
     sel_feats = jnp.where(sel_valid[:, None], feats[idx], 0.0)  # [S, D]

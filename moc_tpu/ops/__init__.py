@@ -37,6 +37,8 @@ from moc_tpu.ops.selection import (
     union_selection,
     gather_selected,
     select_and_gather,
+    topk_threshold_mask,
+    union_selection_threshold,
 )
 
 __all__ = [
@@ -63,4 +65,6 @@ __all__ = [
     "union_selection",
     "gather_selected",
     "select_and_gather",
+    "topk_threshold_mask",
+    "union_selection_threshold",
 ]

