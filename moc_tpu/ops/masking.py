@@ -75,3 +75,36 @@ def topk_mean(values: jax.Array, j: int, count: jax.Array) -> jax.Array:
     pos = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
     w = (pos < eff).astype(values.dtype)
     return jnp.sum(values * w, axis=0) / eff.astype(values.dtype)
+
+
+def masked_col_topk_mask(scores: jax.Array, valid: jax.Array, k: int) -> jax.Array:
+    """Column-wise exact top-k MEMBERSHIP mask over valid rows — the set
+    ``masked_col_topk`` would select (ties → lowest row), without the
+    ``[N, C] → [C, N]`` transpose + sort that dominate its cost on TPU.
+
+    Same bitwise threshold search as ``selection.topk_threshold_mask`` but
+    along axis 0 so everything stays in the natural ``[N, C]`` layout: map
+    the masked scores to monotone uint32, bit-descend to each column's k-th
+    value (32 fused compare+reduce passes), then take above-threshold rows
+    plus the first ``k − #above`` ties in row order.
+
+    Returns bool ``[N, C]``; exactly ``k`` True per column (padded rows
+    included when fewer than ``k`` are valid — AND with ``valid`` to drop).
+    """
+    m = masked_logits(scores, valid) + 0.0  # -0.0 → +0.0, as compares order
+    bits = jax.lax.bitcast_convert_type(m.astype(jnp.float32), jnp.uint32)
+    u = jnp.where(bits >> 31 == 1, ~bits, bits | jnp.uint32(0x80000000))
+
+    def body(i, t):
+        cand = t | (jnp.uint32(1) << jnp.uint32(31 - i))
+        cnt = jnp.sum((u > cand[None, :]).astype(jnp.int32), axis=0)
+        return jnp.where(cnt >= k, cand, t)
+
+    t = jax.lax.fori_loop(0, 32, body, jnp.zeros(u.shape[1:], jnp.uint32))
+    have = jnp.sum((u > 0).astype(jnp.int32), axis=0) >= k
+    vk = jnp.where(have, t + 1, 0)[None, :]
+    above = u > vk
+    fill = k - jnp.sum(above.astype(jnp.int32), axis=0, keepdims=True)
+    tie = u == vk
+    rank = jnp.cumsum(tie.astype(jnp.int32), axis=0)
+    return above | (tie & (rank <= fill))

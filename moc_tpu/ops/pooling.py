@@ -28,7 +28,32 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from moc_tpu.ops.masking import NEG_INF, masked_col_topk, masked_row_margin, topk_mean
+from moc_tpu.ops.masking import (NEG_INF, masked_col_topk,
+                                 masked_col_topk_mask, masked_row_margin,
+                                 topk_mean)
+
+
+def _masked_sel_mean(logits: jax.Array, sel: jax.Array, valid: jax.Array,
+                     topj: int, count: jax.Array) -> jax.Array:
+    """Mean of ``logits`` over the per-class membership mask ``sel [N, C]``
+    (∩ valid), count-corrected like ``topk_mean``: divide by
+    ``max(min(topj, count), 1)``; all-pad bags pool to ``NEG_INF`` (matching
+    the sorted path, whose first masked value is the fill)."""
+    keep = sel & valid[:, None]
+    eff = jnp.maximum(jnp.minimum(jnp.asarray(topj, jnp.int32),
+                                  count.astype(jnp.int32)), 1)
+    pooled = jnp.sum(logits * keep.astype(logits.dtype), axis=0) / eff.astype(
+        logits.dtype)
+    return jnp.where(count > 0, pooled, jnp.asarray(NEG_INF, logits.dtype))
+
+
+def _rank_pool(ranking: jax.Array, logits: jax.Array, valid: jax.Array,
+               topj: int, count: jax.Array) -> jax.Array:
+    """Pool original ``logits`` at the per-class top-j set of ``ranking``
+    scores, via the transpose-free threshold membership mask (the sorted
+    gather path is kept for ``return_indices`` callers)."""
+    sel = masked_col_topk_mask(ranking, valid, min(topj, logits.shape[0]))
+    return _masked_sel_mean(logits, sel, valid, topj, count)
 
 
 def _gather_cols(mat: jax.Array, idx: jax.Array) -> jax.Array:
@@ -46,6 +71,8 @@ def _finish(values: jax.Array, idx: jax.Array, topj: int, count: jax.Array, retu
 def topj_pooling(logits, valid, topj: int, *, return_indices: bool = False):
     """Mean of per-class top-j logits (reference ``topj_pooling``)."""
     n_valid = jnp.sum(valid)
+    if not return_indices:
+        return _rank_pool(logits, logits, valid, topj, n_valid)
     vals, idx = masked_col_topk(logits, valid, min(topj, logits.shape[0]))
     return _finish(vals, idx, topj, n_valid, return_indices)
 
@@ -54,6 +81,8 @@ def delta_softmax_pooling(logits, valid, topj: int, *, return_indices: bool = Fa
     """Rank per class by row-softmax probability; pool original logits."""
     n_valid = jnp.sum(valid)
     probs = jax.nn.softmax(logits, axis=1)
+    if not return_indices:
+        return _rank_pool(probs, logits, valid, topj, n_valid)
     _, idx = masked_col_topk(probs, valid, min(topj, logits.shape[0]))
     vals = _gather_cols(logits, idx)
     return _finish(vals, idx, topj, n_valid, return_indices)
@@ -63,6 +92,8 @@ def delta_diff_pooling(logits, valid, topj: int, *, return_indices: bool = False
     """Rank rows by |top1-top2| margin; pool whole rows of original logits."""
     n_valid = jnp.sum(valid)
     margin = masked_row_margin(logits)
+    if not return_indices:
+        return _rank_pool(margin[:, None], logits, valid, topj, n_valid)
     margin_m = jnp.where(valid, margin, NEG_INF)
     _, row_idx = jax.lax.top_k(margin_m, min(topj, logits.shape[0]))  # [k]
     vals = logits[row_idx]  # [k, C]
@@ -74,6 +105,8 @@ def topj_delta_softmax_pooling(logits, valid, topj: int, *, return_indices: bool
     """Rank per class by softmax*logits product; pool original logits."""
     n_valid = jnp.sum(valid)
     mix = jax.nn.softmax(logits, axis=1) * logits
+    if not return_indices:
+        return _rank_pool(mix, logits, valid, topj, n_valid)
     _, idx = masked_col_topk(mix, valid, min(topj, logits.shape[0]))
     vals = _gather_cols(logits, idx)
     return _finish(vals, idx, topj, n_valid, return_indices)
@@ -84,6 +117,8 @@ def topj_delta_diff_pooling(logits, valid, topj: int, *, return_indices: bool = 
     n_valid = jnp.sum(valid)
     margin = masked_row_margin(logits)
     mix = logits * margin[:, None]
+    if not return_indices:
+        return _rank_pool(mix, logits, valid, topj, n_valid)
     _, idx = masked_col_topk(mix, valid, min(topj, logits.shape[0]))
     vals = _gather_cols(logits, idx)
     return _finish(vals, idx, topj, n_valid, return_indices)
