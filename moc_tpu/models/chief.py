@@ -53,6 +53,9 @@ class CHIEF(nn.Module):
         self.attn = attn_cls(attn_hidden, 1, cfg.dropout, name="attn")
         self.text_to_vision = nn.Dense(hidden, name="text_to_vision")
         self.classifiers = nn.Dense(cfg.n_classes, name="classifiers")
+        if cfg.dropout:
+            self.feat_drop = nn.Dropout(cfg.dropout)
+            self.site_drop = nn.Dropout(cfg.dropout)
         if self.site_embeddings is None:
             self.organ_embedding = self.param(
                 "organ_embedding", nn.initializers.normal(1.0),
@@ -67,13 +70,13 @@ class CHIEF(nn.Module):
         site = self.organ_embedding[jnp.asarray(anatomic)]
         site = nn.relu(self.text_to_vision(site))
         if self.cfg.dropout:
-            site = nn.Dropout(self.cfg.dropout, deterministic=not train)(site)
+            site = self.site_drop(site, deterministic=not train)
         return site
 
     def _embed(self, feats, valid, train):
         h = nn.relu(self.fc(feats))
         if self.cfg.dropout:
-            h = nn.Dropout(self.cfg.dropout, deterministic=not train)(h)
+            h = self.feat_drop(h, deterministic=not train)
         scores = self.attn(h, train=train).T  # [1, N]
         return h, scores
 
