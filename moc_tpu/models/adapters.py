@@ -60,14 +60,15 @@ def uncertainty(logits: jax.Array, kind: str, power: float) -> jax.Array:
         diff = jnp.max(p, axis=-1, keepdims=True) - jnp.min(p, axis=-1, keepdims=True)
         return 1.0 / diff.clip(1e-12) ** power
     if kind == "var":
-        return jnp.std(p, axis=-1, keepdims=True)
+        # torch.std is Bessel-corrected (ddof=1)
+        return jnp.std(p, axis=-1, keepdims=True, ddof=1)
     if kind == "top5":
         k = min(5, p.shape[-1])
         top = jax.lax.top_k(p, k)[0]
         return 1.0 / (top[..., 0] - top[..., k - 1])[..., None].clip(1e-12) ** power
     if kind == "moment":
         mu = jnp.mean(p, axis=-1, keepdims=True)
-        sigma = jnp.std(p, axis=-1, keepdims=True).clip(1e-12)
+        sigma = jnp.std(p, axis=-1, keepdims=True, ddof=1).clip(1e-12)
         m4 = jnp.mean(((p - mu) / sigma) ** 4, axis=-1, keepdims=True)
         return 1.0 / ((m4 / 250.0) ** power)
     if kind == "none":
@@ -81,7 +82,7 @@ def linear_adapter_init(features: np.ndarray, labels: np.ndarray, n_classes: int
     feature means (ref ``Linear_Adapter`` init, ``model_adapters.py:82-91``).
     Returns ``[feat_dim, n_classes]``."""
     f = np.asarray(features, np.float32)
-    f = (f - f.mean()) / f.std()
+    f = (f - f.mean()) / f.std(ddof=1)  # torch.std default is ddof=1
     w = np.zeros((feat_dim, n_classes), np.float32)
     for feat, lab in zip(f, np.asarray(labels)):
         w[:, int(lab)] += feat
@@ -231,7 +232,10 @@ class MoEClipAdapter(nn.Module):
         logits = image_features @ classifier
         pooled = ops.topj_pooling(logits, valid, cfg.topj)
         if self.use_balance_loss:
-            return pooled, load_balancing_loss(probs, top1, valid)
+            # the reference feeds the top-1-MASKED gate scores into the loss
+            # (``SwitchGate.forward``, model_adapters.py:320-327), not the
+            # full softmax
+            return pooled, load_balancing_loss(weights, top1, valid)
         return pooled
 
 
@@ -245,6 +249,11 @@ class AMUAdapter(nn.Module):
     uncertainty_type: str = "none"
     uncertainty_power: float = 1.0
     aux_cache_init: tuple | None = None
+    # "bottleneck" = Conch_AMUVanilla_Ada; "linear" = Conch_AMUTip_Ada (a
+    # cache-model Linear_Adapter on the main branch producing class logits
+    # directly, ref model_adapters.py:500-544)
+    main_adapter: str = "bottleneck"
+    main_cache_init: tuple | None = None
 
     @nn.compact
     def __call__(self, feats, valid, aux_feats, classifier):
@@ -252,8 +261,18 @@ class AMUAdapter(nn.Module):
         f = _l2norm(feats)
         clip_logits = f @ classifier
 
-        adapted = _l2norm(Bottleneck(cfg.c_in, cfg.reduction, name="adapter")(f))
-        adapted_logits = adapted @ classifier
+        if self.main_adapter == "linear":
+            if self.main_cache_init is not None:
+                init = lambda *_: jnp.asarray(np.asarray(self.main_cache_init),
+                                              jnp.float32)
+            else:
+                init = _kaiming_a5
+            w = self.param("cache_kernel", init, (cfg.c_in, cfg.n_classes))
+            adapted_logits = f @ w
+        else:
+            adapted = _l2norm(
+                Bottleneck(cfg.c_in, cfg.reduction, name="adapter")(f))
+            adapted_logits = adapted @ classifier
 
         if self.aux_cache_init is not None:
             aux_init = lambda *_: jnp.asarray(np.asarray(self.aux_cache_init), jnp.float32)

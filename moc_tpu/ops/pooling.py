@@ -42,7 +42,8 @@ def _masked_sel_mean(logits: jax.Array, sel: jax.Array, valid: jax.Array,
     keep = sel & valid[:, None]
     eff = jnp.maximum(jnp.minimum(jnp.asarray(topj, jnp.int32),
                                   count.astype(jnp.int32)), 1)
-    pooled = jnp.sum(logits * keep.astype(logits.dtype), axis=0) / eff.astype(
+    # where, not multiply: padded rows may hold NaN/inf and 0·NaN = NaN
+    pooled = jnp.sum(jnp.where(keep, logits, 0.0), axis=0) / eff.astype(
         logits.dtype)
     return jnp.where(count > 0, pooled, jnp.asarray(NEG_INF, logits.dtype))
 

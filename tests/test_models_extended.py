@@ -101,8 +101,20 @@ def test_moe_adapter_balance_loss():
     p = moe.init(jax.random.PRNGKey(0), feats, valid, w)
     pooled, bal = moe.apply(p, feats, valid, w)
     assert pooled.shape == (3,)
-    # perfectly balanced loss is 1.0; any routing is >= 1
-    assert float(bal) >= 1.0 - 1e-3
+    # reference semantics (SwitchGate.forward): the Switch-Transformer loss
+    # is computed on the top-1-MASKED gate scores — restate it in numpy
+    f = np.asarray(feats) / np.linalg.norm(np.asarray(feats), axis=-1,
+                                           keepdims=True)
+    gk = np.asarray(p["params"]["gate"]["kernel"])
+    logits = f @ gk
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    top1 = probs.argmax(-1)
+    onehot = np.eye(4)[top1]
+    masked = probs * onehot
+    v = np.asarray(valid, bool)
+    want = (np.mean(onehot[v], axis=0) * np.mean(masked[v], axis=0)).sum() * 4
+    np.testing.assert_allclose(float(bal), want, rtol=1e-5)
 
 
 def test_amu_adapter_uncertainty_types():
