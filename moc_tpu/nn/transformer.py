@@ -49,8 +49,9 @@ def _merge_heads(x):
 
 def _lora_a_init(key, shape, dtype=jnp.float32):
     # torch kaiming_uniform_(a=sqrt(5)) on [r, in]: U(±1/sqrt(in));
-    # flax layout is [in, r] so fan_in = shape[0].
-    bound = 1.0 / (shape[0] ** 0.5)
+    # flax layout is [.., in, r] so fan_in = shape[-2] (leading dims may
+    # stack experts).
+    bound = 1.0 / (shape[-2] ** 0.5)
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
@@ -62,17 +63,45 @@ class Attention(nn.Module):
     ``/root/reference/models/lora.py:13-42,68-97``: A kaiming-uniform,
     B zero, base weights frozen by the optimizer mask in
     ``moc_tpu.models.lora``).
+
+    ``lora_experts > 1`` stacks that many LoRA expert pairs per projection
+    and blends their deltas with a per-token softmax router — a WORKING
+    realization of the reference's ``MOELoRA`` (``lora.py:107-168``), whose
+    checked-in form is a copy of plain LoRA with a broken ``super()`` call
+    and an ignored ``moe_num``. Router weights init to zero (uniform gate)
+    and B to zero, so the wrapped model starts exactly at the base forward;
+    all mixture params carry the ``lora_`` prefix for the optimizer mask.
     """
 
     dim: int
     num_heads: int
     lora_rank: int = 0
+    lora_experts: int = 1
 
     @nn.compact
     def __call__(self, x, mask=None):
         qkv = nn.Dense(3 * self.dim, name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        if self.lora_rank > 0:
+        if self.lora_rank > 0 and self.lora_experts > 1:
+            r, e = self.lora_rank, self.lora_experts
+            a_q = self.param("lora_moe_a_q", _lora_a_init, (e, self.dim, r))
+            b_q = self.param("lora_moe_b_q", nn.initializers.zeros,
+                             (e, r, self.dim))
+            a_v = self.param("lora_moe_a_v", _lora_a_init, (e, self.dim, r))
+            b_v = self.param("lora_moe_b_v", nn.initializers.zeros,
+                             (e, r, self.dim))
+            router = self.param("lora_router", nn.initializers.zeros,
+                                (self.dim, e))
+            gate = jax.nn.softmax(x @ router, axis=-1)  # [.., L, E]
+
+            def delta(a, b):
+                h = jnp.einsum("...d,edr->...er", x, a)
+                d = jnp.einsum("...er,erd->...ed", h, b)
+                return jnp.einsum("...ed,...e->...d", d, gate)
+
+            q = q + delta(a_q, b_q)
+            v = v + delta(a_v, b_v)
+        elif self.lora_rank > 0:
             r = self.lora_rank
             a_q = self.param("lora_a_q", _lora_a_init, (self.dim, r))
             b_q = self.param("lora_b_q", nn.initializers.zeros, (r, self.dim))

@@ -253,3 +253,67 @@ def test_gt_mask_fewshot_init():
     # filtered variant differs from the unfiltered one
     aux_all, _ = fewshot_aux_features([tumor, normal], [1, 0])
     assert np.abs(aux - aux_all).max() > 1e-6
+
+
+def test_moe_lora_identity_at_init_and_trainable():
+    """lora_experts>1 = working MOELoRA (the reference's is a broken copy of
+    plain LoRA, ``lora.py:107-168``): zero-init B + zero-init router make the
+    wrapped attention exactly the base forward; mixture params and router are
+    marked trainable by the lora mask; gradients reach every expert and the
+    router."""
+    from moc_tpu.models.lora import count_trainable, lora_mask
+    from moc_tpu.nn.transformer import Attention
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 9, 32)).astype(np.float32))
+    base = Attention(32, 4)
+    moe = Attention(32, 4, lora_rank=4, lora_experts=3)
+    pb = base.init(jax.random.PRNGKey(0), x)
+    pm = moe.init(jax.random.PRNGKey(0), x)
+    # same base init (same rng stream order for in/out projections)
+    np.testing.assert_allclose(
+        np.asarray(moe.apply(pm, x)), np.asarray(base.apply(pb, x)),
+        rtol=1e-6, atol=1e-6)
+
+    mask = lora_mask(pm)["params"]
+    assert mask["lora_moe_a_q"] and mask["lora_router"]
+    assert not mask["in_proj"]["kernel"]
+    n_train, n_total = count_trainable(pm)
+    assert 0 < n_train < n_total
+
+    def loss(p):
+        return jnp.sum(moe.apply(p, x) ** 2)
+
+    g = jax.grad(loss)(pm)["params"]
+    # B zero-init blocks router/B-gradients only through the zero path;
+    # A-gradients must be nonzero, and after one step of B, router flows too
+    assert float(jnp.abs(g["lora_moe_b_q"]).sum()) > 0
+    pm2 = jax.tree.map(lambda a: a, pm)
+    pm2["params"]["lora_moe_b_q"] = jnp.ones_like(pm2["params"]["lora_moe_b_q"]) * 0.01
+    g2 = jax.grad(loss)(pm2)["params"]
+    assert float(jnp.abs(g2["lora_router"]).sum()) > 0
+    assert float(jnp.abs(g2["lora_moe_a_q"]).sum()) > 0
+
+
+def test_moe_lora_reduces_to_single_expert():
+    """Identical expert pairs + the zero router's uniform gate reproduce the
+    single-expert LoRA forward exactly."""
+    from moc_tpu.nn.transformer import Attention
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 7, 16)).astype(np.float32))
+    single = Attention(16, 2, lora_rank=3)
+    moe = Attention(16, 2, lora_rank=3, lora_experts=4)
+    ps = single.init(jax.random.PRNGKey(2), x)
+    pm = moe.init(jax.random.PRNGKey(2), x)
+    ps["params"]["lora_b_q"] = jnp.asarray(
+        rng.normal(size=(3, 16)).astype(np.float32))
+    ps["params"]["lora_b_v"] = jnp.asarray(
+        rng.normal(size=(3, 16)).astype(np.float32))
+    for name in ("a_q", "b_q", "a_v", "b_v"):
+        src = ps["params"][f"lora_{name}"]
+        pm["params"][f"lora_moe_{name}"] = jnp.broadcast_to(
+            src[None], (4, *src.shape))
+    np.testing.assert_allclose(np.asarray(moe.apply(pm, x)),
+                               np.asarray(single.apply(ps, x)),
+                               rtol=1e-5, atol=1e-6)
