@@ -265,3 +265,34 @@ def test_vila_prompt_csv(tmp_path):
     prompts = load_vila_prompts(str(p))
     assert len(prompts) == 4
     assert prompts[0].startswith("A slide of X at low")
+
+
+def test_encoder_decoder_shared_embeddings():
+    """share_all_embeddings reuses one table for both sides and ties the
+    output head to its transpose (ref ``encoder_decoder.py:23-43``,
+    ``build_output_projection``)."""
+    import numpy as np
+
+    from moc_tpu.nn.decoder import DecoderConfig
+    from moc_tpu.nn.encoder_decoder import EncoderDecoder, EncoderDecoderConfig
+
+    cfg = EncoderDecoderConfig(
+        src_vocab=50, tgt_vocab=50, max_len=16,
+        encoder=EncoderConfig(embed_dim=32, ffn_dim=64, layers=1, heads=4),
+        decoder=DecoderConfig(embed_dim=32, ffn_dim=64, layers=1, heads=4,
+                              cross_attention=True),
+        share_all_embeddings=True)
+    model = EncoderDecoder(cfg)
+    src = jnp.asarray(np.arange(10)[None] % 50)
+    tgt = jnp.asarray(np.arange(8)[None] % 50)
+    params = model.init(jax.random.PRNGKey(0), src, tgt)
+    assert "tgt_embed" not in params["params"]
+    assert "output_projection" not in params["params"]
+    logits, _ = model.apply(params, src, tgt)
+    assert logits.shape == (1, 8, 50)
+    # tied head: zeroing the embedding table zeroes the logits
+    zeroed = jax.tree.map(lambda a: a, params)
+    zeroed["params"]["src_embed"]["embedding"] = jnp.zeros_like(
+        zeroed["params"]["src_embed"]["embedding"])
+    lz, _ = model.apply(zeroed, src, tgt)
+    np.testing.assert_allclose(np.asarray(lz), 0.0, atol=1e-6)
