@@ -232,6 +232,10 @@ class MoEClipAdapter(nn.Module):
         logits = image_features @ classifier
         pooled = ops.topj_pooling(logits, valid, cfg.topj)
         if self.use_balance_loss:
+            if not self.use_switch_gate:
+                # reference SwitchGate returns loss None without switch
+                # gating (early return before the loss computation)
+                raise ValueError("use_balance_loss requires use_switch_gate")
             # the reference feeds the top-1-MASKED gate scores into the loss
             # (``SwitchGate.forward``, model_adapters.py:320-327), not the
             # full softmax

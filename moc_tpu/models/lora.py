@@ -55,11 +55,19 @@ def lora_optimizer(base: optax.GradientTransformation, params,
 
 def merge_lora(params):
     """Fold every attention's ``lora_a_{q,v} @ lora_b_{q,v}`` into its fused
-    ``in_proj`` kernel and drop the LoRA params (inference export)."""
+    ``in_proj`` kernel and drop the LoRA params (inference export).
+
+    Mixture-of-LoRA trees (``lora_moe_*``) cannot be folded — the routed
+    delta is input-dependent — so they raise instead of silently dropping
+    trained adapters."""
 
     def walk(tree):
         if not isinstance(tree, dict):
             return tree
+        if any(str(k).startswith("lora_moe_") for k in tree):
+            raise ValueError(
+                "merge_lora cannot fold mixture-of-LoRA experts "
+                "(input-dependent routing); export the adapters instead")
         if "in_proj" in tree and "lora_a_q" in tree:
             kernel = np.array(tree["in_proj"]["kernel"])
             d = kernel.shape[0]

@@ -363,7 +363,8 @@ class EncoderLayer(nn.Module):
             # ``args.subln``, feedforward_network.py:60-68)
             mcfg = cfg.moe
             if mcfg.expert_subln is None:
-                mcfg = dataclasses.replace(mcfg, expert_subln=cfg.subln)
+                mcfg = dataclasses.replace(mcfg, expert_subln=cfg.subln,
+                                           layernorm_eps=cfg.layernorm_eps)
             y, aux = MoELayer(dim=d, hidden_dim=cfg.ffn_dim, cfg=mcfg,
                               axis_name=cfg.expert_axis, name="moe_layer")(
                 x.reshape(b * l, d)

@@ -56,7 +56,8 @@ class EncoderDecoder(nn.Module):
         self.encoder = Encoder(c.encoder, name="encoder")
         self.decoder = Decoder(c.decoder, name="decoder")
         if not self._tied():
-            self.output_projection = nn.Dense(c.tgt_vocab,
+            # ref build_output_projection: bias-free in the untied path too
+            self.output_projection = nn.Dense(c.tgt_vocab, use_bias=False,
                                               name="output_projection")
 
     def _tied(self) -> bool:

@@ -172,10 +172,12 @@ class ResidualAttentionBlock(nn.Module):
     mlp_ratio: float = 4.0
     lora_rank: int = 0
     block_lora_rank: int = 0
+    lora_experts: int = 1
 
     @nn.compact
     def __call__(self, x, mask=None):
-        x = x + Attention(self.dim, self.num_heads, self.lora_rank, name="attn")(
+        x = x + Attention(self.dim, self.num_heads, self.lora_rank,
+                          self.lora_experts, name="attn")(
             LayerNorm(name="ln_1")(x), mask
         )
         x = x + MlpBlock(self.dim, self.mlp_ratio, name="mlp")(
@@ -207,6 +209,7 @@ class Transformer(nn.Module):
     lora_rank: int = 0
     lora_last_n: int | None = None
     block_lora_rank: int = 0  # whole-block residual LoRA (ref Block_LoRA)
+    lora_experts: int = 1  # >1 = mixture-of-LoRA-experts per injected block
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -220,7 +223,7 @@ class Transformer(nn.Module):
             rank = self.lora_rank if i >= first_lora else 0
             brank = self.block_lora_rank if i >= first_lora else 0
             x = block(self.dim, self.num_heads, self.mlp_ratio, rank, brank,
-                      name=f"resblocks_{i}")(x, mask)
+                      self.lora_experts, name=f"resblocks_{i}")(x, mask)
         return x
 
 

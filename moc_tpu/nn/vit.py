@@ -29,6 +29,7 @@ class VisionTransformer(nn.Module):
     lora_rank: int = 0
     lora_last_n: int | None = None
     block_lora_rank: int = 0  # whole-block residual LoRA (ref Block_LoRA)
+    lora_experts: int = 1  # >1 = mixture-of-LoRA-experts (working MOELoRA)
 
     @property
     def grid(self) -> int:
@@ -52,6 +53,7 @@ class VisionTransformer(nn.Module):
                         self.mlp_ratio, remat=self.remat,
                         lora_rank=self.lora_rank, lora_last_n=self.lora_last_n,
                         block_lora_rank=self.block_lora_rank,
+                        lora_experts=self.lora_experts,
                         name="blocks")(x)
         return LayerNorm(name="norm")(x)
 

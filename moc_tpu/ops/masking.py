@@ -77,34 +77,50 @@ def topk_mean(values: jax.Array, j: int, count: jax.Array) -> jax.Array:
     return jnp.sum(values * w, axis=0) / eff.astype(values.dtype)
 
 
+def monotone_u32(x: jax.Array) -> jax.Array:
+    """Order-preserving f32 → u32 map (the radix-sort trick): flip all bits
+    of negatives, set the sign bit of non-negatives. ``+0.0`` is added first
+    so −0.0 compares equal to +0.0, as float comparison (and ``top_k``)
+    does. Shared by every threshold-search top-k variant (the Pallas kernel
+    keeps an in-kernel int32 restatement — Mosaic-side constraint)."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32) + 0.0,
+                                        jnp.uint32)
+    return jnp.where(bits >> 31 == 1, ~bits, bits | jnp.uint32(0x80000000))
+
+
+def threshold_topk_mask(keys: jax.Array, k: int, axis: int) -> jax.Array:
+    """Exact top-k MEMBERSHIP mask along ``axis`` — the set ``top_k`` would
+    select with its tie handling (ties at the k-th value → lowest index) —
+    via a 32-step bitwise threshold search instead of a sort: bit-descend to
+    the k-th largest value per slice (one fused compare+reduce per bit),
+    then take above-threshold entries plus the first ``k − #above`` ties in
+    index order. Exactly ``k`` True per slice."""
+    u = monotone_u32(keys)
+    exp = lambda t: jnp.expand_dims(t, axis)
+
+    def body(i, t):
+        cand = t | (jnp.uint32(1) << jnp.uint32(31 - i))
+        cnt = jnp.sum((u > exp(cand)).astype(jnp.int32), axis=axis)
+        return jnp.where(cnt >= k, cand, t)
+
+    shape = u.shape[:axis] + u.shape[axis:][1:] if axis != -1 else u.shape[:-1]
+    t = jax.lax.fori_loop(0, 32, body, jnp.zeros(shape, jnp.uint32))
+    have = jnp.sum((u > 0).astype(jnp.int32), axis=axis) >= k
+    vk = exp(jnp.where(have, t + 1, 0))
+    above = u > vk
+    fill = k - jnp.sum(above.astype(jnp.int32), axis=axis, keepdims=True)
+    tie = u == vk
+    rank = jnp.cumsum(tie.astype(jnp.int32), axis=axis)
+    return above | (tie & (rank <= fill))
+
+
 def masked_col_topk_mask(scores: jax.Array, valid: jax.Array, k: int) -> jax.Array:
     """Column-wise exact top-k MEMBERSHIP mask over valid rows — the set
     ``masked_col_topk`` would select (ties → lowest row), without the
-    ``[N, C] → [C, N]`` transpose + sort that dominate its cost on TPU.
-
-    Same bitwise threshold search as ``selection.topk_threshold_mask`` but
-    along axis 0 so everything stays in the natural ``[N, C]`` layout: map
-    the masked scores to monotone uint32, bit-descend to each column's k-th
-    value (32 fused compare+reduce passes), then take above-threshold rows
-    plus the first ``k − #above`` ties in row order.
+    ``[N, C] → [C, N]`` transpose + sort that dominate its cost on TPU
+    (everything stays in the natural ``[N, C]`` layout).
 
     Returns bool ``[N, C]``; exactly ``k`` True per column (padded rows
     included when fewer than ``k`` are valid — AND with ``valid`` to drop).
     """
-    m = masked_logits(scores, valid) + 0.0  # -0.0 → +0.0, as compares order
-    bits = jax.lax.bitcast_convert_type(m.astype(jnp.float32), jnp.uint32)
-    u = jnp.where(bits >> 31 == 1, ~bits, bits | jnp.uint32(0x80000000))
-
-    def body(i, t):
-        cand = t | (jnp.uint32(1) << jnp.uint32(31 - i))
-        cnt = jnp.sum((u > cand[None, :]).astype(jnp.int32), axis=0)
-        return jnp.where(cnt >= k, cand, t)
-
-    t = jax.lax.fori_loop(0, 32, body, jnp.zeros(u.shape[1:], jnp.uint32))
-    have = jnp.sum((u > 0).astype(jnp.int32), axis=0) >= k
-    vk = jnp.where(have, t + 1, 0)[None, :]
-    above = u > vk
-    fill = k - jnp.sum(above.astype(jnp.int32), axis=0, keepdims=True)
-    tie = u == vk
-    rank = jnp.cumsum(tie.astype(jnp.int32), axis=0)
-    return above | (tie & (rank <= fill))
+    return threshold_topk_mask(masked_logits(scores, valid), k, axis=0)

@@ -17,7 +17,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from moc_tpu.ops.masking import NEG_INF, masked_col_topk, masked_row_margin, topk_fn
+from moc_tpu.ops.masking import (NEG_INF, masked_col_topk,
+                                 masked_row_margin, monotone_u32,
+                                 threshold_topk_mask, topk_fn)
 
 
 def _scatter_topk_mask(idx: jax.Array, n: int) -> jax.Array:
@@ -175,59 +177,18 @@ def _policy_candidates(logits: jax.Array, logits_ext: jax.Array,
     return jnp.where(valid[jnp.minimum(cand, n - 1)] & (cand < n), cand, n)
 
 
-def _monotone_u32(x: jax.Array) -> jax.Array:
-    """Order-preserving f32 → u32 map (the radix-sort trick): flip all bits
-    of negatives, set the sign bit of non-negatives. ``+0.0`` is added first
-    so −0.0 compares equal to +0.0, as float comparison (and ``top_k``)
-    treats them."""
-    x = x.astype(jnp.float32) + 0.0
-    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    return jnp.where(bits >> 31 == 1, ~bits, bits | jnp.uint32(0x80000000))
-
-
-def _topk_threshold_mask_xla(keys: jax.Array, k: int) -> jax.Array:
-    """Exact top-k SET per row as a boolean mask ``[..., N]`` — identical
-    membership to ``jax.lax.top_k`` including tie handling (ties at the k-th
-    value resolve to the lowest indices) — via a 32-step bitwise threshold
-    search instead of a sort.
-
-    Per row: find the k-th largest value v_k in monotone-u32 space by greedy
-    bit descent (each step one masked count, so 32 O(N) passes total), then
-    select ``u > v_k`` plus the first ``k − #(u > v_k)`` elements equal to
-    v_k in index order. Exactly k elements are selected per row. O(N) VPU
-    work per pass with no sort network; on bags of 10⁴-10⁵ patches this
-    replaces the dominant cost of the exact selection path.
-    """
-    u = _monotone_u32(keys)
-
-    def body(i, t):
-        cand = t | (jnp.uint32(1) << jnp.uint32(31 - i))
-        cnt = jnp.sum((u > cand[..., None]).astype(jnp.int32), axis=-1)
-        return jnp.where(cnt >= k, cand, t)
-
-    # t := max T with #(u > T) ≥ k (predicate is anti-monotone in T)
-    t = jax.lax.fori_loop(0, 32, body, jnp.zeros(u.shape[:-1], jnp.uint32))
-    have = jnp.sum((u > 0).astype(jnp.int32), axis=-1) >= k
-    vk = jnp.where(have, t + 1, 0)[..., None]  # k-th largest value
-    above = u > vk
-    m = k - jnp.sum(above.astype(jnp.int32), axis=-1, keepdims=True)
-    tie = u == vk
-    tie_rank = jnp.cumsum(tie.astype(jnp.int32), axis=-1)
-    return above | (tie & (tie_rank <= m))
-
-
 def topk_threshold_mask(keys: jax.Array, k: int, impl: str = "xla") -> jax.Array:
     """Exact top-k membership mask per row (ties → lowest index).
 
-    ``impl="xla"`` runs the bit-descent directly in XLA (32 fused
-    compare+reduce passes — measured fastest on v5e, 6× over ``top_k``);
-    ``impl="pallas"`` uses the single-HBM-pass kernel in ``ops.topk_kernel``
-    (2× over ``top_k``; requires lane-aligned N)."""
+    ``impl="xla"`` runs the bit-descent directly in XLA
+    (``masking.threshold_topk_mask`` — measured fastest on v5e, 6× over
+    ``top_k``); ``impl="pallas"`` uses the single-HBM-pass kernel in
+    ``ops.topk_kernel`` (2× over ``top_k``; requires lane-aligned N)."""
     if impl == "pallas" and keys.shape[-1] % 128 == 0 and keys.shape[-1] >= 128:
         from moc_tpu.ops.topk_kernel import topk_threshold_mask_tpu
 
         return topk_threshold_mask_tpu(keys, k)
-    return _topk_threshold_mask_xla(keys, k)
+    return threshold_topk_mask(keys, k, axis=-1)
 
 
 def union_selection_threshold(logits: jax.Array, logits_ext: jax.Array,
@@ -251,7 +212,7 @@ def union_selection_threshold(logits: jax.Array, logits_ext: jax.Array,
         bk_asc, slot_valid, _ = gather_selected(sel[-1], k)
         # exact lax.top_k ordering: key desc, ties index-asc (stable sort of
         # ~u over the already index-ascending buffer)
-        ukey = jnp.where(slot_valid, _monotone_u32(stacked[-1])[bk_asc],
+        ukey = jnp.where(slot_valid, monotone_u32(stacked[-1])[bk_asc],
                          jnp.uint32(0))
         _, bk_idx = jax.lax.sort((~ukey, bk_asc), num_keys=1, is_stable=True)
         bk_count = jnp.minimum(k, jnp.sum(valid))
@@ -302,11 +263,11 @@ def select_and_gather(logits: jax.Array, logits_ext: jax.Array,
     """
     n = logits.shape[0]
     cap = min(capacity, n)
-    if method == "threshold":
+    if method == "threshold" and not approx:
         # exact-only alternative: bitwise threshold search instead of sort
-        # (bit-identical selection; see ``union_selection_threshold``)
-        if approx:
-            raise ValueError("method='threshold' is exact-only")
+        # (bit-identical selection; see ``union_selection_threshold``). The
+        # approximate-top-k opt-in needs ranking hardware, so it falls back
+        # to the sort path below.
         mask = union_selection_threshold(logits, logits_ext, valid, topj,
                                          n_classes, discard)
         return gather_selected(mask, cap)

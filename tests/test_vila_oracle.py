@@ -46,22 +46,27 @@ def _install_conch_stubs():
         sys.modules["timm.models"] = tm.models
     tmm = tm.models
     if not hasattr(tmm, "vision_transformer"):
-        vt = types.ModuleType("timm.models.vision_transformer")
-
+        tmm.vision_transformer = types.ModuleType(
+            "timm.models.vision_transformer")
+        sys.modules["timm.models.vision_transformer"] = tmm.vision_transformer
+    if not hasattr(tmm.vision_transformer, "VisionTransformer"):
         class VisionTransformer(torch.nn.Module):
             def __init__(self, *a, **k):
                 super().__init__()
 
-        vt.VisionTransformer = VisionTransformer
-        tmm.vision_transformer = vt
-        sys.modules["timm.models.vision_transformer"] = vt
+        tmm.vision_transformer.VisionTransformer = VisionTransformer
     if not hasattr(tmm, "layers"):
-        tl = types.ModuleType("timm.models.layers")
+        tmm.layers = types.ModuleType("timm.models.layers")
+        sys.modules["timm.models.layers"] = tmm.layers
+    # other oracle suites (test_musk_oracle) may have installed a partial
+    # timm.models.layers already — extend, never assume
+    tl = tmm.layers
+    if not hasattr(tl, "Mlp"):
         tl.Mlp = torch.nn.Identity
+    if not hasattr(tl, "to_2tuple"):
         tl.to_2tuple = lambda x: (x, x) if not isinstance(x, tuple) else x
+    if not hasattr(tl, "trunc_normal_"):
         tl.trunc_normal_ = lambda t, *a, **k: t
-        tmm.layers = tl
-        sys.modules["timm.models.layers"] = tl
     # conch utils.py / transform.py want torchvision pieces; extend whatever
     # torchvision stub other oracle tests may have installed in this session
     tv = sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
