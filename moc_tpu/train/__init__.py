@@ -68,3 +68,5 @@ __all__ = [
     "streamed_slide_logits",
     "update_queue",
 ]
+
+from moc_tpu.train.accum import chunk_bag, streaming_attention_pool  # noqa: E402,F401
