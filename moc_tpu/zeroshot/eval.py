@@ -155,3 +155,9 @@ def run_zeroshot_tiles(
     return classification_metrics(probs, preds, targets, metrics), {
         "logits": logits, "targets": targets, "preds": preds,
     }
+
+
+# reference-named alias (ref ``zeroshot_path.py:153`` calls this
+# ``run_zeroshot``; the _tiles suffix here disambiguates from the
+# slide-level ``run_mizero``)
+run_zeroshot = run_zeroshot_tiles
