@@ -97,20 +97,28 @@ class NystromAttention(nn.Module):
         attn1 = msoftmax(sim1, lm_valid)
         attn2 = msoftmax(sim2, lm_valid)
         attn3 = msoftmax(sim3, valid)
-        out = attn1 @ _iter_pinv(attn2, self.pinv_iterations) @ (attn3 @ v)  # [h, n, dh]
+        # right-associate: z is [m, dh]-small, so attn1 @ (pinv @ (attn3@v))
+        # does O(n·m·dh) work — the left-associated form pays an extra
+        # O(n·m²) product ([16k,256]@[256,256] per head)
+        z = _iter_pinv(attn2, self.pinv_iterations) @ (attn3 @ v)
+        out = attn1 @ z  # [h, n, dh]
 
         if self.residual:
             # depthwise conv along the sequence, one filter per head shared
-            # across dh (ref nystrom_attention residual conv, kernel 33)
+            # across dh (ref nystrom_attention residual conv, kernel 33).
+            # Runs as a 512-channel depthwise conv (lane-aligned) with the
+            # per-head filter tiled across its dh channels — the 8-channel
+            # formulation wasted 94% of each vector register.
             kern = self.param("res_conv", nn.initializers.lecun_normal(),
                               (self.residual_kernel, 1, h))
-            vt = v.transpose(1, 0, 2).reshape(n, h * dh)  # [n, h*dh]
-            conv_in = v.transpose(2, 1, 0).reshape(dh, n, h)  # [dh, n, h] batch=dh
+            kern_full = jnp.repeat(kern, dh, axis=2)  # [K, 1, h*dh]
+            vt = v.transpose(1, 0, 2).reshape(1, n, h * dh)  # ch = head*dh+j
             conv = jax.lax.conv_general_dilated(
-                conv_in, kern, (1,), "SAME",
-                dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=h,
-            )  # [dh, n, h]
-            out = out + conv.transpose(2, 1, 0)
+                vt, kern_full, (1,), "SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=h * dh,
+            )  # [1, n, h*dh]
+            out = out + conv[0].reshape(n, h, dh).transpose(1, 0, 2)
 
         out = out.transpose(1, 0, 2).reshape(n, d)[n - n_orig :]
         return nn.Dense(d, name="to_out")(out)
@@ -137,10 +145,25 @@ class PPEG(nn.Module):
         cls, toks = x[:1], x[1:]
         toks = toks * valid[1:, None]  # zero pads so convs don't leak them
         img = toks.reshape(grid_h, grid_w, self.dim)[None]  # [1, H, W, C]
-        out = img
+        # all three depthwise convs read the SAME input and sum, so they fold
+        # into one 7×7 depthwise conv whose kernel is the sum of the
+        # zero-padded 7/5/3 kernels (+δ for the identity term) — exact, one
+        # pass instead of three. Parameters keep the reference layout.
+        kernels, biases = [], []
         for ksize, name in ((7, "proj"), (5, "proj1"), (3, "proj2")):
-            out = out + nn.Conv(self.dim, (ksize, ksize), padding="SAME",
-                                feature_group_count=self.dim, name=name)(img)
+            k = self.param(f"{name}_kernel", nn.initializers.lecun_normal(),
+                           (ksize, ksize, 1, self.dim))
+            b = self.param(f"{name}_bias", nn.initializers.zeros, (self.dim,))
+            p = (7 - ksize) // 2
+            kernels.append(jnp.pad(k, ((p, p), (p, p), (0, 0), (0, 0))))
+            biases.append(b)
+        combined = kernels[0] + kernels[1] + kernels[2]
+        combined = combined.at[3, 3, 0, :].add(1.0)  # the identity residual
+        out = jax.lax.conv_general_dilated(
+            img, combined, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.dim,
+        ) + (biases[0] + biases[1] + biases[2])
         return jnp.concatenate([cls, out[0].reshape(-1, self.dim)], axis=0)
 
 
