@@ -17,6 +17,7 @@ from moc_tpu.train.mil import (
     MilTrainConfig,
     build_model,
     evaluate_model,
+    half_precision_params,
     evaluate_patch_level,
     init_classifier_from_weights,
     train_fold,
@@ -51,6 +52,7 @@ __all__ = [
     "MilTrainConfig",
     "build_model",
     "evaluate_model",
+    "half_precision_params",
     "evaluate_patch_level",
     "init_classifier_from_weights",
     "train_fold",
