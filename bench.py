@@ -75,7 +75,7 @@ def bench_jax() -> float:
     # the tunnel's dispatch-side jitter is large; take the best slope of many
     # repeats so the recorded headline reflects device throughput, not host load
     t = device_time(lambda b: eval_batch(params, b, w, w_ext), batch,
-                    iters=ITERS, repeats=8)
+                    iters=ITERS, repeats=8, reduce="median")
     sps = BATCH / t
     log(f"jax: {t * 1e3:.2f} ms/batch of {BATCH} -> {sps:.1f} slides/s")
     return sps

@@ -32,13 +32,20 @@ def _run_k(fn: Callable, args: Sequence, k: int) -> float:
 
 
 def device_time(fn: Callable, *args, iters: int = 10, warmup: int = 2,
-                repeats: int = 3) -> float:
-    """Seconds per call of ``fn(*args)`` (jitted), tunnel-latency corrected."""
+                repeats: int = 3, reduce: str = "best") -> float:
+    """Seconds per call of ``fn(*args)`` (jitted), tunnel-latency corrected.
+
+    ``reduce="best"`` (min over repeats) is right for micro-comparisons;
+    ``"median"`` is right for reported headline numbers — the tunnel
+    occasionally under-measures a repeat badly (4× throughput mirages were
+    observed), and the minimum amplifies exactly those glitches."""
     for _ in range(warmup):
         _run_k(fn, args, 1)
-    best = float("inf")
+    samples = []
     for _ in range(repeats):
         t1 = _run_k(fn, args, 1)
         tk = _run_k(fn, args, 1 + iters)
-        best = min(best, max((tk - t1) / iters, 1e-9))
-    return best
+        samples.append(max((tk - t1) / iters, 1e-9))
+    if reduce == "median":
+        return float(np.median(samples))
+    return min(samples)
