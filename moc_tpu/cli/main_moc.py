@@ -44,6 +44,9 @@ def get_args(argv=None):
     p.add_argument("--summary_dir", type=str, default="")
     p.add_argument("--num_epochs", type=int, default=25)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic_classes", type=int, default=2,
+                   help="class count for --dataset synthetic (3+ exercises "
+                        "the ovo-macro AUC path)")
     # explicit environment paths (hard-coded in the reference)
     p.add_argument("--data_root", type=str, default="data")
     p.add_argument("--prompt_root", type=str, default="models/prompts")
@@ -91,11 +94,15 @@ def _synthetic_setup(args):
     from moc_tpu.data import make_synthetic_corpus
     from moc_tpu.data.synthetic import SyntheticWSIConfig
 
+    n_cls = getattr(args, "synthetic_classes", 2)
     root = os.path.join(args.result_dir, "synthetic_corpus")
+    if n_cls != 2:
+        root = os.path.join(args.result_dir, f"synthetic_corpus_{n_cls}cls")
     marker = os.path.join(root, "dataset.csv")
     # 16/class: val 2 + test 4 leaves 10 ≥ the largest shot (8)
-    cfg = SyntheticWSIConfig(n_classes=2, slides_per_class=16, min_patches=500,
-                             max_patches=2000, seed=args.seed)
+    cfg = SyntheticWSIConfig(n_classes=n_cls, slides_per_class=16,
+                             min_patches=500, max_patches=2000,
+                             seed=args.seed)
     if not os.path.exists(marker):
         corpus = make_synthetic_corpus(
             root, cfg, shots=(1, 2, 4, 8), n_folds=5,

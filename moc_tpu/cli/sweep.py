@@ -35,6 +35,8 @@ def get_args(argv=None):
     p.add_argument("--load_weight", type=lambda s: s.lower() != "false", default=True)
     p.add_argument("--check_zeroshot", type=lambda s: s.lower() != "false", default=True)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic_classes", type=int, default=2,
+                   help="class count for --dataset synthetic")
     p.add_argument("--platform", default=None)
     p.add_argument("--resume", action="store_true",
                    help="skip (fold, shot) episodes whose result JSON exists "
