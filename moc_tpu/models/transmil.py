@@ -134,6 +134,24 @@ class TransLayer(nn.Module):
                                     name="attn")(normed, valid)
 
 
+class _DepthwiseParams(nn.Module):
+    """Parameter container matching ``nn.Conv``'s depthwise layout
+    ({kernel [k,k,1,dim], bias [dim]}) so PPEG's param tree keeps the
+    nested proj/proj1/proj2 structure of saved checkpoints and the torch
+    ``pos_layer.proj*.weight`` mirror, while the three convs execute as
+    one folded kernel."""
+
+    ksize: int
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.ksize, self.ksize, 1, self.dim))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return k, b
+
+
 class PPEG(nn.Module):
     """Pyramid positional encoding: 7/5/3 depthwise convs over the token grid
     (ref ``model_mil.py:228-241``)."""
@@ -148,12 +166,10 @@ class PPEG(nn.Module):
         # all three depthwise convs read the SAME input and sum, so they fold
         # into one 7×7 depthwise conv whose kernel is the sum of the
         # zero-padded 7/5/3 kernels (+δ for the identity term) — exact, one
-        # pass instead of three. Parameters keep the reference layout.
+        # pass instead of three.
         kernels, biases = [], []
         for ksize, name in ((7, "proj"), (5, "proj1"), (3, "proj2")):
-            k = self.param(f"{name}_kernel", nn.initializers.lecun_normal(),
-                           (ksize, ksize, 1, self.dim))
-            b = self.param(f"{name}_bias", nn.initializers.zeros, (self.dim,))
+            k, b = _DepthwiseParams(ksize, self.dim, name=name)()
             p = (7 - ksize) // 2
             kernels.append(jnp.pad(k, ((p, p), (p, p), (0, 0), (0, 0))))
             biases.append(b)

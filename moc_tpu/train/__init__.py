@@ -10,6 +10,7 @@ from moc_tpu.train.pretrain import (
     make_sharded_train_step,
     run_pretrain,
 )
+from moc_tpu.train.accum import chunk_bag, streaming_attention_pool
 from moc_tpu.train.mil import (
     AccuracyLogger,
     EarlyStopping,
@@ -51,8 +52,10 @@ __all__ = [
     "FoldResult",
     "MilTrainConfig",
     "build_model",
+    "chunk_bag",
     "evaluate_model",
     "half_precision_params",
+    "streaming_attention_pool",
     "evaluate_patch_level",
     "init_classifier_from_weights",
     "train_fold",
@@ -70,5 +73,3 @@ __all__ = [
     "streamed_slide_logits",
     "update_queue",
 ]
-
-from moc_tpu.train.accum import chunk_bag, streaming_attention_pool  # noqa: E402,F401

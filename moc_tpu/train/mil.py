@@ -278,12 +278,14 @@ def _auc_host(probs: np.ndarray, labels: np.ndarray, n_classes: int) -> float:
         return float(np.nanmean(aucs))
 
 
-def half_precision_params(params):
-    """Cast float32 leaves to bfloat16 for inference. The MIL heads are
-    HBM-bandwidth-bound; bf16 params+activations measured 6.6× faster CLAM
-    eval on v5e at ~2e-3 logit deviation. Train in f32; cast for serving."""
+def half_precision_params(params, dtype=None):
+    """Cast float32 leaves to ``dtype`` (default bfloat16) for inference.
+    The MIL heads are HBM-bandwidth-bound; bf16 params+activations measured
+    6.6× faster CLAM eval on v5e at ~2e-3 logit deviation. Train in f32;
+    cast for serving."""
+    dtype = jnp.bfloat16 if dtype is None else dtype
     return jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16)
+        lambda a: a.astype(dtype)
         if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, params)
 
 
@@ -297,9 +299,7 @@ def evaluate_model(cfg: MilTrainConfig, params, batches,
     (see ``half_precision_params``); metrics stay f32 on host."""
     _, forward, _ = build_model(cfg)
     if compute_dtype is not None:
-        params = jax.tree.map(
-            lambda a: a.astype(compute_dtype)
-            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, params)
+        params = half_precision_params(params, compute_dtype)
 
     @jax.jit
     def eval_step(params, feats, mask):

@@ -48,4 +48,6 @@ def device_time(fn: Callable, *args, iters: int = 10, warmup: int = 2,
         samples.append(max((tk - t1) / iters, 1e-9))
     if reduce == "median":
         return float(np.median(samples))
+    if reduce != "best":
+        raise ValueError(f"unknown reduce {reduce!r} (use 'best' or 'median')")
     return min(samples)

@@ -24,6 +24,7 @@ from moc_tpu.zeroshot.eval import (
     classification_metrics,
     multi_topj_pooling,
     run_mizero,
+    run_zeroshot,
     run_zeroshot_tiles,
 )
 
@@ -46,5 +47,6 @@ __all__ = [
     "classification_metrics",
     "multi_topj_pooling",
     "run_mizero",
+    "run_zeroshot",
     "run_zeroshot_tiles",
 ]

@@ -266,8 +266,6 @@ def test_evaluate_model_bfloat16_close_to_f32():
     labels = jnp.asarray([0, 1, 0, 1])
     params = init_fn(jax.random.PRNGKey(0), feats[0], mask[0])
 
-    class B:
-        features, mask_, labels_ = feats, mask, labels
     batch = type("Batch", (), {"features": feats, "mask": mask,
                                "labels": labels})()
     full = evaluate_model(cfg, params, [batch])
