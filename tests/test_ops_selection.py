@@ -236,3 +236,22 @@ def test_select_and_gather_threshold_method_identical():
                                   method="threshold")
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_threshold_method_across_bucket_shapes():
+    """Bit-identical sort/threshold selection at the loader's real bucket
+    sizes, non-lane-aligned lengths, and nearly-empty bags."""
+    rng = np.random.default_rng(17)
+    for n, valid_n in [(4096, 3777), (999, 999), (200, 7)]:
+        logits = rng.normal(size=(n, 2)).astype(np.float32)
+        ext = rng.normal(size=(n, 6)).astype(np.float32)
+        valid = np.arange(n) < valid_n
+        cap = selection_capacity(400, 2, n=n)
+        a = ops.select_and_gather(jnp.asarray(logits), jnp.asarray(ext),
+                                  jnp.asarray(valid), 400, 2, cap)
+        b = ops.select_and_gather(jnp.asarray(logits), jnp.asarray(ext),
+                                  jnp.asarray(valid), 400, 2, cap,
+                                  method="threshold")
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=f"{n}/{valid_n}")
