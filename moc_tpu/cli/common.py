@@ -1,0 +1,45 @@
+"""Shared CLI plumbing: the performance-tier flags of ``MOCConfig``.
+
+The reference has no equivalent knobs (its hot path is eager torch,
+``/root/reference/main_moc.py:322-375``); these expose the TPU fast paths —
+dense selection-free forward, bfloat16 scoring, threshold/sort/approx top-k —
+on every entry point so the benchmarked tiers are user-reachable.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def add_perf_flags(p: argparse.ArgumentParser) -> None:
+    g = p.add_argument_group("performance tiers")
+    g.add_argument("--dense", action="store_true",
+                   help="selection-free fused forward (fastest; differs from "
+                        "reference semantics only when a row outside the "
+                        "4xtopj union would rank in the fused top-k)")
+    g.add_argument("--score_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="dtype of the full-bag scoring matmul; bfloat16 "
+                        "halves its HBM read (selected rows re-scored in f32)")
+    g.add_argument("--select_method", default="threshold",
+                   choices=["threshold", "sort"],
+                   help="exact selection backend (bit-identical outputs)")
+    g.add_argument("--approx_topk", action="store_true",
+                   help="TPU approximate top-k for the selection union")
+    from moc_tpu.ops import POOLING_REGISTRY
+
+    p.add_argument("--zs_pooling", default="topj",
+                   choices=sorted(POOLING_REGISTRY),
+                   help="zero-shot pooling family (ref zs_evaluation "
+                        "pooling_func; bottomk families use the extended bank)")
+
+
+def perf_cfg_kwargs(args: argparse.Namespace) -> dict:
+    """``MOCConfig`` kwargs for the flags added by ``add_perf_flags``."""
+    return dict(
+        dense=args.dense,
+        score_dtype=args.score_dtype,
+        select_method=args.select_method,
+        approx_topk=args.approx_topk,
+        zs_pooling=args.zs_pooling,
+    )

@@ -22,6 +22,8 @@ import argparse
 import os
 import sys
 
+from moc_tpu.cli.common import add_perf_flags, perf_cfg_kwargs
+
 
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="Configurations for WSI Training")
@@ -48,13 +50,17 @@ def get_args(argv=None):
                    help="class count for --dataset synthetic (3+ exercises "
                         "the ovo-macro AUC path)")
     # explicit environment paths (hard-coded in the reference)
+    from moc_tpu.config import DEFAULT_PROMPT_ROOT
+
     p.add_argument("--data_root", type=str, default="data")
-    p.add_argument("--prompt_root", type=str, default="models/prompts")
+    p.add_argument("--prompt_root", type=str, default=DEFAULT_PROMPT_ROOT,
+                   help="prompt-bank dir (default: the vendored banks)")
     p.add_argument("--conch_checkpoint", type=str, default="models/conch_checkpoint.bin")
     p.add_argument("--tokenizer_file", type=str, default=None)
     p.add_argument("--weights_cache_dir", type=str, default="models/classifier_weights")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu)")
+    add_perf_flags(p)
     return p.parse_args(argv)
 
 
@@ -184,7 +190,7 @@ def main(argv=None) -> int:
     cfg = MOCConfig(
         n_classes=n_classes, n_ext_classes=n_ext, topj=args.topj, topk=args.topk,
         discard=tuple(args.discard_classifiers), num_epochs=args.num_epochs,
-        feature_dim=w.shape[0],
+        feature_dim=w.shape[0], **perf_cfg_kwargs(args),
     )
 
     if args.ablation_study != "none":

@@ -1,9 +1,14 @@
 """Episode sweep CLI: every (fold, shot) on one chip/process.
 
 The reference fans one process per (fold, shot) across GPUs via bash
-(``/root/reference/scripts/moc_train.sh:23-79``). Here the sweep is a loop
-sharing ONE compiled program per shape (or the fully-fused vmapped sweep for
-small episodes), followed by the reference-schema summary CSVs.
+(``/root/reference/scripts/moc_train.sh:23-79``). Here the default is the
+**fused sweep**: all folds of a shot are stacked, padded to common shapes,
+and trained as ONE jitted/vmapped XLA program (``moc_tpu.moc.sweep``), with
+episodes sharded over the mesh ``data`` axis when more than one device is
+visible. Episodes too large to materialize in HBM fall back to the streaming
+per-episode path (``--mode stream`` forces it); both paths produce identical
+results (same RNG derivation, tested) and the same reference-schema result
+JSONs + ``summary_{shot}.csv``.
 
   python -m moc_tpu.cli.sweep --dataset synthetic --shots 1 2 --folds 0 1 \
       --topj 64 --num_epochs 5 --result_dir /tmp/sweep_out
@@ -16,6 +21,8 @@ import os
 import sys
 import time
 
+from moc_tpu.cli.common import add_perf_flags, perf_cfg_kwargs
+
 
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="MOC episode sweep")
@@ -27,8 +34,11 @@ def get_args(argv=None):
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--num_epochs", type=int, default=25)
     p.add_argument("--result_dir", default="results/moc_sweep")
+    from moc_tpu.config import DEFAULT_PROMPT_ROOT
+
     p.add_argument("--data_root", default="data")
-    p.add_argument("--prompt_root", default="models/prompts")
+    p.add_argument("--prompt_root", default=DEFAULT_PROMPT_ROOT,
+                   help="prompt-bank dir (default: the vendored banks)")
     p.add_argument("--conch_checkpoint", default="models/conch_checkpoint.bin")
     p.add_argument("--tokenizer_file", default=None)
     p.add_argument("--weights_cache_dir", default="models/classifier_weights")
@@ -42,7 +52,90 @@ def get_args(argv=None):
                    help="skip (fold, shot) episodes whose result JSON exists "
                         "(preemption-safe sweeps; the reference's de-facto "
                         "per-process isolation, SURVEY.md §5.3)")
+    p.add_argument("--mode", default="auto", choices=["auto", "fused", "stream"],
+                   help="fused = one vmapped program per shot (episodes "
+                        "sharded over devices); stream = per-episode loop "
+                        "with streamed eval chunks; auto = fused when the "
+                        "stacked episodes fit --fused_hbm_gb")
+    p.add_argument("--fused_hbm_gb", type=float, default=6.0,
+                   help="auto-mode HBM budget for one shot's stacked bags")
+    add_perf_flags(p)
     return p.parse_args(argv)
+
+
+def _fused_bytes_estimate(stacked) -> int:
+    """Device bytes of one shot's stacked episode arrays."""
+    import numpy as np
+
+    import jax
+
+    return int(sum(np.asarray(x).nbytes for x in jax.tree.leaves(stacked)))
+
+
+def _episode_mesh(n_episodes: int):
+    """Largest whole-divisor slice of the visible devices as a ``data`` mesh
+    (episode-parallelism = the reference's process-per-GPU fan-out)."""
+    import numpy as np
+
+    import jax
+
+    devices = jax.devices()
+    n = max(d for d in range(1, len(devices) + 1) if n_episodes % d == 0)
+    if n <= 1:
+        return None
+    return jax.sharding.Mesh(np.array(devices[:n]), ("data",))
+
+
+def run_fused_shot(args, shot, folds, *, loader, split_path, w, w_ext, cfg,
+                   n_classes, shot_dir):
+    """All requested folds of one shot as a single compiled sweep."""
+    import jax.numpy as jnp
+
+    from moc_tpu.data import EpisodeBags, read_split_csv
+    from moc_tpu.moc import (
+        episode_from_bags,
+        make_episode_fns,
+        pad_and_stack_episodes,
+        run_sweep,
+        sweep_episode_results,
+        zs_eval_batches,
+    )
+    from moc_tpu.moc.results import write_episode_result, write_zeroshot_result
+
+    repeat_num = shot * n_classes
+    episodes = [
+        EpisodeBags.load(loader, s.train, s.val, s.test, repeat_num=repeat_num)
+        for s in (read_split_csv(split_path(shot, f)) for f in folds)
+    ]
+    stacked = pad_and_stack_episodes(
+        [episode_from_bags(ep.train, ep.val, ep.test) for ep in episodes]
+    )
+    if args.mode == "auto" and _fused_bytes_estimate(stacked) > args.fused_hbm_gb * 2**30:
+        return None  # caller falls back to the streaming path
+
+    zs = None
+    if args.check_zeroshot:
+        _, _, zs_batch = make_episode_fns(cfg)
+        zs = []
+        for ep in episodes:
+            zs.append({
+                name: zs_eval_batches(zs_batch, chunks, jnp.asarray(w),
+                                      jnp.asarray(w_ext), cfg).to_dict()
+                for name, chunks in (("train", [ep.train]), ("val", ep.val),
+                                     ("test", ep.test))
+            })
+
+    seeds = jnp.asarray([args.seed + f for f in folds], jnp.int32)
+    result = run_sweep(stacked, w, w_ext, cfg, repeat_num=repeat_num,
+                       seeds=seeds, mesh=_episode_mesh(len(folds)))
+    for fold, ep_result in zip(folds, sweep_episode_results(result, zs)):
+        if args.check_zeroshot:
+            write_zeroshot_result(shot_dir, shot, fold, ep_result.zero_shot_train,
+                                  ep_result.zero_shot_val, ep_result.zero_shot_test)
+        write_episode_result(shot_dir, shot, fold, ep_result)
+        print(f"shot {shot} fold {fold}: best_val={ep_result.best_val:.4f} "
+              f"test={ep_result.test_at_best_val:.4f} (fused)")
+    return result
 
 
 def main(argv=None) -> int:
@@ -82,15 +175,32 @@ def main(argv=None) -> int:
     loader = BagLoader(table, data_dir, cache=True)
     cfg = MOCConfig(n_classes=n_classes, n_ext_classes=n_ext, topj=args.topj,
                     topk=args.topk, num_epochs=args.num_epochs,
-                    feature_dim=w.shape[0])
+                    feature_dim=w.shape[0], **perf_cfg_kwargs(args))
 
     t0 = time.perf_counter()
+    n_run = 0
     for shot in args.shots:
         shot_dir = os.path.join(args.result_dir, f"{shot}_shot")
-        for fold in args.folds:
-            if args.resume and os.path.exists(episode_result_path(shot_dir, shot, fold)):
-                print(f"shot {shot} fold {fold}: done, skipping (--resume)")
+        folds = [
+            f for f in args.folds
+            if not (args.resume and os.path.exists(episode_result_path(shot_dir, shot, f)))
+        ]
+        for skipped in set(args.folds) - set(folds):
+            print(f"shot {shot} fold {skipped}: done, skipping (--resume)")
+        if not folds:
+            continue
+        n_run += len(folds)
+
+        if args.mode in ("auto", "fused"):
+            fused = run_fused_shot(args, shot, folds, loader=loader,
+                                   split_path=split_path, w=w, w_ext=w_ext,
+                                   cfg=cfg, n_classes=n_classes, shot_dir=shot_dir)
+            if fused is not None:
                 continue
+            print(f"shot {shot}: stacked episodes exceed --fused_hbm_gb "
+                  f"{args.fused_hbm_gb}; streaming instead")
+
+        for fold in folds:
             split = read_split_csv(split_path(shot, fold))
             episode = EpisodeBags.load(loader, split.train, split.val, split.test,
                                        repeat_num=shot * n_classes)
@@ -100,8 +210,7 @@ def main(argv=None) -> int:
             print(f"shot {shot} fold {fold}: best_val={result.best_val:.4f} "
                   f"test={result.test_at_best_val:.4f}")
     wall = time.perf_counter() - t0
-    print(f"sweep wallclock: {wall:.1f}s "
-          f"({len(args.shots) * len(args.folds)} episodes)")
+    print(f"sweep wallclock: {wall:.1f}s ({n_run} episodes)")
     summarize(args.result_dir, shots=tuple(args.shots), folds=tuple(args.folds))
     return 0
 

@@ -37,8 +37,10 @@ from moc_tpu.moc.sweep import (
     SweepResult,
     episode_from_bags,
     make_sweep_fn,
+    pad_and_stack_episodes,
     run_sweep,
     stack_episodes,
+    sweep_episode_results,
 )
 
 __all__ = [
@@ -62,6 +64,8 @@ __all__ = [
     "SweepResult",
     "episode_from_bags",
     "make_sweep_fn",
+    "pad_and_stack_episodes",
     "run_sweep",
     "stack_episodes",
+    "sweep_episode_results",
 ]

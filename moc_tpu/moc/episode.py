@@ -74,6 +74,25 @@ def make_optimizer(cfg: MOCConfig) -> optax.GradientTransformation:
     )
 
 
+def episode_init_key(seed) -> jax.Array:
+    """Senet-init key. Shared by the streaming path (``run_episode``) and the
+    fused sweep (``moc.sweep.make_sweep_fn``) so both train identically."""
+    return jax.random.fold_in(jax.random.PRNGKey(17), seed)
+
+
+def epoch_key(seed, epoch) -> jax.Array:
+    """Root key of one training epoch's random patch masks (shared, see
+    ``episode_init_key``). Per-slide keys are ``fold_in(epoch_key, i)`` over
+    the visit index ``i`` — see ``epoch_slide_keys``."""
+    return jax.random.fold_in(jax.random.fold_in(jax.random.PRNGKey(23), seed), epoch)
+
+
+def epoch_slide_keys(seed, epoch, n: int) -> jax.Array:
+    """``[n, 2]`` per-slide-visit mask keys for one epoch."""
+    ek = epoch_key(seed, epoch)
+    return jax.vmap(lambda i: jax.random.fold_in(ek, i))(jnp.arange(n))
+
+
 def init_senet(rng: jax.Array, cfg: MOCConfig):
     model = SENet(in_dim=cfg.feature_dim, out_dim=4)
     params = model.init(rng, jnp.zeros((1, cfg.feature_dim)))
@@ -125,12 +144,18 @@ def make_episode_fns(cfg: MOCConfig):
         return jax.vmap(per_slide)(batch.features, batch.mask)
 
     @jax.jit
-    def zs_batch(batch: BagBatch, w):
-        """Zero-shot pooled logits via plain top-k pooling (ref
-        ``zs_evaluation`` with default ``topj_pooling``, ``main_moc.py:412-432``)."""
+    def zs_batch(batch: BagBatch, w, w_ext):
+        """Zero-shot pooled logits via the configured pooling family (ref
+        ``zs_evaluation``, ``main_moc.py:412-432``): the foreground families
+        (topj/delta_*) pool ``feats @ w``; the bottomk families pool
+        ``feats @ w_ext`` with ``n_fg = n_classes`` (the reference routes
+        ``final_logits_ext`` with ``coords_list=args.n_classes``)."""
+        pool_fn = ops.POOLING_REGISTRY[cfg.zs_pooling]
 
         def per_slide(feats, valid):
-            return ops.topj_pooling(feats @ w, valid, cfg.topk)
+            if cfg.zs_pooling in ops.FOREGROUND_POOLINGS:
+                return pool_fn(feats @ w, valid, cfg.topk)
+            return pool_fn(feats @ w_ext, valid, cfg.topk, n_fg=cfg.n_classes)
 
         return jax.vmap(per_slide)(batch.features, batch.mask)
 
@@ -166,8 +191,9 @@ def _eval_chunks(
     return _collect_metrics(np.concatenate(all_logits), np.concatenate(all_labels), cfg)
 
 
-def zs_eval_batches(zs_batch_fn, chunks: Sequence[BagBatch], w, cfg: MOCConfig) -> EvalMetrics:
-    return _eval_chunks(lambda b: zs_batch_fn(b, w), chunks, cfg)
+def zs_eval_batches(zs_batch_fn, chunks: Sequence[BagBatch], w, w_ext,
+                    cfg: MOCConfig) -> EvalMetrics:
+    return _eval_chunks(lambda b: zs_batch_fn(b, w, w_ext), chunks, cfg)
 
 
 def ablation_evaluation(
@@ -210,9 +236,7 @@ def run_episode(
     w = jnp.asarray(w)
     w_ext = jnp.asarray(w_ext)
 
-    root = jax.random.PRNGKey(seed)
-    init_rng, root = jax.random.split(root)
-    _, params = init_senet(init_rng, cfg)
+    _, params = init_senet(episode_init_key(seed), cfg)
     opt_state = make_optimizer(cfg).init(params)
 
     train_chunk = [episode.train]  # train set doubles as an eval split
@@ -220,7 +244,7 @@ def run_episode(
     zs = {"train": None, "val": None, "test": None}
     if check_zeroshot:
         for name, chunks in (("train", train_chunk), ("val", episode.val), ("test", episode.test)):
-            zs[name] = zs_eval_batches(zs_batch, chunks, w, cfg).to_dict()
+            zs[name] = zs_eval_batches(zs_batch, chunks, w, w_ext, cfg).to_dict()
         if log:
             log(f"zero-shot: {zs}")
 
@@ -234,8 +258,7 @@ def run_episode(
 
     for epoch in range(cfg.num_epochs):
         order = jnp.asarray(episode.train_epoch_order())
-        root, *step_keys = jax.random.split(root, len(order) + 1)
-        rngs = jnp.stack(step_keys)
+        rngs = epoch_slide_keys(seed, epoch, len(order))
         params, opt_state, losses = train_epoch(
             params, opt_state, episode.train, order, rngs, w, w_ext
         )

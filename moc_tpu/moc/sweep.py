@@ -31,7 +31,12 @@ from flax import struct
 from moc_tpu.metrics.auc import auc_from_probs
 from moc_tpu.metrics.classification import softmax_probs
 from moc_tpu.moc.core import MOCConfig, moc_slide_logits, moc_slide_logits_dense
-from moc_tpu.moc.episode import make_optimizer
+from moc_tpu.moc.episode import (
+    EpisodeResult,
+    episode_init_key,
+    epoch_key,
+    make_optimizer,
+)
 from moc_tpu.models.senet import SENet
 
 
@@ -68,7 +73,7 @@ class SweepResult:
     test_auc_at_best: jax.Array
     test_acc_at_best: jax.Array
     best_epoch: jax.Array
-    final_params: dict
+    best_params: dict
 
 
 def _eval_split(model, params, feats, mask, labels, w, w_ext, cfg: MOCConfig):
@@ -101,19 +106,18 @@ def make_sweep_fn(cfg: MOCConfig, repeat_num: int):
     def run(episode: StackedEpisode, w, w_ext, seed) -> SweepResult:
         b = episode.train_feats.shape[0]
         order = jnp.arange(repeat_num, dtype=jnp.int32) % b  # unshuffled, ref main_moc.py:291
-        params = model.init(
-            jax.random.fold_in(jax.random.PRNGKey(17), seed),
-            jnp.zeros((1, cfg.feature_dim)),
-        )
+        # key derivation shared with the streaming run_episode so the two
+        # paths train bit-identically (tests assert this)
+        params = model.init(episode_init_key(seed), jnp.zeros((1, cfg.feature_dim)))
         opt_state = optimizer.init(params)
 
         def epoch_body(carry, epoch):
-            params, opt_state, best = carry
-            epoch_key = jax.random.fold_in(jax.random.fold_in(jax.random.PRNGKey(23), seed), epoch)
+            params, opt_state, best, best_params = carry
+            ek = epoch_key(seed, epoch)
 
             def slide_body(inner, i):
                 params, opt_state = inner
-                rng = jax.random.fold_in(epoch_key, i)
+                rng = jax.random.fold_in(ek, i)
                 loss, grads = jax.value_and_grad(slide_loss)(
                     params,
                     episode.train_feats[order[i]],
@@ -144,18 +148,21 @@ def make_sweep_fn(cfg: MOCConfig, repeat_num: int):
                 jnp.where(improved, test_acc, best_acc),
                 jnp.where(improved, epoch, best_epoch),
             )
-            return (params, opt_state, best), None
+            best_params = jax.tree.map(
+                lambda new, old: jnp.where(improved, new, old), params, best_params
+            )
+            return (params, opt_state, best, best_params), None
 
         init_best = (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0), jnp.int32(0))
-        (params, _, best), _ = jax.lax.scan(
-            epoch_body, (params, opt_state, init_best), jnp.arange(cfg.num_epochs)
+        (_, _, best, best_params), _ = jax.lax.scan(
+            epoch_body, (params, opt_state, init_best, params), jnp.arange(cfg.num_epochs)
         )
         return SweepResult(
             best_val_auc=best[0],
             test_auc_at_best=best[1],
             test_acc_at_best=best[2],
             best_epoch=best[3],
-            final_params=params,
+            best_params=best_params,
         )
 
     return run
@@ -223,3 +230,70 @@ def episode_from_bags(train_batch, val_batches, test_batches) -> StackedEpisode:
     vf, vm, vl = cat(val_batches)
     sf, sm, sl = cat(test_batches)
     return StackedEpisode(tf, tm, tl, vf, vm, vl, sf, sm, sl)
+
+
+_LABEL_FIELDS = ("train_labels", "val_labels", "test_labels")
+_FEAT_FIELDS = (
+    "train_feats", "train_mask", "val_feats", "val_mask", "test_feats", "test_mask",
+)
+
+
+def pad_and_stack_episodes(episodes: list[StackedEpisode]) -> StackedEpisode:
+    """Repad episodes to common shapes and stack them ``[E, ...]``.
+
+    Within one shot the train split always holds ``shot × C`` slides, but the
+    patch-axis bucket and the eval-split sizes vary per fold. Features/masks
+    are zero-padded up to the field-wise max shape; eval filler slides carry
+    an all-``False`` mask and label ``-1`` so every downstream metric ignores
+    them (the same filler convention as ``data.loader.EpisodeBags``).
+    """
+    bs = {np.asarray(e.train_feats).shape[0] for e in episodes}
+    if len(bs) != 1:
+        raise ValueError(
+            f"train split sizes differ across episodes ({sorted(bs)}); "
+            "fuse one shot at a time (repeat_num/order are shape-static)"
+        )
+
+    def stack_field(name: str, fill) -> jax.Array:
+        xs = [np.asarray(getattr(e, name)) for e in episodes]
+        target = tuple(max(x.shape[i] for x in xs) for i in range(xs[0].ndim))
+        padded = []
+        for x in xs:
+            widths = [(0, t - s) for s, t in zip(x.shape, target)]
+            if any(w[1] for w in widths):
+                x = np.pad(x, widths, constant_values=fill)
+            padded.append(x)
+        return jnp.asarray(np.stack(padded))
+
+    kwargs = {name: stack_field(name, 0) for name in _FEAT_FIELDS}
+    kwargs.update({name: stack_field(name, -1) for name in _LABEL_FIELDS})
+    return StackedEpisode(**kwargs)
+
+
+def sweep_episode_results(
+    result: SweepResult, zs: list[dict] | None = None
+) -> list[EpisodeResult]:
+    """Split a vmapped ``SweepResult`` into per-episode ``EpisodeResult``
+    records, schema-compatible with the streaming path so the ``moc.results``
+    writers (and ``summary_{shot}.csv``) apply unchanged."""
+    best_val = np.asarray(result.best_val_auc)
+    test_auc = np.asarray(result.test_auc_at_best)
+    test_acc = np.asarray(result.test_acc_at_best)
+    best_epoch = np.asarray(result.best_epoch)
+    params = jax.device_get(result.best_params)
+    out = []
+    for i in range(best_val.shape[0]):
+        zsi = zs[i] if zs is not None else {"train": None, "val": None, "test": None}
+        out.append(
+            EpisodeResult(
+                zero_shot_train=zsi["train"],
+                zero_shot_val=zsi["val"],
+                zero_shot_test=zsi["test"],
+                best_val=float(best_val[i]),
+                test_at_best_val=float(test_auc[i]),
+                test_acc_at_best_val=float(test_acc[i]),
+                best_epoch=int(best_epoch[i]),
+                params=jax.tree.map(lambda x: x[i], params),
+            )
+        )
+    return out

@@ -97,6 +97,34 @@ def test_ebrains_presets():
 
 
 @pytest.mark.slow
+def test_sweep_cli_fused_matches_stream(tmp_path):
+    """The default (fused) sweep CLI and --mode stream write identical
+    result files; the fused path is the shipped flagship (VERDICT r1 #1)."""
+    base = ["moc_tpu.cli.sweep", "--dataset", "synthetic", "--shots", "1",
+            "--folds", "0", "1", "--topj", "32", "--topk", "10",
+            "--num_epochs", "2"]
+    fused_dir = str(tmp_path / "fused")
+    r = _run_cli(base + ["--result_dir", fused_dir, "--mode", "fused"], timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "(fused)" in r.stdout
+    stream_dir = str(tmp_path / "stream")
+    r2 = _run_cli(base + ["--result_dir", stream_dir, "--mode", "stream"], timeout=600)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+
+    for fold in (0, 1):
+        fused = json.load(open(os.path.join(
+            fused_dir, "1_shot", f"best_results_shot_1_fold_{fold}.json")))
+        stream = json.load(open(os.path.join(
+            stream_dir, "1_shot", f"best_results_shot_1_fold_{fold}.json")))
+        assert fused["best_epoch"] == stream["best_epoch"]
+        for key in ("best_val", "test_at_best_val", "test_acc_at_best_val"):
+            assert abs(fused[key] - stream[key]) < 1e-5, (key, fused, stream)
+        # the zero-shot floor is identical (host-side in both modes)
+        assert fused["zero_shot_test"] == stream["zero_shot_test"]
+    assert os.path.exists(os.path.join(fused_dir, "summary_1.csv"))
+
+
+@pytest.mark.slow
 def test_train_mil_cli_vila(tmp_path):
     out = str(tmp_path / "vila_run")
     r = _run_cli(["moc_tpu.cli.train_mil", "--dataset", "synthetic",

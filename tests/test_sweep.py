@@ -6,8 +6,13 @@ import pytest
 
 from moc_tpu.data import BagLoader, EpisodeBags, SlideTable, make_synthetic_corpus, read_split_csv
 from moc_tpu.data.synthetic import SyntheticWSIConfig
-from moc_tpu.moc import MOCConfig
-from moc_tpu.moc.sweep import episode_from_bags, run_sweep, stack_episodes
+from moc_tpu.moc import MOCConfig, run_episode
+from moc_tpu.moc.sweep import (
+    episode_from_bags,
+    pad_and_stack_episodes,
+    run_sweep,
+    sweep_episode_results,
+)
 
 
 @pytest.fixture(scope="module")
@@ -19,35 +24,54 @@ def sweep_setup(tmp_path_factory):
                                    val_per_class=2, test_per_class=3)
     table = SlideTable.from_csv(corpus["csv_path"], corpus["label_dict"])
     loader = BagLoader(table, corpus["data_dir"], cache=True)
-    episodes = []
+    episode_bags = []
     for fold in range(2):
         split = read_split_csv(corpus["split_paths"][(2, fold)])
         ep = EpisodeBags.load(loader, split.train, split.val, split.test,
                               repeat_num=4, eval_batch_size=4)
-        episodes.append(episode_from_bags(ep.train, ep.val, ep.test))
-    # common shapes across folds: repad bags to the max over folds
-    n_max = max(e.train_feats.shape[1] for e in episodes)
+        episode_bags.append(ep)
+    stacked = pad_and_stack_episodes(
+        [episode_from_bags(ep.train, ep.val, ep.test) for ep in episode_bags]
+    )
+    return corpus, stacked, episode_bags
 
-    def repad(x, axis=1):
-        import jax.numpy as jnp
 
-        pad = n_max - x.shape[axis]
-        if pad == 0 or x.ndim < 2:
-            return x
-        widths = [(0, 0)] * x.ndim
-        widths[axis] = (0, pad)
-        return jnp.pad(x, widths)
+def test_pad_and_stack_shapes(sweep_setup):
+    _, stacked, episode_bags = sweep_setup
+    assert stacked.train_feats.shape[0] == 2  # episode axis
+    eps = [episode_from_bags(ep.train, ep.val, ep.test) for ep in episode_bags]
+    # rows appended by pad_and_stack (beyond each episode's own size) must be
+    # label -1 with an all-False mask; original rows must be untouched
+    for name in ("val", "test"):
+        labels = np.asarray(getattr(stacked, f"{name}_labels"))
+        mask = np.asarray(getattr(stacked, f"{name}_mask"))
+        for i, ep in enumerate(eps):
+            own_m = np.asarray(getattr(ep, f"{name}_labels")).shape[0]
+            own_n = np.asarray(getattr(ep, f"{name}_mask")).shape[1]
+            np.testing.assert_array_equal(
+                labels[i, :own_m], np.asarray(getattr(ep, f"{name}_labels")))
+            assert np.all(labels[i, own_m:] == -1)
+            assert not mask[i, own_m:, :].any()
+            assert not mask[i, :, own_n:].any()
 
-    episodes = [
-        jax.tree.map(lambda x: repad(x) if x.ndim >= 2 else x, e) for e in episodes
-    ]
-    stacked = stack_episodes(episodes)
-    return corpus, stacked
+
+def test_pad_and_stack_rejects_mixed_shots(sweep_setup):
+    _, _, episode_bags = sweep_setup
+    eps = [episode_from_bags(ep.train, ep.val, ep.test) for ep in episode_bags]
+    shrunk = type(eps[1])(
+        train_feats=eps[1].train_feats[:2], train_mask=eps[1].train_mask[:2],
+        train_labels=eps[1].train_labels[:2], val_feats=eps[1].val_feats,
+        val_mask=eps[1].val_mask, val_labels=eps[1].val_labels,
+        test_feats=eps[1].test_feats, test_mask=eps[1].test_mask,
+        test_labels=eps[1].test_labels,
+    )
+    with pytest.raises(ValueError, match="one shot at a time"):
+        pad_and_stack_episodes([eps[0], shrunk])
 
 
 @pytest.mark.slow
 def test_run_sweep_two_folds(sweep_setup):
-    corpus, stacked = sweep_setup
+    corpus, stacked, _ = sweep_setup
     cfg = MOCConfig(n_classes=2, n_ext_classes=6, topj=24, topk=10,
                     num_epochs=4, feature_dim=64)
     result = run_sweep(stacked, corpus["weights"], corpus["weights_ext"], cfg, repeat_num=4)
@@ -60,9 +84,38 @@ def test_run_sweep_two_folds(sweep_setup):
 
 
 @pytest.mark.slow
+def test_fused_matches_streaming(sweep_setup):
+    """The fused sweep and the streaming run_episode share RNG derivation and
+    must produce the same best-val/test selections per fold."""
+    corpus, stacked, episode_bags = sweep_setup
+    cfg = MOCConfig(n_classes=2, n_ext_classes=6, topj=24, topk=10,
+                    num_epochs=3, feature_dim=64)
+    import jax.numpy as jnp
+
+    fused = run_sweep(stacked, corpus["weights"], corpus["weights_ext"], cfg,
+                      repeat_num=4, seeds=jnp.asarray([0, 1], jnp.int32))
+    results = sweep_episode_results(fused)
+    for fold, ep in enumerate(episode_bags):
+        stream = run_episode(ep, corpus["weights"], corpus["weights_ext"], cfg,
+                             seed=fold, check_zeroshot=False)
+        f = results[fold]
+        assert f.best_epoch == stream.best_epoch, (fold, f, stream)
+        np.testing.assert_allclose(f.best_val, stream.best_val, atol=1e-5)
+        np.testing.assert_allclose(f.test_at_best_val, stream.test_at_best_val, atol=1e-5)
+        np.testing.assert_allclose(f.test_acc_at_best_val, stream.test_acc_at_best_val,
+                                   atol=1e-5)
+        # best-val params must match too (same init, same per-slide masks)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                    rtol=1e-5, atol=1e-6),
+            f.params, stream.params,
+        )
+
+
+@pytest.mark.slow
 def test_run_sweep_on_mesh(sweep_setup):
     """Episode-parallel over a 2-device mesh slice of the virtual CPU mesh."""
-    corpus, stacked = sweep_setup
+    corpus, stacked, _ = sweep_setup
     cfg = MOCConfig(n_classes=2, n_ext_classes=6, topj=24, topk=10,
                     num_epochs=2, feature_dim=64)
     devices = np.array(jax.devices()[:2])
