@@ -13,6 +13,19 @@ import dataclasses
 import os
 from typing import Mapping
 
+# Vendored data assets (prompt banks, dataset CSVs, few-shot splits) — see
+# ``moc_tpu/assets/ATTRIBUTION.md``. Dataset presets fall back to these when
+# the ``--data_root`` copy is absent, so a fresh clone plus a checkpoint path
+# is a runnable real command.
+ASSETS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
+DEFAULT_PROMPT_ROOT = os.path.join(ASSETS_DIR, "prompts")
+
+
+def _with_vendored_fallback(primary: str, vendored: str) -> str:
+    return primary if os.path.exists(primary) else (
+        vendored if os.path.exists(vendored) else primary
+    )
+
 
 @dataclasses.dataclass(frozen=True)
 class DatasetPreset:
@@ -37,14 +50,20 @@ class DatasetPreset:
         return shot * self.n_classes
 
     def csv_path(self, data_root: str) -> str:
-        return os.path.join(data_root, "dataset_csv", self.csv_name)
+        return _with_vendored_fallback(
+            os.path.join(data_root, "dataset_csv", self.csv_name),
+            os.path.join(ASSETS_DIR, "dataset_csv", self.csv_name),
+        )
 
     def data_dir(self, data_root: str) -> str:
         return os.path.join(data_root, self.feature_dir)
 
     def split_csv(self, data_root: str, shot: int, fold: int) -> str:
-        return os.path.join(data_root, "splits", self.splits_subdir,
-                            f"{shot}shots", f"splits_{fold}.csv")
+        rel = os.path.join(self.splits_subdir, f"{shot}shots", f"splits_{fold}.csv")
+        return _with_vendored_fallback(
+            os.path.join(data_root, "splits", rel),
+            os.path.join(ASSETS_DIR, "splits", rel),
+        )
 
 
 NORMAL_TISSUE = {"Stroma", "Inflammation", "Vascular", "Necrosis"}
@@ -138,8 +157,10 @@ def _ebrains_preset(name: str, classes: tuple[str, ...]) -> DatasetPreset:
         feature_dir=f"data/{name}/merge_features_conch",
         label_dict=label_dict,
         label_dict_ext=ext,
-        prompt_file=f"{name}_prompts_all_per_class.json",
-        prompt_file_ext=f"{name}_prompts_w4normal.json",
+        # the reference ships these banks as {name}_prompts.json /
+        # {name}_prompts_ext.json (vendored in moc_tpu/assets/prompts)
+        prompt_file=f"{name}_prompts.json",
+        prompt_file_ext=f"{name}_prompts_ext.json",
         splits_subdir=f"{name}_fewshot",
         n_classes=len(classes),
     )
@@ -175,7 +196,7 @@ class MocRunConfig:
     seed: int = 0
     # environment paths (the hard-coded lines, made explicit)
     data_root: str = "data"
-    prompt_root: str = "models/prompts"
+    prompt_root: str = DEFAULT_PROMPT_ROOT
     conch_checkpoint: str = "models/conch_checkpoint.bin"
     tokenizer_file: str | None = None
     weights_cache_dir: str = "models/classifier_weights"
