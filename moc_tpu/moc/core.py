@@ -34,11 +34,13 @@ CLASSIFIER_NAMES = ("topk", "delta_softmax", "delta_diff", "bottomk")
 def selection_capacity_for(topj: int, n_classes: int, n_padded: int) -> int:
     """Static capacity of the 4-policy selection union, 128-aligned.
 
-    Worst case: top-j per class from two column-ranked policies (2·topj·C) +
-    topj margin rows + topj bottom-k rows; never more than the bag itself.
+    The raw worst-case bound comes from ``ops.selection.selection_capacity``
+    (the single source of the formula); this wrapper adds the TPU lane
+    alignment policy: round up to a multiple of 128, never beyond the bag.
     """
-    cap = 2 * topj * n_classes + 2 * topj
-    cap = min(cap, n_padded)
+    from moc_tpu.ops.selection import selection_capacity
+
+    cap = selection_capacity(topj, n_classes, n=n_padded)
     return max(128, -(-cap // 128) * 128) if cap < n_padded else n_padded
 
 
@@ -71,6 +73,10 @@ class MOCConfig:
     # for near-tied rows at the rank-topj boundary (same approximation class
     # as approx_topk). Default f32 = bit-exact selection semantics.
     score_dtype: str = "float32"
+    # zero-shot pooling family (ref ``zs_evaluation(pooling_func=...)``,
+    # main_moc.py:412-432): any ``ops.POOLING_REGISTRY`` key; foreground
+    # families pool feats @ w, bottomk families pool feats @ w_ext.
+    zs_pooling: str = "topj"
 
     def include_flags(self) -> tuple[bool, bool, bool, bool]:
         return tuple(name not in self.discard for name in CLASSIFIER_NAMES)

@@ -27,6 +27,7 @@ from moc_tpu.ops.pooling import (
     bottomk_irrel_delta_diff_pooling,
     topj_bottomk_irrel_delta_softmax_pooling,
     topj_bottomk_irrel_delta_diff_pooling,
+    FOREGROUND_POOLINGS,
     POOLING_REGISTRY,
 )
 from moc_tpu.ops.selection import (
@@ -57,6 +58,7 @@ __all__ = [
     "bottomk_irrel_delta_diff_pooling",
     "topj_bottomk_irrel_delta_softmax_pooling",
     "topj_bottomk_irrel_delta_diff_pooling",
+    "FOREGROUND_POOLINGS",
     "POOLING_REGISTRY",
     "select_topj",
     "select_delta_softmax",

@@ -38,7 +38,13 @@ def _masked_sel_mean(logits: jax.Array, sel: jax.Array, valid: jax.Array,
     """Mean of ``logits`` over the per-class membership mask ``sel [N, C]``
     (∩ valid), count-corrected like ``topk_mean``: divide by
     ``max(min(topj, count), 1)``; all-pad bags pool to ``NEG_INF`` (matching
-    the sorted path, whose first masked value is the fill)."""
+    the sorted path, whose first masked value is the fill).
+
+    Caveat (degenerate, unreachable with finite real logits): a *valid*
+    entry exactly equal to the ``NEG_INF`` fill that ties against a padded
+    row contributes its value here but the fill value on the sorted path, so
+    the two paths' bit-identity holds only for logits > ``NEG_INF`` — i.e.
+    any output of a real matmul."""
     keep = sel & valid[:, None]
     eff = jnp.maximum(jnp.minimum(jnp.asarray(topj, jnp.int32),
                                   count.astype(jnp.int32)), 1)
@@ -210,6 +216,16 @@ def topj_bottomk_irrel_delta_diff_pooling(logits, valid, topj: int, *, n_fg: int
         return fg * masked_row_margin(fg)[:, None]
     return _bottomk_family(logits, valid, topj, n_fg, bottomk, detection, return_indices, rank)
 
+
+# Families that rank/pool the foreground (tumor-bank) logits in zero-shot
+# evaluation; the remaining (bottomk_irrel) families consume the extended
+# bank with ``n_fg = n_classes`` (ref ``main_moc.py:429-432``; the reference
+# only lists the 3 non-product fg functions there because its zs path is
+# never called with the product variants — they are fg rankers too).
+FOREGROUND_POOLINGS = frozenset({
+    "topj", "delta_softmax", "delta_diff",
+    "topj_delta_softmax", "topj_delta_diff",
+})
 
 # Name → callable registry mirroring the reference method list
 # (``patch_selection_classifier.py:8-15``). Bottom-k entries require ``n_fg``.

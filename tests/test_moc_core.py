@@ -301,3 +301,38 @@ def test_dense_bf16_keeps_argmax_on_separable():
         assert int(jnp.argmax(f32)) == int(jnp.argmax(b16))
         np.testing.assert_allclose(np.asarray(b16), np.asarray(f32),
                                    rtol=3e-2, atol=3e-2)
+
+
+def test_zs_pooling_selectable():
+    """zs_batch routes foreground families to feats @ w and the bottomk
+    family to feats @ w_ext with n_fg=n_classes (ref main_moc.py:429-432)."""
+    from moc_tpu import ops
+    from moc_tpu.data.batching import BagBatch
+    from moc_tpu.moc import make_episode_fns
+
+    rng = np.random.default_rng(5)
+    n, d, c, ce = 96, 32, 2, 6
+    feats = rng.normal(size=(2, n, d)).astype(np.float32)
+    mask = np.ones((2, n), bool)
+    mask[1, 70:] = False
+    w = rng.normal(size=(d, c)).astype(np.float32)
+    w_ext = rng.normal(size=(d, ce)).astype(np.float32)
+    batch = BagBatch(features=jnp.asarray(feats), mask=jnp.asarray(mask),
+                     labels=jnp.zeros((2,), jnp.int32),
+                     n_patches=jnp.asarray(mask.sum(1), jnp.int32))
+
+    for name, fn in ops.POOLING_REGISTRY.items():
+        cfg = MOCConfig(n_classes=c, n_ext_classes=ce, topj=16, topk=8,
+                        feature_dim=d, zs_pooling=name)
+        _, _, zs_batch = make_episode_fns(cfg)
+        got = np.asarray(zs_batch(batch, jnp.asarray(w), jnp.asarray(w_ext)))
+        for i in range(2):
+            f, v = jnp.asarray(feats[i]), jnp.asarray(mask[i])
+            if name in ops.FOREGROUND_POOLINGS:
+                want = fn(f @ w, v, cfg.topk)
+            else:
+                want = fn(f @ w_ext, v, cfg.topk, n_fg=c)
+            np.testing.assert_allclose(got[i], np.asarray(want), rtol=1e-5,
+                                       atol=1e-5, err_msg=name)
+        if name not in ops.FOREGROUND_POOLINGS:
+            assert got.shape[1] >= c  # fg columns (+ top1-bg col in detection)
