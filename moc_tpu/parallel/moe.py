@@ -40,8 +40,12 @@ class MoEConfig:
     expert_subln: bool | None = None
     layernorm_eps: float = 1e-5
     # eval-mode capacity = ceil(fraction × n_tokens), the reference's
-    # EVAL_CAPACITY_TOKEN_FRACTION protocol (routing.py:30,58-61)
+    # EVAL_CAPACITY_TOKEN_FRACTION protocol (routing.py:30,58-61). Applied
+    # ONLY when ``is_eval`` is set, like the reference's ``eval_mode`` gate
+    # (routing.py:57-58,278-279) — a serving config can carry the fraction
+    # without perturbing training-time capacity/dropping.
     eval_capacity_fraction: float | None = None
+    is_eval: bool = False
     # top2 gate-weight normalization point (routing.py:300-307,399-407):
     # False (reference default) renormalizes AFTER capacity dropping, so a
     # token whose second expert overflowed gives full weight to its first
@@ -50,12 +54,14 @@ class MoEConfig:
 
 def capacity_for(n_tokens: int, n_experts: int, gate_type: str,
                  capacity_factor: float = 1.0,
-                 eval_capacity_fraction: float | None = None) -> int:
+                 eval_capacity_fraction: float | None = None,
+                 is_eval: bool = True) -> int:
     """Reference capacity formulas: top1 ``int(cf·⌈S/E⌉)``
     (``routing.py:60-61``), top2 ``2·⌈S/E⌉`` (``routing.py:281-282``); in
-    eval mode ``⌈fraction·S⌉`` (``routing.py:57-58,278-279``)."""
+    eval mode (``is_eval`` + fraction set) ``⌈fraction·S⌉``
+    (``routing.py:57-58,278-279``)."""
 
-    if eval_capacity_fraction is not None and eval_capacity_fraction > 0.0:
+    if is_eval and eval_capacity_fraction is not None and eval_capacity_fraction > 0.0:
         return math.ceil(eval_capacity_fraction * n_tokens)
     if gate_type == "top1":
         return int(capacity_factor * math.ceil(n_tokens / n_experts))
@@ -170,7 +176,7 @@ def moe_dispatch_combine(
     e = gate_logits.shape[-1]
     if capacity is None:
         capacity = capacity_for(s, e, cfg.gate_type, cfg.capacity_factor,
-                                cfg.eval_capacity_fraction)
+                                cfg.eval_capacity_fraction, is_eval=cfg.is_eval)
     if cfg.gate_type == "top1":
         combine, dispatch, aux = top1_gate(gate_logits, capacity)
     else:

@@ -195,3 +195,32 @@ def test_moe_layer_full_parity(torch_moe_mod, gate_type, subln):
     np.testing.assert_allclose(np.asarray(y).reshape(b, t, d), ref.numpy(),
                                atol=3e-5, rtol=1e-4)
     np.testing.assert_allclose(float(aux), float(l_aux), rtol=1e-4)
+
+
+def test_eval_capacity_fraction_train_mode_ignored():
+    """A config carrying eval_capacity_fraction must not change train-time
+    capacity (the reference gates the fraction on eval_mode,
+    routing.py:57-58,278-279)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from moc_tpu.parallel.moe import MoEConfig, capacity_for, moe_dispatch_combine
+
+    assert capacity_for(40, 8, "top1", 1.0, eval_capacity_fraction=0.25,
+                        is_eval=False) == capacity_for(40, 8, "top1", 1.0)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+    gl = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+    ident = lambda t: t
+    train_cfg = MoEConfig(n_experts=4, gate_type="top1",
+                          eval_capacity_fraction=0.99, is_eval=False)
+    plain_cfg = MoEConfig(n_experts=4, gate_type="top1")
+    y_train, _ = moe_dispatch_combine(x, gl, ident, train_cfg)
+    y_plain, _ = moe_dispatch_combine(x, gl, ident, plain_cfg)
+    np.testing.assert_allclose(np.asarray(y_train), np.asarray(y_plain))
+    # eval mode with a generous fraction keeps MORE tokens than the tight cap
+    eval_cfg = MoEConfig(n_experts=4, gate_type="top1",
+                         eval_capacity_fraction=0.99, is_eval=True)
+    y_eval, _ = moe_dispatch_combine(x, gl, ident, eval_cfg)
+    assert not np.allclose(np.asarray(y_eval), np.asarray(y_plain))
