@@ -8,8 +8,9 @@ Behavioral reference ``/root/reference/datasets/dataset_h5.py``:
   * ``Dataset_All_Bags``    — a CSV of slide ids to iterate (191-200).
 
 These feed the LoRA fine-tuning path (patch pixels → vision tower). Reads
-are host-side numpy; normalization uses the CLIP transform
-(``moc_tpu.zeroshot.transform``).
+are host-side numpy; normalization uses the CLIP transform by default, or
+the PLIP variant (``transform="plip"`` ≙ ``Whole_Slide_Bag_FP_PLIP``,
+``dataset_h5.py:159-189``) — see ``moc_tpu.zeroshot.transform``.
 """
 
 from __future__ import annotations
@@ -20,7 +21,15 @@ from typing import Iterator
 
 import numpy as np
 
-from moc_tpu.zeroshot.transform import preprocess_image
+from moc_tpu.zeroshot.transform import preprocess_image, preprocess_image_plip
+
+
+def _make_transform(kind: str, image_size: int):
+    if kind == "clip":
+        return lambda im: preprocess_image(im, image_size)
+    if kind == "plip":
+        return lambda im: preprocess_image_plip(im, image_size)
+    raise ValueError(f"unknown transform {kind!r} (clip | plip)")
 
 
 @dataclasses.dataclass
@@ -30,6 +39,7 @@ class PatchBagReader:
     h5_path: str
     image_size: int = 224
     normalize: bool = True
+    transform: str = "clip"  # "clip" | "plip" (ref Whole_Slide_Bag_FP_PLIP)
 
     def __len__(self) -> int:
         import h5py
@@ -43,12 +53,11 @@ class PatchBagReader:
         with h5py.File(self.h5_path, "r") as f:
             imgs = f["imgs"]
             coords = f["coords"][:] if "coords" in f else None
+            tf = _make_transform(self.transform, self.image_size)
             for i in range(0, len(imgs), batch_size):
                 chunk = np.asarray(imgs[i : i + batch_size])
                 if self.normalize:
-                    chunk = np.stack(
-                        [preprocess_image(im, self.image_size) for im in chunk]
-                    )
+                    chunk = np.stack([tf(im) for im in chunk])
                 c = coords[i : i + batch_size] if coords is not None else None
                 yield chunk, c
 
@@ -63,6 +72,7 @@ class CoordPatchReader:
     level: int = 0
     image_size: int = 224
     normalize: bool = True
+    transform: str = "clip"  # "clip" | "plip" (ref Whole_Slide_Bag_FP_PLIP)
 
     def coords(self) -> np.ndarray:
         import h5py
@@ -75,6 +85,7 @@ class CoordPatchReader:
 
         slide = openslide.OpenSlide(self.wsi_path)
         coords = self.coords()
+        tf = _make_transform(self.transform, self.image_size)
         for i in range(0, len(coords), batch_size):
             chunk = coords[i : i + batch_size]
             imgs = []
@@ -84,7 +95,7 @@ class CoordPatchReader:
                 ).convert("RGB")
                 img = np.asarray(region)
                 if self.normalize:
-                    img = preprocess_image(img, self.image_size)
+                    img = tf(img)
                 imgs.append(img)
             yield np.stack(imgs), chunk
 

@@ -42,3 +42,31 @@ def preprocess_image(image, image_size: int = 448) -> np.ndarray:
 
 def preprocess_batch(images, image_size: int = 448) -> np.ndarray:
     return np.stack([preprocess_image(im, image_size) for im in images])
+
+
+def preprocess_image_plip(image, image_size: int = 224,
+                          normalize: bool = False) -> np.ndarray:
+    """PLIP preprocessing variant (ref ``dataset_h5.py:159-189``,
+    ``Whole_Slide_Bag_FP_PLIP``): direct non-aspect-preserving bilinear
+    resize to ``image_size`` square, scale to [0, 1]. The reference ships
+    with the CLIP-stats ``Normalize`` commented out, so ``normalize``
+    defaults to False; pass True for the PLIP-processor-faithful path
+    (same OpenAI statistics)."""
+    try:
+        from PIL import Image
+
+        if not isinstance(image, Image.Image):
+            image = Image.fromarray(np.asarray(image))
+        image = image.resize((image_size, image_size), Image.BILINEAR)
+        arr = np.asarray(image, dtype=np.float32) / 255.0
+    except ImportError:  # PIL-free fallback: nearest resize via indexing
+        arr = np.asarray(image, dtype=np.float32) / 255.0
+        h, w = arr.shape[:2]
+        yi = np.clip((np.arange(image_size) * h / image_size).astype(int), 0, h - 1)
+        xi = np.clip((np.arange(image_size) * w / image_size).astype(int), 0, w - 1)
+        arr = arr[yi][:, xi]
+    if normalize:
+        mean = np.asarray(OPENAI_DATASET_MEAN, np.float32)
+        std = np.asarray(OPENAI_DATASET_STD, np.float32)
+        arr = (arr - mean) / std
+    return arr

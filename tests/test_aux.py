@@ -141,6 +141,19 @@ def test_patch_bag_reader(tmp_path):
     assert chunks[0][0].dtype == np.float32  # normalized
     assert list_bags(str(tmp_path)) == ["s"]
 
+    # PLIP variant (ref Whole_Slide_Bag_FP_PLIP, dataset_h5.py:159-189):
+    # direct square resize, [0,1] range, NO mean/std normalization
+    plip = PatchBagReader(p, image_size=24, transform="plip")
+    chunk = next(iter(plip.batches(4)))[0]
+    assert chunk.shape == (4, 24, 24, 3)
+    assert chunk.min() >= 0.0 and chunk.max() <= 1.0
+    np.testing.assert_allclose(
+        chunk[0], np.asarray(
+            __import__("PIL.Image", fromlist=["Image"]).fromarray(imgs[0])
+            .resize((24, 24), 2), np.float32) / 255.0, atol=1e-6)
+    with pytest.raises(ValueError, match="clip | plip"):
+        list(PatchBagReader(p, transform="typo").batches(4))
+
 
 def test_policy_json_to_csv(tmp_path):
     payload = {"topj": {"nsclc": 0.9, "rcc": 0.8}, "delta": {"nsclc": 0.85}}
