@@ -10,9 +10,11 @@ In this stack LoRA parameters live inside ``moc_tpu.nn.Attention``
 (``lora_rank`` field); freezing is an optimizer concern: ``lora_mask``
 produces the optax ``masked``/``multi_transform`` pytree that trains only
 LoRA (and optionally named head) parameters. ``merge_lora`` folds A·B into
-the fused qkv kernel for deployment. The reference's ``MOELoRA`` is not
-reproduced: it is non-functional as checked in (wrong ``super()`` target,
-``lora.py:107-168``).
+the fused qkv kernel for deployment. The reference's ``MOELoRA`` (broken as
+checked in — wrong ``super()`` target, ``lora.py:107-168``) is realized
+WORKING as ``Attention(lora_experts=N)``; ``lora_balance_loss`` supplies
+the Switch-style router regularizer its trainer uses
+(``moc_tpu.cli.lora_finetune``).
 """
 
 from __future__ import annotations
@@ -51,6 +53,37 @@ def lora_optimizer(base: optax.GradientTransformation, params,
         {"train": base, "freeze": optax.set_to_zero()},
         jax.tree.map(lambda m: "train" if m else "freeze", mask),
     )
+
+
+def lora_balance_loss(intermediates) -> jax.Array:
+    """Mean Switch-Transformer load-balancing loss over every MoE-LoRA
+    router gate sown by ``nn.Attention`` (collection ``intermediates``, key
+    ``lora_gate``; run ``apply(..., mutable=["intermediates"])`` to collect).
+    All tokens are weighted uniformly — the tower sees only real patches.
+    Formula shared with the adapter zoo (ref ``load_balancing_loss_func``,
+    ``model_adapters.py:253-289``)."""
+    from moc_tpu.models.adapters import load_balancing_loss
+
+    gates: list = []
+
+    def collect(node):
+        if isinstance(node, dict):
+            for key, value in node.items():
+                if key == "lora_gate":
+                    gates.extend(value if isinstance(value, (tuple, list)) else [value])
+                else:
+                    collect(value)
+
+    collect(intermediates)
+    if not gates:
+        return jnp.float32(0.0)
+    losses = []
+    for g in gates:
+        probs = g.reshape(-1, g.shape[-1])
+        idx = jnp.argmax(probs, axis=-1)
+        valid = jnp.ones(probs.shape[0], bool)
+        losses.append(load_balancing_loss(probs, idx, valid))
+    return jnp.mean(jnp.stack(losses))
 
 
 def merge_lora(params):

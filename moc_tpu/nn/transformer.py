@@ -93,6 +93,10 @@ class Attention(nn.Module):
             router = self.param("lora_router", nn.initializers.zeros,
                                 (self.dim, e))
             gate = jax.nn.softmax(x @ router, axis=-1)  # [.., L, E]
+            # expose router probabilities for the Switch-style balance loss
+            # (collect with mutable=["intermediates"]; see
+            # moc_tpu.models.lora.lora_balance_loss)
+            self.sow("intermediates", "lora_gate", gate)
 
             def delta(a, b):
                 h = jnp.einsum("...d,edr->...er", x, a)

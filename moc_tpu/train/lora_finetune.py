@@ -35,6 +35,10 @@ class LoraFinetuneConfig:
     minibatch: int = 8  # patches per tower forward (ref minibatch-8 streaming)
     learning_rate: float = 1e-4
     n_classes: int = 2
+    # > 0: MoE-LoRA mode — ``encode_fn`` must return ``(logits, balance)``
+    # per minibatch (e.g. ``models.lora.lora_balance_loss`` over sown router
+    # gates) and the train loss becomes CE + coef × mean-balance.
+    balance_coef: float = 0.0
 
 
 def update_queue(queue: jax.Array, new_logits: jax.Array) -> jax.Array:
@@ -51,29 +55,43 @@ def streamed_slide_logits(
     patches: jax.Array,
     valid: jax.Array,
     cfg: LoraFinetuneConfig,
-) -> jax.Array:
+    *,
+    with_aux: bool = False,
+):
     """Stream ``patches [N, ...]`` through ``encode_fn(params, mb) ->
     [M, C]`` patch logits in ``cfg.minibatch`` chunks; return the top-q mean
     slide logits ``[C]`` (invalid patches contribute ``-inf`` and never enter
-    the queue)."""
+    the queue). With ``with_aux`` the encoder returns ``(logits, scalar)``
+    per minibatch (e.g. a router balance loss) and this returns
+    ``(slide_logits, mean_aux)``."""
     n = patches.shape[0]
     m = cfg.minibatch
     assert n % m == 0, f"pad the bag to a multiple of {m}"
     chunks = patches.reshape(n // m, m, *patches.shape[1:])
     vchunks = valid.reshape(n // m, m)
 
-    def body(queue, inp):
+    def body(carry, inp):
+        queue, aux = carry
         mb, vm = inp
-        logits = encode_fn(params, mb)  # [M, C]
+        out = encode_fn(params, mb)  # [M, C] (or ([M, C], scalar))
+        if with_aux:
+            logits, a = out
+            aux = aux + a
+        else:
+            logits = out
         logits = jnp.where(vm[:, None], logits, NEG)
-        return update_queue(queue, logits), None
+        return (update_queue(queue, logits), aux), None
 
     queue0 = jnp.full((cfg.queue_size, cfg.n_classes), NEG, jnp.float32)
-    queue, _ = jax.lax.scan(body, queue0, (chunks, vchunks))
+    (queue, aux), _ = jax.lax.scan(body, (queue0, jnp.float32(0.0)),
+                                   (chunks, vchunks))
     # count-corrected mean over genuinely filled slots
     filled = queue > NEG / 2
     count = jnp.maximum(jnp.sum(filled[:, 0]), 1)
-    return jnp.sum(jnp.where(filled, queue, 0.0), axis=0) / count
+    pooled = jnp.sum(jnp.where(filled, queue, 0.0), axis=0) / count
+    if with_aux:
+        return pooled, aux / (n // m)
+    return pooled
 
 
 def make_lora_train_step(encode_fn, cfg: LoraFinetuneConfig, params,
@@ -82,10 +100,16 @@ def make_lora_train_step(encode_fn, cfg: LoraFinetuneConfig, params,
     opt = lora_optimizer(optax.adam(cfg.learning_rate), params, extra_trainable)
 
     def loss_fn(p, patches, valid, label):
-        logits = streamed_slide_logits(encode_fn, p, patches, valid, cfg)
-        return optax.softmax_cross_entropy_with_integer_labels(
+        if cfg.balance_coef > 0:
+            logits, bal = streamed_slide_logits(encode_fn, p, patches, valid,
+                                                cfg, with_aux=True)
+        else:
+            logits = streamed_slide_logits(encode_fn, p, patches, valid, cfg)
+            bal = 0.0
+        ce = optax.softmax_cross_entropy_with_integer_labels(
             logits[None], label[None]
-        )[0], logits
+        )[0]
+        return ce + cfg.balance_coef * bal, logits
 
     @jax.jit
     def step(p, opt_state, patches, valid, label):
@@ -118,6 +142,9 @@ def run_lora_finetune(
 
     @jax.jit
     def infer(p, patches, valid):
+        if cfg.balance_coef > 0:
+            return streamed_slide_logits(encode_fn, p, patches, valid, cfg,
+                                         with_aux=True)[0]
         return streamed_slide_logits(encode_fn, p, patches, valid, cfg)
 
     def val_auc(p):

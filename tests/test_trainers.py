@@ -1,5 +1,7 @@
 """Tests for the MIL fold trainer and the LoRA fine-tuning loop."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -272,3 +274,54 @@ def test_evaluate_model_bfloat16_close_to_f32():
     half = evaluate_model(cfg, params, [batch], compute_dtype=jnp.bfloat16)
     np.testing.assert_allclose(half["probs"], full["probs"], atol=0.02)
     assert set(half) == set(full)
+
+
+@pytest.mark.slow
+def test_moe_lora_cli_converges(tmp_path):
+    """The MoE-LoRA recipe (VERDICT r1 #7): lora_experts=4 end-to-end on
+    synthetic patches with the router balance loss, via the documented CLI."""
+    from moc_tpu.cli.lora_finetune import main as lora_main
+    from moc_tpu.utils.checkpoint import load_params
+
+    out = str(tmp_path / "moe_lora")
+    rc = lora_main(["--platform", "cpu", "--lora_rank", "4",
+                    "--lora_experts", "4", "--balance_coef", "0.01",
+                    "--epochs", "3", "--slides_per_class", "4",
+                    "--val_per_class", "2", "--result_dir", out])
+    assert rc == 0
+    import json
+
+    payload = json.load(open(os.path.join(out, "lora_r4_e4.json")))
+    assert payload["best_val_auc"] >= 0.9
+    assert payload["balance_coef"] > 0
+
+    # the mixture actually trained: expert B matrices / router moved off init
+    import flax.serialization as ser
+
+    raw = open(os.path.join(out, "lora_r4_e4.msgpack"), "rb").read()
+    state = ser.msgpack_restore(raw)
+    flat = jax.tree_util.tree_flatten_with_path(state)[0]
+    moe_leaves = [(p, v) for p, v in flat
+                  if any("lora_moe_b" in str(k) for k in p)]
+    assert moe_leaves, "MoE-LoRA params missing from the checkpoint"
+    assert any(np.abs(np.asarray(v)).max() > 0 for _, v in moe_leaves), \
+        "expert B matrices never left zero-init — mixture not training"
+
+
+def test_lora_balance_loss_from_sown_gates():
+    """Attention sows router gates; lora_balance_loss reduces them with the
+    Switch formula (uniform gate over E experts -> loss == 1)."""
+    import jax.numpy as jnp
+
+    from moc_tpu.models.lora import lora_balance_loss
+    from moc_tpu.nn.transformer import Attention
+
+    attn = Attention(16, 2, lora_rank=2, lora_experts=4)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 6, 16)),
+                    jnp.float32)
+    params = attn.init(jax.random.PRNGKey(0), x)
+    _, inter = attn.apply(params, x, mutable=["intermediates"])
+    bal = float(lora_balance_loss(inter["intermediates"]))
+    # router inits to zero -> uniform softmax gate -> E * sum(1/E * f_e) = 1
+    np.testing.assert_allclose(bal, 1.0, atol=1e-5)
+    assert float(lora_balance_loss({})) == 0.0
