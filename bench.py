@@ -137,6 +137,40 @@ def bench_torch_cpu(n_slides: int = 3) -> float:
     return sps
 
 
+def bench_sweep_cli() -> dict:
+    """Episode-sweep wallclock through the CLI-reachable fused path.
+
+    Drives ``moc_tpu.cli.sweep`` (the code path users run) twice on the
+    synthetic corpus — the first call generates the corpus and compiles, the
+    second measures warm end-to-end wallclock (IO + zs floor + 25-epoch
+    training + eval + result writing) per episode. 5 episodes = shot 2 ×
+    folds {0..4}: ONE compiled fused program, bounding compile cost on a
+    misbehaving tunnel.
+    """
+    import shutil
+    import tempfile
+
+    from moc_tpu.cli import sweep as sweep_cli
+
+    root = tempfile.mkdtemp(prefix="moc_bench_sweep_")
+    try:
+        args = ["--dataset", "synthetic", "--shots", "2",
+                "--folds", "0", "1", "2", "3", "4", "--topj", "400",
+                "--topk", "10", "--num_epochs", "25",
+                "--result_dir", root, "--mode", "fused"]
+        t0 = time.perf_counter()
+        sweep_cli.main(args)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sweep_cli.main(args)
+        warm = time.perf_counter() - t0
+        log(f"fused CLI sweep: cold {cold:.1f}s, warm {warm:.1f}s for 5 episodes")
+        return {"s_per_episode_warm": round(warm / 5, 3),
+                "episodes": 5, "path": "cli.sweep --mode fused"}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     import os
 
@@ -144,18 +178,34 @@ def main() -> None:
     # persistent compile cache: first-run compile of the eval program is ~2min
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    t_headline = time.perf_counter()
     jax_sps = bench_jax()
+    headline_wall = time.perf_counter() - t_headline
     try:
         base_sps = bench_torch_cpu()
     except Exception as e:  # torch missing/broken must not kill the bench
         log(f"torch baseline failed: {e}")
         base_sps = float("nan")
+    # The sweep stage compiles two more large programs; when the TPU tunnel
+    # is misbehaving (a cold/draining tunnel has been measured taking 8 min
+    # for a compile that normally takes 8 s), skip it rather than risk the
+    # driver's budget — the headline JSON must always be printed.
+    sweep = None
+    if os.environ.get("MOC_BENCH_SWEEP", "1") != "0" and headline_wall < 120:
+        try:
+            sweep = bench_sweep_cli()
+        except Exception as e:  # secondary metric must not kill the headline
+            log(f"sweep bench failed: {e}")
+    elif headline_wall >= 120:
+        log(f"skipping sweep stage: headline took {headline_wall:.0f}s "
+            "(tunnel misbehaving)")
     ratio = jax_sps / base_sps if base_sps == base_sps else None
     print(json.dumps({
         "metric": "moc_eval_slides_per_sec",
         "value": round(jax_sps, 2),
         "unit": "slides/sec/chip",
         "vs_baseline": round(ratio, 2) if ratio is not None else None,
+        "sweep": sweep,
     }))
 
 
