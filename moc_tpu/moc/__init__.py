@@ -22,6 +22,7 @@ from moc_tpu.moc.core import (
     fuse_views_fixed,
     moc_slide_logits,
     moc_slide_logits_dense,
+    moc_slide_logits_masked,
 )
 from moc_tpu.moc.episode import (
     EpisodeResult,
@@ -54,6 +55,7 @@ __all__ = [
     "ablation_evaluation",
     "moc_slide_logits",
     "moc_slide_logits_dense",
+    "moc_slide_logits_masked",
     "EpisodeResult",
     "EvalMetrics",
     "init_senet",

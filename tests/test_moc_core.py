@@ -336,3 +336,70 @@ def test_zs_pooling_selectable():
                                        atol=1e-5, err_msg=name)
         if name not in ops.FOREGROUND_POOLINGS:
             assert got.shape[1] >= c  # fg columns (+ top1-bg col in detection)
+
+
+def test_masked_exact_matches_gather_exact():
+    """The gather-free masked exact path must reproduce the compact-then-
+    process formulation: same union, same per-row values, same pooled
+    logits — across pad amounts, near-empty bags, drop-mask RNG, and
+    discard subsets."""
+    from moc_tpu.moc import init_senet, moc_slide_logits_masked
+
+    rng = np.random.default_rng(9)
+    d, c, ce = 32, 2, 6
+    w = jnp.asarray(rng.normal(size=(d, c)).astype(np.float32))
+    w_ext = jnp.asarray(rng.normal(size=(d, ce)).astype(np.float32))
+    gather_cfg = lambda **kw: MOCConfig(n_classes=c, n_ext_classes=ce,
+                                        feature_dim=d, exact_impl="gather", **kw)
+    masked_cfg = lambda **kw: MOCConfig(n_classes=c, n_ext_classes=ce,
+                                        feature_dim=d, exact_impl="masked", **kw)
+    _, params = init_senet(jax.random.PRNGKey(3), masked_cfg(topj=16))
+    apply = SENet(in_dim=d, out_dim=4).apply
+
+    cases = [
+        dict(n=256, n_valid=256, topj=16, topk=8),
+        dict(n=256, n_valid=180, topj=16, topk=8),
+        dict(n=128, n_valid=3, topj=16, topk=8),  # union smaller than topk
+        dict(n=512, n_valid=400, topj=64, topk=10),
+    ]
+    for case in cases:
+        feats, valid = _rand_bag(rng, case["n"], case["n_valid"], d)
+        f, v = jnp.asarray(feats), jnp.asarray(valid)
+        for discard in [(), ("delta_softmax",), ("topk", "bottomk")]:
+            kw = dict(topj=case["topj"], topk=case["topk"], discard=discard)
+            got = moc_slide_logits_masked(apply, params, f, v, w, w_ext,
+                                          masked_cfg(**kw), None)
+            want = moc_slide_logits(apply, params, f, v, w, w_ext,
+                                    gather_cfg(**kw), None)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-6, atol=1e-6,
+                                       err_msg=f"{case} discard={discard}")
+        # train-time drop mask: same rng thins the same rows in both paths
+        key = jax.random.PRNGKey(11)
+        kw = dict(topj=case["topj"], topk=case["topk"])
+        got = moc_slide_logits_masked(apply, params, f, v, w, w_ext,
+                                      masked_cfg(**kw), key)
+        want = moc_slide_logits(apply, params, f, v, w, w_ext,
+                                gather_cfg(**kw), key)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_moc_slide_logits_routes_masked_by_default():
+    """Default config (f32) routes through the masked path; bf16 scoring
+    falls back to the gather path (its exactness needs the f32 re-score)."""
+    from moc_tpu.moc import init_senet, moc_slide_logits_masked
+
+    rng = np.random.default_rng(4)
+    d, c, ce = 32, 2, 6
+    feats, valid = _rand_bag(rng, 256, 200, d)
+    f, v = jnp.asarray(feats), jnp.asarray(valid)
+    w = jnp.asarray(rng.normal(size=(d, c)).astype(np.float32))
+    w_ext = jnp.asarray(rng.normal(size=(d, ce)).astype(np.float32))
+    cfg = MOCConfig(n_classes=c, n_ext_classes=ce, feature_dim=d, topj=16, topk=8)
+    assert cfg.exact_impl == "masked"
+    _, params = init_senet(jax.random.PRNGKey(0), cfg)
+    apply = SENet(in_dim=d, out_dim=4).apply
+    via_dispatch = moc_slide_logits(apply, params, f, v, w, w_ext, cfg, None)
+    direct = moc_slide_logits_masked(apply, params, f, v, w, w_ext, cfg, None)
+    np.testing.assert_array_equal(np.asarray(via_dispatch), np.asarray(direct))
