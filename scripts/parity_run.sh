@@ -33,9 +33,11 @@ DATA_ROOT="$(mktemp -d)"
 mkdir -p "${DATA_ROOT}/data/${DATASET}"
 ln -s "$(readlink -f "${FEATURES}")" "${DATA_ROOT}/data/${DATASET}/merge_features_conch"
 
+# shots 1-8 mirror summary_{shot}.csv; 16 is the BASELINE.json north-star
+# operating point (16-shot AUC within 0.5 pt) — split files are vendored.
 python -m moc_tpu.cli.sweep \
   --dataset "${DATASET}" \
-  --shots 1 2 4 8 \
+  --shots 1 2 4 8 16 \
   --folds 0 1 2 3 4 \
   --topj 400 --topk 10 \
   --data_root "${DATA_ROOT}" \
