@@ -1,0 +1,153 @@
+"""Standalone MOC inference: trained senet + weight matrices → predictions.
+
+The reference has no prediction entry point — scoring new slides means
+re-running the training script's eval loops (``main_moc.py:462-520``). This
+CLI is the serving path: load a ``best_model_*.msgpack`` senet checkpoint
+(written by ``cli.main_moc`` / ``cli.sweep``), the zero-shot weight
+matrices (cached ``.npz`` or built from a CONCH checkpoint + vendored
+banks), stream a directory of CLAM bags through the batched jitted forward,
+and write per-slide probabilities:
+
+  python -m moc_tpu.cli.predict --dataset nsclc \
+      --model results/1_shot/best_model_shot_1_fold_0.msgpack \
+      --feature_dir /data/nsclc/merge_features_conch \
+      --weights_npz cache/weights_nsclc_conch.npz \
+      --weights_ext_npz cache/weights_nsclc_ext_conch.npz \
+      --out predictions.csv
+
+``--csv`` defaults to the vendored slide table; point it at any
+``slide_id[,label]`` CSV for new cohorts (missing labels → metrics skipped).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+from moc_tpu.cli.common import add_perf_flags, perf_cfg_kwargs
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="MOC slide prediction")
+    p.add_argument("--dataset", default="nsclc",
+                   choices=["nsclc", "rcc", "ebrains12", "ebrains30"])
+    p.add_argument("--model", required=True,
+                   help="best_model_*.msgpack senet checkpoint")
+    p.add_argument("--feature_dir", required=True,
+                   help="CLAM feature dir ({h5_files,pt_files})")
+    p.add_argument("--csv", default=None,
+                   help="slide table (default: the vendored dataset CSV); "
+                        "any CSV with slide_id[,label] columns works")
+    p.add_argument("--out", default="predictions.csv")
+    p.add_argument("--topj", type=int, default=400)
+    p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=8)
+    # weight matrices: cached .npz pair, or built from a CONCH checkpoint
+    p.add_argument("--weights_npz", default=None)
+    p.add_argument("--weights_ext_npz", default=None)
+    p.add_argument("--conch_checkpoint", default=None)
+    p.add_argument("--tokenizer_file", default=None)
+    p.add_argument("--platform", default=None)
+    add_perf_flags(p)
+    return p.parse_args(argv)
+
+
+def _load_weights(args, preset):
+    import numpy as np
+
+    if args.weights_npz and args.weights_ext_npz:
+        return (np.load(args.weights_npz)["weights"],
+                np.load(args.weights_ext_npz)["weights"])
+    if not args.conch_checkpoint:
+        raise SystemExit("need --weights_npz/--weights_ext_npz or --conch_checkpoint")
+    from moc_tpu.cli.main_moc import _build_weights
+
+    ns = argparse.Namespace(
+        conch_checkpoint=args.conch_checkpoint,
+        tokenizer_file=args.tokenizer_file,
+        prompt_root=__import__("moc_tpu.config", fromlist=["x"]).DEFAULT_PROMPT_ROOT,
+        weights_cache_dir=os.path.join(os.path.dirname(args.out) or ".",
+                                       "classifier_weights"),
+        load_weight=True,
+    )
+    return _build_weights(ns, preset)
+
+
+def main(argv=None) -> int:
+    args = get_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax
+    import numpy as np
+    import pandas as pd
+
+    from moc_tpu.config import PRESETS
+    from moc_tpu.data import BagLoader, SlideTable
+    from moc_tpu.data.batching import bucketize, pack_bags
+    from moc_tpu.metrics import roc_auc_host, softmax_probs
+    from moc_tpu.moc import MOCConfig, init_senet, make_episode_fns
+    from moc_tpu.utils.checkpoint import load_params
+
+    preset = PRESETS[args.dataset]
+    csv_path = args.csv or preset.csv_path("/nonexistent")  # vendored fallback
+    frame = pd.read_csv(csv_path, dtype=str)
+    labeled = "label" in frame.columns and frame["label"].isin(preset.label_dict).all()
+    if labeled:
+        table = SlideTable.from_frame(frame, preset.label_dict)
+    else:
+        frame = frame.copy()
+        frame["label"] = "?"
+        table = SlideTable.from_frame(frame, {"?": -1})
+    w, w_ext = _load_weights(args, preset)
+
+    cfg = MOCConfig(n_classes=preset.n_classes, n_ext_classes=preset.n_ext_classes,
+                    topj=args.topj, topk=args.topk, feature_dim=w.shape[0],
+                    **perf_cfg_kwargs(args))
+    _, eval_batch, _ = make_episode_fns(cfg)
+    _, template = init_senet(jax.random.PRNGKey(0), cfg)
+    params = load_params(args.model, template)
+
+    loader = BagLoader(table, args.feature_dir)
+    bags = loader.read_all()
+    import jax.numpy as jnp
+
+    wj, wej = jnp.asarray(w), jnp.asarray(w_ext)
+    rows = []
+    for n_pad, group in sorted(bucketize(bags).items()):
+        for i in range(0, len(group), args.batch_size):
+            chunk = group[i : i + args.batch_size]
+            real = len(chunk)
+            while len(chunk) < args.batch_size:
+                chunk = chunk + [dataclasses.replace(chunk[0], label=-1)]
+            batch = pack_bags(chunk, n_pad=n_pad)
+            logits = np.asarray(eval_batch(params, batch, wj, wej))
+            probs = np.asarray(softmax_probs(jnp.asarray(logits), cfg.temperature))
+            for b in range(real):
+                row = {"slide_id": chunk[b].slide_id,
+                       "pred": int(np.argmax(logits[b]))}
+                if labeled:
+                    row["label"] = int(chunk[b].label)
+                for c in range(preset.n_classes):
+                    row[f"prob_{c}"] = float(probs[b, c])
+                rows.append(row)
+
+    out = pd.DataFrame(rows)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    out.to_csv(args.out, index=False)
+    print(f"{len(out)} slides → {args.out}")
+    if labeled:
+        labels = out["label"].to_numpy()
+        probs = out[[f"prob_{c}" for c in range(preset.n_classes)]].to_numpy()
+        acc = float((out["pred"].to_numpy() == labels).mean())
+        auc = roc_auc_host(probs, labels)
+        print(f"acc={acc:.4f} auc={auc:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -128,11 +128,15 @@ def run_fused_shot(args, shot, folds, *, loader, split_path, w, w_ext, cfg,
     seeds = jnp.asarray([args.seed + f for f in folds], jnp.int32)
     result = run_sweep(stacked, w, w_ext, cfg, repeat_num=repeat_num,
                        seeds=seeds, mesh=_episode_mesh(len(folds)))
+    from moc_tpu.utils.checkpoint import save_params
+
     for fold, ep_result in zip(folds, sweep_episode_results(result, zs)):
         if args.check_zeroshot:
             write_zeroshot_result(shot_dir, shot, fold, ep_result.zero_shot_train,
                                   ep_result.zero_shot_val, ep_result.zero_shot_test)
         write_episode_result(shot_dir, shot, fold, ep_result)
+        save_params(os.path.join(shot_dir, f"best_model_shot_{shot}_fold_{fold}.msgpack"),
+                    ep_result.params)
         print(f"shot {shot} fold {fold}: best_val={ep_result.best_val:.4f} "
               f"test={ep_result.test_at_best_val:.4f} (fused)")
     return result
@@ -200,6 +204,8 @@ def main(argv=None) -> int:
             print(f"shot {shot}: stacked episodes exceed --fused_hbm_gb "
                   f"{args.fused_hbm_gb}; streaming instead")
 
+        from moc_tpu.utils.checkpoint import save_params
+
         for fold in folds:
             split = read_split_csv(split_path(shot, fold))
             episode = EpisodeBags.load(loader, split.train, split.val, split.test,
@@ -207,6 +213,9 @@ def main(argv=None) -> int:
             result = run_episode(episode, w, w_ext, cfg, seed=args.seed + fold,
                                  check_zeroshot=args.check_zeroshot)
             write_episode_result(shot_dir, shot, fold, result)
+            save_params(os.path.join(shot_dir,
+                                     f"best_model_shot_{shot}_fold_{fold}.msgpack"),
+                        result.params)
             print(f"shot {shot} fold {fold}: best_val={result.best_val:.4f} "
                   f"test={result.test_at_best_val:.4f}")
     wall = time.perf_counter() - t0

@@ -121,6 +121,10 @@ def test_sweep_cli_fused_matches_stream(tmp_path):
             assert abs(fused[key] - stream[key]) < 1e-5, (key, fused, stream)
         # the zero-shot floor is identical (host-side in both modes)
         assert fused["zero_shot_test"] == stream["zero_shot_test"]
+        # both modes write the checkpoint the result JSON points at
+        for d in (fused_dir, stream_dir):
+            assert os.path.exists(os.path.join(
+                d, "1_shot", f"best_model_shot_1_fold_{fold}.msgpack"))
     assert os.path.exists(os.path.join(fused_dir, "summary_1.csv"))
 
 
@@ -134,3 +138,61 @@ def test_train_mil_cli_vila(tmp_path):
     payload = json.load(open(os.path.join(out, "vila_shot_2_fold_0.json")))
     assert {"val_auc", "test_auc", "test_acc", "stop_epoch"} <= set(payload)
     assert os.path.exists(os.path.join(out, "vila_shot_2_fold_0.msgpack"))
+
+
+@pytest.mark.slow
+def test_predict_cli(tmp_path):
+    """Standalone prediction: senet msgpack + weight npz pair + feature dir
+    -> per-slide probability CSV with metrics when labels are present."""
+    import pandas as pd
+
+    from moc_tpu.cli.predict import main as predict_main
+    from moc_tpu.data import make_synthetic_corpus
+    from moc_tpu.data.synthetic import SyntheticWSIConfig
+    from moc_tpu.moc import MOCConfig, init_senet
+    from moc_tpu.utils.checkpoint import save_params
+
+    root = tmp_path / "corpus"
+    cfg_data = SyntheticWSIConfig(slides_per_class=5, min_patches=120,
+                                  max_patches=300, dim=64, seed=3, signal=0.9)
+    corpus = make_synthetic_corpus(str(root), cfg_data, shots=(1,), n_folds=1,
+                                   val_per_class=1, test_per_class=2)
+    # restate the corpus as an NSCLC-labeled cohort (LUAD/LUSC)
+    frame = pd.read_csv(corpus["csv_path"], dtype=str)
+    frame["label"] = frame["label"].map({"0": "LUAD", "1": "LUSC"})
+    csv_path = str(tmp_path / "cohort.csv")
+    frame.to_csv(csv_path, index=False)
+
+    np.savez(tmp_path / "w.npz", weights=corpus["weights"])
+    np.savez(tmp_path / "we.npz", weights=corpus["weights_ext"])
+    cfg = MOCConfig(n_classes=2, n_ext_classes=6, feature_dim=64)
+    _, params = init_senet(jax.random.PRNGKey(0), cfg)
+    model_path = str(tmp_path / "model.msgpack")
+    save_params(model_path, params)
+
+    out = str(tmp_path / "pred.csv")
+    rc = predict_main(["--platform", "cpu", "--dataset", "nsclc",
+                       "--model", model_path, "--feature_dir", corpus["data_dir"],
+                       "--csv", csv_path, "--weights_npz", str(tmp_path / "w.npz"),
+                       "--weights_ext_npz", str(tmp_path / "we.npz"),
+                       "--topj", "32", "--out", out])
+    assert rc == 0
+    got = pd.read_csv(out)
+    assert len(got) == 10
+    assert {"slide_id", "pred", "label", "prob_0", "prob_1"} <= set(got.columns)
+    np.testing.assert_allclose(got[["prob_0", "prob_1"]].sum(axis=1), 1.0,
+                               atol=1e-5)
+    # oracle zero-shot weights separate the synthetic corpus even untrained
+    assert (got["pred"] == got["label"]).mean() >= 0.8
+
+    # unlabeled cohort: same CSV minus the label column -> no metrics, no crash
+    frame.drop(columns=["label"]).to_csv(csv_path, index=False)
+    out2 = str(tmp_path / "pred2.csv")
+    rc = predict_main(["--platform", "cpu", "--dataset", "nsclc",
+                       "--model", model_path, "--feature_dir", corpus["data_dir"],
+                       "--csv", csv_path, "--weights_npz", str(tmp_path / "w.npz"),
+                       "--weights_ext_npz", str(tmp_path / "we.npz"),
+                       "--topj", "32", "--out", out2])
+    assert rc == 0
+    got2 = pd.read_csv(out2)
+    assert "label" not in got2.columns and len(got2) == 10
