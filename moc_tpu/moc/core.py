@@ -77,13 +77,16 @@ class MOCConfig:
     # main_moc.py:412-432): any ``ops.POOLING_REGISTRY`` key; foreground
     # families pool feats @ w, bottomk families pool feats @ w_ext.
     zs_pooling: str = "topj"
-    # exact-path implementation: "masked" computes every classifier view
+    # exact-path implementation. "masked" computes every classifier view
     # densely (one fused matmul pass) and gates POOLING by the union mask —
     # no gather/compaction/capacity buffers, same selected set, same values
-    # (~2x on v5e; see moc_slide_logits_masked). "gather" is the original
-    # compact-then-process formulation (kept for viz/index consumers and as
-    # the bfloat16-scoring path, whose f32 re-score needs the gather).
-    exact_impl: str = "masked"
+    # (see moc_slide_logits_masked). "gather" is the original compact-then-
+    # process formulation (also the bfloat16-scoring path, whose f32
+    # re-score needs the gather, and the viz/index-consumer path). "auto"
+    # (default) routes by mode, per v5e measurement: inference → masked
+    # (1.83×: no [cap, D] gather), training → gather (1.8× at N=16k: the
+    # backward only touches capacity rows instead of the whole bag).
+    exact_impl: str = "auto"
 
     def include_flags(self) -> tuple[bool, bool, bool, bool]:
         return tuple(name not in self.discard for name in CLASSIFIER_NAMES)
@@ -303,12 +306,17 @@ def moc_slide_logits(
 ) -> jax.Array:
     """Full MOC forward for one slide: pooled slide logits ``[C]``.
 
-    Routes to the gather-free masked formulation unless the config asks for
-    the compact-then-process path (``exact_impl="gather"``) or uses bfloat16
-    scoring, whose exactness guarantee depends on the f32 re-score of the
-    gathered rows (``slide_process``).
+    Routing (see ``MOCConfig.exact_impl``): the gather-free masked
+    formulation for inference (``rng is None``) and the compact-then-process
+    path for training steps under the default ``"auto"`` — both produce the
+    same values (tested), they differ only in speed per mode. bfloat16
+    scoring always takes the gather path (its exactness guarantee depends
+    on the f32 re-score of the gathered rows, ``slide_process``).
     """
-    if cfg.exact_impl == "masked" and cfg.score_dtype == "float32":
+    use_masked = cfg.exact_impl == "masked" or (
+        cfg.exact_impl == "auto" and rng is None
+    )
+    if use_masked and cfg.score_dtype == "float32":
         return moc_slide_logits_masked(senet_apply, params, feats, valid,
                                        w, w_ext, cfg, rng)
     sel = slide_process(feats, valid, w, w_ext, cfg, rng)

@@ -386,8 +386,10 @@ def test_masked_exact_matches_gather_exact():
 
 
 def test_moc_slide_logits_routes_masked_by_default():
-    """Default config (f32) routes through the masked path; bf16 scoring
-    falls back to the gather path (its exactness needs the f32 re-score)."""
+    """Default config (auto, f32) routes inference through the masked path;
+    bf16 scoring falls back to the gather path (its exactness needs the f32
+    re-score); training steps (rng given) route to gather under auto — all
+    three produce equal values (the equivalence test above)."""
     from moc_tpu.moc import init_senet, moc_slide_logits_masked
 
     rng = np.random.default_rng(4)
@@ -397,7 +399,7 @@ def test_moc_slide_logits_routes_masked_by_default():
     w = jnp.asarray(rng.normal(size=(d, c)).astype(np.float32))
     w_ext = jnp.asarray(rng.normal(size=(d, ce)).astype(np.float32))
     cfg = MOCConfig(n_classes=c, n_ext_classes=ce, feature_dim=d, topj=16, topk=8)
-    assert cfg.exact_impl == "masked"
+    assert cfg.exact_impl == "auto"
     _, params = init_senet(jax.random.PRNGKey(0), cfg)
     apply = SENet(in_dim=d, out_dim=4).apply
     via_dispatch = moc_slide_logits(apply, params, f, v, w, w_ext, cfg, None)
