@@ -64,7 +64,8 @@ def get_args(argv=None):
 
 
 def _fused_bytes_estimate(stacked) -> int:
-    """Device bytes of one shot's stacked episode arrays."""
+    """HBM bytes one shot's stacked episodes WOULD occupy — computed on the
+    host copies before ``run_sweep`` places anything on the device."""
     import numpy as np
 
     import jax

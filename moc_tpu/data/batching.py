@@ -119,16 +119,21 @@ def pack_bags(
     coords = None
     if with_coords and all(c is not None for c in coords_list):
         coords = np.stack(coords_list)
-    batch = BagBatch(
+    if not device_put:
+        # host-resident batch: numpy leaves transfer lazily at each jit call
+        # (bounds device memory to one in-flight chunk; the path for eval
+        # splits larger than the HBM budget)
+        return BagBatch(
+            features=features.astype(np.dtype(dtype), copy=False),
+            mask=mask, labels=labels, n_patches=n_patches, coords=coords,
+        )
+    return jax.device_put(BagBatch(
         features=jnp.asarray(features, dtype),
         mask=jnp.asarray(mask),
         labels=jnp.asarray(labels),
         n_patches=jnp.asarray(n_patches),
         coords=jnp.asarray(coords) if coords is not None else None,
-    )
-    if device_put:
-        batch = jax.device_put(batch)
-    return batch
+    ))
 
 
 def bucketize(bags: Sequence[Bag], buckets: Sequence[int] = DEFAULT_BUCKETS) -> dict[int, list[Bag]]:

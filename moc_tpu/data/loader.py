@@ -151,26 +151,44 @@ class EpisodeBags:
         repeat_num: int | None = None,
         eval_batch_size: int = 8,
         buckets: Sequence[int] = DEFAULT_BUCKETS,
+        eval_device_budget_gb: float = 4.0,
     ) -> "EpisodeBags":
+        """Materialize one episode's bags. The (small) train batch always
+        lives on device; the eval chunks stay device-resident only while
+        their total padded size fits ``eval_device_budget_gb`` — beyond
+        that they are packed host-side and transfer lazily per jit call, so
+        a full real dataset (tens of GB padded) cannot OOM HBM at load."""
         train_bags = loader.read_all(train_ids)
         n_pad = bucket_size(max(b.n_patches for b in train_bags), buckets)
         train = pack_bags(train_bags, n_pad=n_pad)
 
-        def chunks(ids: Sequence[str]) -> list[BagBatch]:
+        def grouped(ids: Sequence[str]):
             bags = loader.read_all(ids)
-            out = []
+            groups = []
             for bn_pad, group in sorted(bucketize(bags, buckets).items()):
                 for i in range(0, len(group), eval_batch_size):
                     chunk = group[i : i + eval_batch_size]
                     while len(chunk) < eval_batch_size:
                         chunk = chunk + [dataclasses.replace(chunk[0], label=-1)]
-                    out.append(pack_bags(chunk, n_pad=bn_pad))
-            return out
+                    groups.append((bn_pad, chunk))
+            return groups
+
+        val_groups = grouped(val_ids)
+        test_groups = grouped(test_ids)
+        dim = train_bags[0].dim
+        eval_bytes = sum(
+            eval_batch_size * bn_pad * dim * 4 for bn_pad, _ in val_groups + test_groups
+        )
+        on_device = eval_bytes <= eval_device_budget_gb * 2**30
+
+        def pack(groups):
+            return [pack_bags(chunk, n_pad=bn_pad, device_put=on_device)
+                    for bn_pad, chunk in groups]
 
         return cls(
             train=train,
-            val=chunks(val_ids),
-            test=chunks(test_ids),
+            val=pack(val_groups),
+            test=pack(test_groups),
             repeat_num=repeat_num if repeat_num is not None else train.batch_size,
         )
 

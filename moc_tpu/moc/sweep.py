@@ -202,13 +202,21 @@ def run_sweep(
         seeds = jax.device_put(seeds, ep_sharding)
         fn = jax.jit(fn)
     else:
+        # episodes may arrive as host numpy (see episode_from_bags); commit
+        # them once so repeated sweep calls do not re-transfer
+        episodes = jax.device_put(episodes)
         fn = jax.jit(fn)
     return fn(episodes, jnp.asarray(w), jnp.asarray(w_ext), seeds)
 
 
 def episode_from_bags(train_batch, val_batches, test_batches) -> StackedEpisode:
     """Build a StackedEpisode from ``EpisodeBags``-style padded batches,
-    repadding eval chunks to a common shape."""
+    repadding eval chunks to a common shape.
+
+    Stays in HOST numpy — device placement happens once inside ``run_sweep``
+    so callers (and the fused-mode HBM budget check) can size the stacked
+    episodes before anything is allocated on the accelerator.
+    """
 
     def cat(batches):
         n_pad = max(b.features.shape[1] for b in batches)
@@ -223,8 +231,8 @@ def episode_from_bags(train_batch, val_batches, test_batches) -> StackedEpisode:
             feats.append(f)
             masks.append(m)
             labels.append(np.asarray(b.labels))
-        return (jnp.asarray(np.concatenate(feats)), jnp.asarray(np.concatenate(masks)),
-                jnp.asarray(np.concatenate(labels)))
+        return (np.concatenate(feats), np.concatenate(masks),
+                np.concatenate(labels))
 
     tf, tm, tl = cat([train_batch])
     vf, vm, vl = cat(val_batches)
@@ -254,7 +262,7 @@ def pad_and_stack_episodes(episodes: list[StackedEpisode]) -> StackedEpisode:
             "fuse one shot at a time (repeat_num/order are shape-static)"
         )
 
-    def stack_field(name: str, fill) -> jax.Array:
+    def stack_field(name: str, fill):
         xs = [np.asarray(getattr(e, name)) for e in episodes]
         target = tuple(max(x.shape[i] for x in xs) for i in range(xs[0].ndim))
         padded = []
@@ -263,7 +271,7 @@ def pad_and_stack_episodes(episodes: list[StackedEpisode]) -> StackedEpisode:
             if any(w[1] for w in widths):
                 x = np.pad(x, widths, constant_values=fill)
             padded.append(x)
-        return jnp.asarray(np.stack(padded))
+        return np.stack(padded)  # host numpy; run_sweep places on device
 
     kwargs = {name: stack_field(name, 0) for name in _FEAT_FIELDS}
     kwargs.update({name: stack_field(name, -1) for name in _LABEL_FIELDS})

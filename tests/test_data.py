@@ -331,3 +331,38 @@ def test_region_grid_read_batches_and_downsample():
     normed = next(iter(rg.read_batches(reader, batch_size=4)))[0]
     un = normed[0] * IMAGENET_STD + IMAGENET_MEAN
     np.testing.assert_allclose(un * 255.0, oracle, atol=1e-3)
+
+
+def test_episode_bags_host_resident_eval(tmp_path):
+    """Above the eval HBM budget, eval chunks stay host numpy and the
+    episode still evaluates identically (lazy per-call transfer)."""
+    import jax
+
+    from moc_tpu.data import BagLoader, EpisodeBags, SlideTable, make_synthetic_corpus
+    from moc_tpu.data.synthetic import SyntheticWSIConfig
+    from moc_tpu.data.splits import read_split_csv
+    from moc_tpu.moc import MOCConfig, run_episode
+
+    cfg_data = SyntheticWSIConfig(slides_per_class=6, min_patches=100,
+                                  max_patches=220, dim=32, seed=2, signal=0.9)
+    corpus = make_synthetic_corpus(str(tmp_path), cfg_data, shots=(1,), n_folds=1,
+                                   val_per_class=1, test_per_class=2)
+    table = SlideTable.from_csv(corpus["csv_path"], corpus["label_dict"])
+    loader = BagLoader(table, corpus["data_dir"], cache=True)
+    split = read_split_csv(corpus["split_paths"][(1, 0)])
+
+    dev = EpisodeBags.load(loader, split.train, split.val, split.test,
+                           repeat_num=2)
+    host = EpisodeBags.load(loader, split.train, split.val, split.test,
+                            repeat_num=2, eval_device_budget_gb=0.0)
+    assert isinstance(dev.val[0].features, jax.Array)
+    assert isinstance(host.val[0].features, np.ndarray)
+    # train batch is always device-resident
+    assert isinstance(host.train.features, jax.Array)
+
+    cfg = MOCConfig(n_classes=2, n_ext_classes=6, topj=16, topk=8,
+                    num_epochs=2, feature_dim=32)
+    r_dev = run_episode(dev, corpus["weights"], corpus["weights_ext"], cfg, seed=0)
+    r_host = run_episode(host, corpus["weights"], corpus["weights_ext"], cfg, seed=0)
+    assert r_dev.best_val == r_host.best_val
+    assert r_dev.test_at_best_val == r_host.test_at_best_val
