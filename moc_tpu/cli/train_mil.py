@@ -164,10 +164,15 @@ def main(argv=None) -> int:
 
     if args.model_type == "vila":
         return _train_vila(args, table, parts, data_dir, n_classes)
+    from moc_tpu.data import prefetch_to_device
+
+    # streamed, memory-bounded IO with a 2-deep device-transfer pipeline:
+    # bucketization from h5 metadata, per-chunk thread-pool reads, H2D
+    # overlapped with compute (the host-IO hard part of SURVEY §7)
     loaders = {
-        name: (lambda ids=ids: BagLoader(table.subset_by_slide_ids(ids), data_dir,
-                                         cache=True)
-               .batches(batch_size=max(args.batch_size, 1)))
+        name: (lambda ids=ids: prefetch_to_device(
+            BagLoader(table.subset_by_slide_ids(ids), data_dir)
+            .stream_batches(batch_size=max(args.batch_size, 1))))
         for name, ids in parts.items()
     }
 

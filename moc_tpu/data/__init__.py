@@ -48,7 +48,7 @@ from moc_tpu.data.splits import (
     generate_splits,
     generate_fewshot_splits,
 )
-from moc_tpu.data.loader import BagLoader, EpisodeBags
+from moc_tpu.data.loader import BagLoader, EpisodeBags, prefetch_to_device
 from moc_tpu.data.pseudo import (
     PatchPools,
     assemble_fixed_ratio_bag,
@@ -79,6 +79,7 @@ __all__ = [
     "generate_splits",
     "generate_fewshot_splits",
     "BagLoader",
+    "prefetch_to_device",
     "EpisodeBags",
     "SyntheticWSIConfig",
     "make_synthetic_corpus",

@@ -68,6 +68,17 @@ def read_bag_pt(path: str, slide_id: str | None = None, label: int | None = None
     return Bag(slide_id=slide_id, features=features, coords=None, label=label, path=path)
 
 
+def bag_patch_count(data_dir: str, slide_id: str, *, use_h5: bool = True) -> int | None:
+    """Patch count from h5 METADATA only (no feature bytes read) — drives
+    bucketization for the streaming loader. Returns None when only a
+    ``pt_files`` bag exists (torch files carry no cheap header)."""
+    path = os.path.join(data_dir, "h5_files", f"{slide_id}.h5")
+    if use_h5 and h5py is not None and os.path.exists(path):
+        with h5py.File(path, "r") as f:
+            return int(f["features"].shape[0])
+    return None
+
+
 def read_bag(data_dir: str, slide_id: str, *, use_h5: bool = True, label: int | None = None) -> Bag:
     """Resolve ``<data_dir>/{h5_files,pt_files}/<slide_id>.{h5,pt}`` and read it.
 

@@ -11,15 +11,34 @@ scans over index permutations on device.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, Sequence
+from typing import Iterable, Iterator, Sequence
 
 import numpy as np
 
-from moc_tpu.data.bags import Bag, read_bag
+from moc_tpu.data.bags import Bag, bag_patch_count, read_bag
 from moc_tpu.data.batching import BagBatch, bucket_size, bucketize, pack_bags, DEFAULT_BUCKETS
 from moc_tpu.data.table import SlideTable
+
+
+def prefetch_to_device(batches: Iterable[BagBatch], depth: int = 2) -> Iterator[BagBatch]:
+    """Keep ``depth`` batches in flight on the device ahead of the consumer.
+
+    ``jax.device_put`` is asynchronous, so holding a small queue of
+    already-dispatched batches overlaps host→device transfer with compute —
+    the standard TPU input-pipeline trick. Works with host-numpy or
+    device-resident batches (the latter pass through at no cost)."""
+    import jax
+
+    queue: collections.deque = collections.deque()
+    for batch in batches:
+        queue.append(jax.device_put(batch))
+        if len(queue) > depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
 
 
 class BagLoader:
@@ -123,6 +142,80 @@ class BagLoader:
                     filler = chunk[len(chunk) % real]
                     chunk = chunk + [dataclasses.replace(filler, label=-1)]
                 yield pack_bags(chunk, n_pad=n_pad, with_coords=with_coords)
+
+    def stream_batches(
+        self,
+        *,
+        batch_size: int = 8,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        with_coords: bool = False,
+        shuffle_seed: int | None = None,
+        shard: tuple[int, int] | None = None,
+        lookahead: int = 2,
+    ) -> Iterator[BagBatch]:
+        """Memory-bounded ``batches``: never materializes the whole table.
+
+        Bucketization is driven by h5 shape METADATA (no feature bytes read
+        up front); bags are then read chunk-by-chunk with the thread pool
+        keeping ``lookahead`` chunks of per-slide reads in flight while the
+        current batch is consumed — the host-IO pipeline for datasets larger
+        than host RAM (SURVEY §7: feeding the chip from h5). Same chunk /
+        filler / shard semantics as ``batches``; within-bucket slide order
+        follows the shape scan instead of read completion, so output is
+        deterministic. pt-only tables (no h5 headers) fall back to
+        ``batches`` (counting a pt bag requires reading it anyway).
+        """
+        ids = list(self.table.slide_ids)
+        if shard is not None:
+            index, count = shard
+            ids = ids[index::count]
+        if shuffle_seed is not None:
+            rng = np.random.default_rng(shuffle_seed)
+            rng.shuffle(ids)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            counts = list(pool.map(
+                lambda s: bag_patch_count(self.data_dir, s, use_h5=self.use_h5), ids))
+        if any(c is None for c in counts):
+            yield from self.batches(batch_size=batch_size, buckets=buckets,
+                                    with_coords=with_coords,
+                                    shuffle_seed=shuffle_seed, shard=shard)
+            return
+        if self.bag_size is not None:
+            counts = [min(c, self.bag_size) for c in counts]
+
+        grouped: dict[int, list[str]] = {}
+        for sid, c in zip(ids, counts):
+            grouped.setdefault(bucket_size(c, buckets), []).append(sid)
+        chunks: list[tuple[int, list[str], int]] = []  # (n_pad, ids, n_real)
+        for n_pad, group in sorted(grouped.items()):
+            for i in range(0, len(group), batch_size):
+                chunk = group[i : i + batch_size]
+                real = len(chunk)
+                while len(chunk) < batch_size:
+                    chunk = chunk + [chunk[len(chunk) % real]]
+                chunks.append((n_pad, chunk, real))
+
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
+            pending: collections.deque = collections.deque()
+
+            def submit(chunk_idx):
+                n_pad, chunk_ids, real = chunks[chunk_idx]
+                futures = [pool.submit(self.read, sid) for sid in chunk_ids]
+                pending.append((n_pad, futures, real))
+
+            for i in range(min(lookahead + 1, len(chunks))):
+                submit(i)
+            for i in range(len(chunks)):
+                n_pad, futures, real = pending.popleft()
+                if i + lookahead + 1 < len(chunks):
+                    submit(i + lookahead + 1)
+                bags = [f.result() for f in futures]
+                bags = bags[:real] + [dataclasses.replace(b, label=-1)
+                                      for b in bags[real:]]
+                yield pack_bags(bags, n_pad=n_pad, with_coords=with_coords)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 @dataclasses.dataclass

@@ -366,3 +366,40 @@ def test_episode_bags_host_resident_eval(tmp_path):
     r_host = run_episode(host, corpus["weights"], corpus["weights_ext"], cfg, seed=0)
     assert r_dev.best_val == r_host.best_val
     assert r_dev.test_at_best_val == r_host.test_at_best_val
+
+
+def test_stream_batches_matches_batches(tmp_path):
+    """The streaming loader yields the same bucketed batches as the eager
+    one (metadata-driven bucketization, lookahead reads) and the prefetch
+    wrapper is a pass-through."""
+    from moc_tpu.data import BagLoader, SlideTable, make_synthetic_corpus, prefetch_to_device
+    from moc_tpu.data.synthetic import SyntheticWSIConfig
+
+    cfg_data = SyntheticWSIConfig(slides_per_class=7, min_patches=100,
+                                  max_patches=900, dim=16, seed=6)
+    corpus = make_synthetic_corpus(str(tmp_path), cfg_data, shots=(1,), n_folds=1,
+                                   val_per_class=1, test_per_class=1)
+    table = SlideTable.from_csv(corpus["csv_path"], corpus["label_dict"])
+    loader = BagLoader(table, corpus["data_dir"])
+
+    eager = list(loader.batches(batch_size=4))
+    stream = list(loader.stream_batches(batch_size=4))
+    assert len(eager) == len(stream)
+    for a, b in zip(eager, stream):
+        assert a.features.shape == b.features.shape
+        np.testing.assert_array_equal(np.asarray(a.labels), np.asarray(b.labels))
+        np.testing.assert_allclose(np.asarray(a.features), np.asarray(b.features))
+        np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+
+    pre = list(prefetch_to_device(loader.stream_batches(batch_size=4), depth=2))
+    assert len(pre) == len(eager)
+    np.testing.assert_allclose(np.asarray(pre[0].features),
+                               np.asarray(eager[0].features))
+
+    # sharding covers the table disjointly in streaming mode too
+    ids = set()
+    for s in range(3):
+        for batch in loader.stream_batches(batch_size=2, shard=(s, 3)):
+            ids.update(int(l) for l in np.asarray(batch.n_patches))
+    total = sum(1 for _ in loader.stream_batches(batch_size=2))
+    assert total == len(list(loader.batches(batch_size=2)))
