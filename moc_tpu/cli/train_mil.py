@@ -25,6 +25,11 @@ def get_args(argv=None):
                    choices=["nsclc", "rcc", "synthetic"])
     p.add_argument("--fold", type=int, default=0)
     p.add_argument("--shot", type=int, default=4)
+    p.add_argument("--folds", type=int, nargs="+", default=None,
+                   help="train several folds in one invocation and write a "
+                        "<model>_summary_<shot>.csv with a mean row "
+                        "(the reference's 5-fold statistical protocol)")
+    p.add_argument("--shots", type=int, nargs="+", default=None)
     p.add_argument("--drop_out", type=float, default=0.0)
     p.add_argument("--bag_loss", default="ce", choices=["ce", "svm"])
     p.add_argument("--inst_loss", default="ce", choices=["ce", "svm"])
@@ -58,7 +63,7 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
-def _train_vila(args, table, parts, data_dir, n_classes) -> int:
+def _train_vila(args, table, parts, data_dir, n_classes) -> dict:
     """ViLa fold training (the reference dispatches 'vila' inside
     ``core_utils.train``; its data interface is dual-scale bag pairs plus
     CONCH prompt constants, so it gets its own branch here)."""
@@ -126,7 +131,7 @@ def _train_vila(args, table, parts, data_dir, n_classes) -> int:
 
     save_params(out.replace(".json", ".msgpack"), result.params)
     print(f"test auc={result.test_auc:.4f} acc={result.test_acc:.4f} → {out}")
-    return 0
+    return payload
 
 
 def main(argv=None) -> int:
@@ -137,6 +142,32 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
     os.makedirs(args.result_dir, exist_ok=True)
 
+    shots = args.shots or [args.shot]
+    folds = args.folds or [args.fold]
+    for shot in shots:
+        rows = []
+        for fold in folds:
+            run_args = argparse.Namespace(**{**vars(args), "shot": shot,
+                                             "fold": fold})
+            rows.append(_run_single(run_args))
+        if len(folds) > 1:
+            import numpy as np
+            import pandas as pd
+
+            keys = [k for k in ("val_auc", "test_auc", "test_acc", "test_bacc")
+                    if k in rows[0]]
+            frame = {"fold": list(folds) + ["mean"]}
+            for k in keys:
+                vals = [r[k] for r in rows]
+                frame[k] = vals + [float(np.mean(vals))]
+            out = os.path.join(args.result_dir,
+                               f"{args.model_type}_summary_{shot}.csv")
+            pd.DataFrame(frame).to_csv(out, index=False)
+            print(f"summary → {out}")
+    return 0
+
+
+def _run_single(args) -> dict:
     from moc_tpu.data import BagLoader, SlideTable, read_split_csv
     from moc_tpu.train import MilTrainConfig, train_fold
 
@@ -212,7 +243,7 @@ def main(argv=None) -> int:
 
     save_params(out.replace(".json", ".msgpack"), result.params)
     print(f"test auc={result.test_auc:.4f} acc={result.test_acc:.4f} → {out}")
-    return 0
+    return payload
 
 
 if __name__ == "__main__":

@@ -196,3 +196,21 @@ def test_predict_cli(tmp_path):
     assert rc == 0
     got2 = pd.read_csv(out2)
     assert "label" not in got2.columns and len(got2) == 10
+
+
+@pytest.mark.slow
+def test_train_mil_cli_multi_fold_summary(tmp_path):
+    """--shots/--folds trains a grid in one invocation and writes the
+    mean-row summary CSV (the reference's 5-fold statistical protocol)."""
+    import pandas as pd
+
+    out = str(tmp_path / "mil_sweep")
+    r = _run_cli(["moc_tpu.cli.train_mil", "--dataset", "synthetic",
+                  "--model_type", "mil", "--shots", "2", "--folds", "0", "1",
+                  "--max_epochs", "2", "--result_dir", out], timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    for fold in (0, 1):
+        assert os.path.exists(os.path.join(out, f"mil_shot_2_fold_{fold}.json"))
+    frame = pd.read_csv(os.path.join(out, "mil_summary_2.csv"))
+    assert list(frame["fold"]) == ["0", "1", "mean"]
+    assert {"val_auc", "test_auc", "test_acc", "test_bacc"} <= set(frame.columns)
