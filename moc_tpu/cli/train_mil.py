@@ -207,6 +207,7 @@ def _run_single(args) -> dict:
         for name, ids in parts.items()
     }
 
+    bs = max(args.batch_size, 1)
     cfg = MilTrainConfig(
         model_type=args.model_type, model_size=args.model_size,
         n_classes=n_classes, drop_out=args.drop_out, bag_loss=args.bag_loss,
@@ -214,6 +215,7 @@ def _run_single(args) -> dict:
         bag_weight=args.bag_weight, lr=args.lr, reg=args.reg, opt=args.opt,
         max_epochs=args.max_epochs, early_stopping=args.early_stopping,
         weighted_sample=args.weighted_sample, batch_size=args.batch_size,
+        steps_per_epoch=-(-len(split.train) // bs),
         seed=args.seed,
     )
     writer = None

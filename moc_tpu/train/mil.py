@@ -62,6 +62,11 @@ class MilTrainConfig:
     stop_epoch: int = 50
     weighted_sample: bool = False
     batch_size: int = 1  # slides per optimizer step (1 = reference semantics)
+    # optimizer steps per epoch (ceil(n_train / batch_size)): the reference's
+    # CosineAnnealingLR anneals per EPOCH (core_utils.py:206,253), so the
+    # optax schedule must be stretched by this factor. 1 keeps the legacy
+    # per-update annealing (decays within the first epoch at batch_size=1).
+    steps_per_epoch: int = 1
     seed: int = 1
     conch_init: bool = False  # init CLAM classifier from zero-shot weights
     conch_freeze: bool = False  # freeze that classifier during training
@@ -219,8 +224,12 @@ def _freeze_classifier(optimizer: optax.GradientTransformation,
 
 def make_optimizer(cfg: MilTrainConfig) -> optax.GradientTransformation:
     """``get_optim`` + CosineAnnealingLR(T_max=20)
-    (ref ``utils/utils.py:270-279``, ``core_utils.py:205-206``)."""
-    schedule = optax.cosine_decay_schedule(cfg.lr, decay_steps=max(cfg.max_epochs, 20))
+    (ref ``utils/utils.py:270-279``, ``core_utils.py:205-206``). The torch
+    scheduler steps per epoch; optax counts updates, hence the
+    ``steps_per_epoch`` stretch."""
+    schedule = optax.cosine_decay_schedule(
+        cfg.lr,
+        decay_steps=max(cfg.max_epochs, 20) * max(cfg.steps_per_epoch, 1))
     if cfg.opt == "adam":
         return optax.chain(optax.add_decayed_weights(cfg.reg),
                            optax.scale_by_adam(),

@@ -325,3 +325,20 @@ def test_lora_balance_loss_from_sown_gates():
     # router inits to zero -> uniform softmax gate -> E * sum(1/E * f_e) = 1
     np.testing.assert_allclose(bal, 1.0, atol=1e-5)
     assert float(lora_balance_loss({})) == 0.0
+
+
+def test_cosine_schedule_anneals_per_epoch():
+    """The reference's CosineAnnealingLR steps per EPOCH; with
+    steps_per_epoch the optax schedule must still be at ~full LR after one
+    epoch of per-slide updates (it previously decayed within epoch one)."""
+    import optax
+
+    from moc_tpu.train import MilTrainConfig
+    from moc_tpu.train.mil import make_optimizer
+
+    cfg = MilTrainConfig(max_epochs=20, lr=1e-3, steps_per_epoch=16, opt="sgd")
+    sched = optax.cosine_decay_schedule(
+        cfg.lr, decay_steps=max(cfg.max_epochs, 20) * cfg.steps_per_epoch)
+    assert float(sched(16)) > 0.99 * cfg.lr  # one epoch in: ~full LR
+    assert float(sched(20 * 16)) < 1e-6  # fully annealed at max_epochs
+    make_optimizer(cfg)  # constructs
