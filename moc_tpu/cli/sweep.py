@@ -63,14 +63,28 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
-def _fused_bytes_estimate(stacked) -> int:
-    """HBM bytes one shot's stacked episodes WOULD occupy — computed on the
-    host copies before ``run_sweep`` places anything on the device."""
-    import numpy as np
+def _fused_bytes_estimate(episodes) -> int:
+    """Upper-bound bytes the stacked sweep would occupy (features dominate),
+    computed from ``EpisodeBags`` METADATA — before any cross-fold host copy
+    or device placement is made, so neither host RAM nor HBM spikes on a
+    dataset that is about to fall back to streaming."""
 
-    import jax
+    def shapes(ep):
+        def tot(chunks):
+            rows = sum(c.features.shape[0] for c in chunks)
+            n = max(c.features.shape[1] for c in chunks)
+            return rows, n
 
-    return int(sum(np.asarray(x).nbytes for x in jax.tree.leaves(stacked)))
+        return tot([ep.train]), tot(ep.val), tot(ep.test)
+
+    per_field = list(zip(*[shapes(ep) for ep in episodes]))
+    dim = episodes[0].train.features.shape[-1]
+    total = 0
+    for field in per_field:  # cross-fold padding raises every fold to the max
+        rows = max(r for r, _ in field)
+        n = max(n for _, n in field)
+        total += len(episodes) * rows * n * (dim * 4 + 1)  # feats f32 + mask
+    return int(total)
 
 
 def _episode_mesh(n_episodes: int):
@@ -108,11 +122,11 @@ def run_fused_shot(args, shot, folds, *, loader, split_path, w, w_ext, cfg,
         EpisodeBags.load(loader, s.train, s.val, s.test, repeat_num=repeat_num)
         for s in (read_split_csv(split_path(shot, f)) for f in folds)
     ]
+    if args.mode == "auto" and _fused_bytes_estimate(episodes) > args.fused_hbm_gb * 2**30:
+        return None  # caller falls back to the streaming path
     stacked = pad_and_stack_episodes(
         [episode_from_bags(ep.train, ep.val, ep.test) for ep in episodes]
     )
-    if args.mode == "auto" and _fused_bytes_estimate(stacked) > args.fused_hbm_gb * 2**30:
-        return None  # caller falls back to the streaming path
 
     zs = None
     if args.check_zeroshot:
@@ -205,6 +219,7 @@ def main(argv=None) -> int:
             print(f"shot {shot}: stacked episodes exceed --fused_hbm_gb "
                   f"{args.fused_hbm_gb}; streaming instead")
 
+        from moc_tpu.moc.results import write_zeroshot_result
         from moc_tpu.utils.checkpoint import save_params
 
         for fold in folds:
@@ -213,6 +228,9 @@ def main(argv=None) -> int:
                                        repeat_num=shot * n_classes)
             result = run_episode(episode, w, w_ext, cfg, seed=args.seed + fold,
                                  check_zeroshot=args.check_zeroshot)
+            if args.check_zeroshot:
+                write_zeroshot_result(shot_dir, shot, fold, result.zero_shot_train,
+                                      result.zero_shot_val, result.zero_shot_test)
             write_episode_result(shot_dir, shot, fold, result)
             save_params(os.path.join(shot_dir,
                                      f"best_model_shot_{shot}_fold_{fold}.msgpack"),
