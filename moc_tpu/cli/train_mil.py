@@ -30,6 +30,10 @@ def get_args(argv=None):
                         "<model>_summary_<shot>.csv with a mean row "
                         "(the reference's 5-fold statistical protocol)")
     p.add_argument("--shots", type=int, nargs="+", default=None)
+    p.add_argument("--fused", action="store_true",
+                   help="train all folds of a shot as ONE vmapped program "
+                        "(few-shot grids; folds shard over devices; not "
+                        "available for vila/weighted_sample)")
     p.add_argument("--drop_out", type=float, default=0.0)
     p.add_argument("--bag_loss", default="ce", choices=["ce", "svm"])
     p.add_argument("--inst_loss", default="ce", choices=["ce", "svm"])
@@ -145,11 +149,14 @@ def main(argv=None) -> int:
     shots = args.shots or [args.shot]
     folds = args.folds or [args.fold]
     for shot in shots:
-        rows = []
-        for fold in folds:
-            run_args = argparse.Namespace(**{**vars(args), "shot": shot,
-                                             "fold": fold})
-            rows.append(_run_single(run_args))
+        if args.fused and args.model_type != "vila":
+            rows = _run_fused_grid(args, shot, folds)
+        else:
+            rows = []
+            for fold in folds:
+                run_args = argparse.Namespace(**{**vars(args), "shot": shot,
+                                                 "fold": fold})
+                rows.append(_run_single(run_args))
         if len(folds) > 1:
             import numpy as np
             import pandas as pd
@@ -167,17 +174,19 @@ def main(argv=None) -> int:
     return 0
 
 
-def _run_single(args) -> dict:
-    from moc_tpu.data import BagLoader, SlideTable, read_split_csv
-    from moc_tpu.train import MilTrainConfig, train_fold
+def _resolve_dataset(args, shot, fold):
+    """(table, data_dir, split, n_classes) for one (shot, fold)."""
+    from moc_tpu.data import SlideTable, read_split_csv
 
     if args.dataset == "synthetic":
         from moc_tpu.cli.main_moc import _synthetic_setup
 
-        corpus, _ = _synthetic_setup(args)
+        run_args = argparse.Namespace(**{**vars(args), "shot": shot,
+                                         "fold": fold})
+        corpus, _ = _synthetic_setup(run_args)
         csv_path, data_dir = corpus["csv_path"], corpus["data_dir"]
         label_dict = corpus["label_dict"]
-        split_csv = corpus["split_paths"][(args.shot, args.fold)]
+        split_csv = corpus["split_paths"][(shot, fold)]
         n_classes = len(set(label_dict.values()))
     else:
         from moc_tpu.config import PRESETS
@@ -186,11 +195,75 @@ def _run_single(args) -> dict:
         csv_path = preset.csv_path(args.data_root)
         data_dir = preset.data_dir(args.data_root)
         label_dict = preset.label_dict
-        split_csv = preset.split_csv(args.data_root, args.shot, args.fold)
+        split_csv = preset.split_csv(args.data_root, shot, fold)
         n_classes = preset.n_classes
-
     table = SlideTable.from_csv(csv_path, label_dict)
-    split = read_split_csv(split_csv)
+    return table, data_dir, read_split_csv(split_csv), n_classes
+
+
+def _run_fused_grid(args, shot, folds) -> list[dict]:
+    """All folds of one shot as ONE vmapped program
+    (``train.mil_fused.run_mil_folds_fused``)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from moc_tpu.data import BagLoader, EpisodeBags
+    from moc_tpu.moc.sweep import episode_from_bags, pad_and_stack_episodes
+    from moc_tpu.train import MilTrainConfig
+    from moc_tpu.train.mil_fused import run_mil_folds_fused
+    from moc_tpu.utils.checkpoint import save_params
+
+    episodes = []
+    n_classes = None
+    for fold in folds:
+        table, data_dir, split, n_classes = _resolve_dataset(args, shot, fold)
+        loader = BagLoader(table, data_dir, cache=True)
+        ep = EpisodeBags.load(loader, split.train, split.val, split.test)
+        episodes.append(episode_from_bags(ep.train, ep.val, ep.test))
+    stacked = pad_and_stack_episodes(episodes)
+
+    cfg = MilTrainConfig(
+        model_type=args.model_type, model_size=args.model_size,
+        n_classes=n_classes, drop_out=args.drop_out, bag_loss=args.bag_loss,
+        inst_loss=args.inst_loss, subtyping=args.subtyping, B=args.B,
+        bag_weight=args.bag_weight, lr=args.lr, reg=args.reg, opt=args.opt,
+        max_epochs=args.max_epochs, early_stopping=args.early_stopping,
+        steps_per_epoch=int(np.asarray(stacked.train_feats).shape[1]),
+        seed=args.seed,
+    )
+    result = run_mil_folds_fused(
+        stacked, cfg, seeds=jnp.asarray(list(folds), jnp.int32))
+
+    import jax
+
+    params = jax.device_get(result.best_params)
+    rows = []
+    for i, fold in enumerate(folds):
+        payload = {
+            "val_auc": float(np.asarray(result.val_auc)[i]),
+            "val_acc": float(np.asarray(result.val_acc)[i]),
+            "test_auc": float(np.asarray(result.test_auc)[i]),
+            "test_acc": float(np.asarray(result.test_acc)[i]),
+            "test_bacc": float(np.asarray(result.test_bacc)[i]),
+            "stop_epoch": int(np.asarray(result.stop_epoch)[i]),
+        }
+        out = os.path.join(args.result_dir,
+                           f"{args.model_type}_shot_{shot}_fold_{fold}.json")
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=4)
+        save_params(out.replace(".json", ".msgpack"),
+                    jax.tree.map(lambda x: x[i], params))
+        print(f"shot {shot} fold {fold}: val_auc={payload['val_auc']:.4f} "
+              f"test_auc={payload['test_auc']:.4f} (fused)")
+        rows.append(payload)
+    return rows
+
+
+def _run_single(args) -> dict:
+    from moc_tpu.data import BagLoader
+    from moc_tpu.train import MilTrainConfig, train_fold
+
+    table, data_dir, split, n_classes = _resolve_dataset(args, args.shot, args.fold)
     parts = {"train": split.train, "val": split.val, "test": split.test}
 
     if args.model_type == "vila":

@@ -12,7 +12,8 @@ Tie handling uses average ranks (Mann-Whitney with tie correction), which
 matches sklearn's trapezoidal ROC exactly.
 """
 
-from moc_tpu.metrics.auc import auc_binary, auc_ovo_macro, auc_from_probs, roc_auc_host
+from moc_tpu.metrics.auc import (auc_binary, auc_ovo_macro, auc_ovr_macro,
+                                 auc_from_probs, roc_auc_host)
 from moc_tpu.metrics.classification import (
     accuracy,
     balanced_accuracy,
@@ -24,6 +25,7 @@ __all__ = [
     "auc_binary",
     "auc_ovo_macro",
     "auc_from_probs",
+    "auc_ovr_macro",
     "roc_auc_host",
     "accuracy",
     "balanced_accuracy",

@@ -64,6 +64,28 @@ def auc_ovo_macro(probs, labels, valid=None, n_classes: int | None = None):
     return total / n_pairs
 
 
+def auc_ovr_macro(probs, labels, valid=None, n_classes: int | None = None):
+    """Multiclass ``ovr``-macro ROC-AUC — the baseline-trainer protocol
+    (``core_utils.py:519-524``: sklearn ``multi_class='ovr'`` macro; absent
+    classes are excluded from the mean like the per-class nanmean fallback,
+    ``core_utils.py:611-620``)."""
+    probs = jnp.asarray(probs)
+    labels = jnp.asarray(labels)
+    if valid is None:
+        valid = jnp.ones(labels.shape, bool)
+    c = n_classes if n_classes is not None else probs.shape[1]
+    total = jnp.float32(0.0)
+    present = jnp.float32(0.0)
+    for a in range(c):
+        pos = valid & (labels == a)
+        neg = valid & (labels != a)
+        u, n_pairs = _pairwise_u(probs[:, a], probs[:, a], pos, neg)
+        has = (n_pairs > 0).astype(jnp.float32)
+        total = total + has * u / jnp.maximum(n_pairs, 1.0)
+        present = present + has
+    return total / jnp.maximum(present, 1.0)
+
+
 def auc_from_probs(probs, labels, valid=None):
     """Dispatch on class count like the reference: binary → P(class 1) AUC,
     multiclass → ovo macro."""

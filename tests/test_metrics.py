@@ -1,5 +1,6 @@
 """Device AUC must match sklearn exactly (ties included)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from sklearn.metrics import roc_auc_score
@@ -78,3 +79,27 @@ def test_softmax_temperature():
     p_hot = np.asarray(softmax_probs(logits))  # CONCH temperature 56.3477
     assert p_hot[0, 1] > p_cold[0, 1]  # temperature sharpens
     np.testing.assert_allclose(p_hot.sum(axis=1), 1.0, rtol=1e-6)
+
+
+def test_auc_ovr_macro_matches_sklearn():
+    from sklearn.metrics import roc_auc_score
+
+    from moc_tpu.metrics import auc_ovr_macro
+
+    rng = np.random.default_rng(8)
+    for c in (3, 4):
+        labels = rng.integers(0, c, 60)
+        probs = rng.random((60, c)).astype(np.float32)
+        probs /= probs.sum(1, keepdims=True)
+        want = roc_auc_score(labels, probs, multi_class="ovr", average="macro")
+        got = float(auc_ovr_macro(jnp.asarray(probs), jnp.asarray(labels)))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    # padded rows excluded via valid; absent classes excluded from the mean
+    labels = np.array([0, 0, 1, 1, 2, 2])
+    probs = rng.random((6, 4)).astype(np.float32)
+    valid = np.array([True] * 6)
+    got = float(auc_ovr_macro(jnp.asarray(probs), jnp.asarray(labels),
+                              jnp.asarray(valid)))
+    want = np.mean([roc_auc_score((labels == a).astype(int), probs[:, a])
+                    for a in range(3)])
+    np.testing.assert_allclose(got, want, atol=1e-6)
