@@ -25,6 +25,7 @@ from moc_tpu.train.mil import (
     weighted_order,
 )
 from moc_tpu.train.losses import bag_loss_fn, cross_entropy, smooth_top1_svm
+from moc_tpu.train.mil_fused import FusedFoldResult, make_mil_fold_fn, run_mil_folds_fused
 from moc_tpu.train.vila import (
     VilaFoldResult,
     VilaTrainConfig,
@@ -40,6 +41,9 @@ from moc_tpu.train.lora_finetune import (
 )
 
 __all__ = [
+    "FusedFoldResult",
+    "make_mil_fold_fn",
+    "run_mil_folds_fused",
     "PretrainConfig",
     "encoder_param_shardings",
     "make_pretrain_state",
