@@ -207,7 +207,16 @@ def ablation_slide_logits(
     cfg: MOCConfig,
     mode: str,
 ) -> jax.Array:
-    """Fixed-fusion slide logits for the ablation study."""
+    """Fixed-fusion slide logits for the ablation study (eval-only, so the
+    gather-free masked formulation applies under the same routing rule as
+    ``moc_slide_logits``)."""
+    if cfg.exact_impl != "gather" and cfg.score_dtype == "float32":
+        views, _, logits, logits_ext = _dense_views_weights(
+            None, {}, feats, w, w_ext, cfg)
+        union = ops.union_selection_threshold(logits, logits_ext, valid,
+                                              cfg.topj, cfg.n_classes,
+                                              cfg.discard)
+        return ops.topj_pooling(fuse_views_fixed(views, mode), union, cfg.topk)
     sel = slide_process(feats, valid, w, w_ext, cfg, None)
     fused = fuse_views_fixed(sel.views, mode)
     return ops.topj_pooling(fused, sel.valid, cfg.topk)
@@ -249,8 +258,10 @@ def _dense_views_weights(senet_apply, params, feats, w, w_ext, cfg: MOCConfig):
                              + senet_p["Dense_0"]["bias"])
         weights = jax.nn.sigmoid(hidden @ senet_p["Dense_1"]["kernel"]
                                  + senet_p["Dense_1"]["bias"])  # [N, 4]
-    else:
+    elif senet_apply is not None:
         weights = senet_apply(params, feats)  # [N, 4]
+    else:  # senet-free caller (ablation fixed fusion)
+        weights = None
     return views, weights, logits, logits_ext
 
 

@@ -405,3 +405,27 @@ def test_moc_slide_logits_routes_masked_by_default():
     via_dispatch = moc_slide_logits(apply, params, f, v, w, w_ext, cfg, None)
     direct = moc_slide_logits_masked(apply, params, f, v, w, w_ext, cfg, None)
     np.testing.assert_array_equal(np.asarray(via_dispatch), np.asarray(direct))
+
+
+def test_ablation_masked_matches_gather():
+    """The masked ablation forward equals the gather formulation for every
+    fusion mode."""
+    from moc_tpu.moc import ablation_slide_logits
+
+    rng = np.random.default_rng(12)
+    d, c, ce = 32, 2, 6
+    feats, valid = _rand_bag(rng, 256, 190, d)
+    f, v = jnp.asarray(feats), jnp.asarray(valid)
+    w = jnp.asarray(rng.normal(size=(d, c)).astype(np.float32))
+    w_ext = jnp.asarray(rng.normal(size=(d, ce)).astype(np.float32))
+    for mode in ("avg", "sum", "max"):
+        got = ablation_slide_logits(
+            f, v, w, w_ext,
+            MOCConfig(n_classes=c, n_ext_classes=ce, feature_dim=d, topj=16,
+                      topk=8), mode)
+        want = ablation_slide_logits(
+            f, v, w, w_ext,
+            MOCConfig(n_classes=c, n_ext_classes=ce, feature_dim=d, topj=16,
+                      topk=8, exact_impl="gather"), mode)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6, err_msg=mode)
