@@ -374,6 +374,7 @@ def mil_fused_setup(tmp_path_factory):
     # trainer scores val 0.75 / test 0.44 on this corpus's fold 0; the
     # fused trainer must at least match that, not the attention models.
     ("mil", 0.75, 0.4),
+    ("chief", 0.9, 0.5),  # fold 0 of this corpus is hard at this budget
 ])
 def test_mil_folds_fused_learn(mil_fused_setup, model_type, val_floor, test_floor):
     from moc_tpu.train import MilTrainConfig
