@@ -21,6 +21,11 @@ Faithfulness notes vs ``train_fold``:
     (``metrics.auc_ovr_macro``); binary is P(class 1), identical to host.
   * ``weighted_sample`` is not supported fused (reference uses a host RNG
     sampler); use the streaming trainer for that.
+  * TransMIL compiles pathologically under ``vmap(scan(grad(...)))`` (the
+    Nystrom+PPEG program did not finish an XLA-CPU compile in 18 min;
+    same class as the Mosaic note in BENCH_NOTES) — use the streaming
+    trainer for ``model_type="transmil"``. CLAM/ABMIL/MIL_fc/CHIEF/TITAN
+    compile and train normally (tested).
 """
 
 from __future__ import annotations
