@@ -34,7 +34,14 @@ def get_args(argv=None):
     p.add_argument("--dataset", default="nsclc",
                    choices=["nsclc", "rcc", "ebrains12", "ebrains30"])
     p.add_argument("--model", required=True,
-                   help="best_model_*.msgpack senet checkpoint")
+                   help="msgpack checkpoint: a MOC senet (best_model_*) or a "
+                        "trained MIL head (with --model_kind mil)")
+    p.add_argument("--model_kind", default="moc", choices=["moc", "mil"],
+                   help="moc = senet + zero-shot weight matrices; mil = a "
+                        "baseline MIL head from train_mil (no weights needed)")
+    p.add_argument("--model_type", default="clam_sb",
+                   help="MIL head architecture for --model_kind mil")
+    p.add_argument("--model_size", default="conch")
     p.add_argument("--feature_dir", required=True,
                    help="CLAM feature dir ({h5_files,pt_files})")
     p.add_argument("--csv", default=None,
@@ -103,21 +110,50 @@ def main(argv=None) -> int:
         frame = frame.copy()
         frame["label"] = "?"
         table = SlideTable.from_frame(frame, {"?": -1})
-    w, w_ext = _load_weights(args, preset)
 
-    cfg = MOCConfig(n_classes=preset.n_classes, n_ext_classes=preset.n_ext_classes,
-                    topj=args.topj, topk=args.topk, feature_dim=w.shape[0],
-                    **perf_cfg_kwargs(args))
-    _, eval_batch, _ = make_episode_fns(cfg)
-    _, template = init_senet(jax.random.PRNGKey(0), cfg)
-    params = load_params(args.model, template)
+    import jax.numpy as jnp
+
+    if args.model_kind == "mil":
+        # baseline MIL head: logits come straight from the trained model
+        # (ref eval_utils.eval); temperature 1 (no CONCH logit scale)
+        from moc_tpu.train import MilTrainConfig, build_model
+
+        mil_cfg = MilTrainConfig(model_type=args.model_type,
+                                 model_size=args.model_size,
+                                 n_classes=preset.n_classes)
+        _, forward, init_fn = build_model(mil_cfg)
+        temperature = 1.0
+
+        def batch_logits(params, batch):
+            return jax.vmap(lambda f, v: forward(params, f, v, None)[0])(
+                batch.features, batch.mask)
+
+        def make_template(first_bag):
+            return init_fn(jax.random.PRNGKey(0),
+                           jnp.zeros_like(jnp.asarray(first_bag.features)),
+                           jnp.ones((first_bag.features.shape[0],), bool))
+    else:
+        w, w_ext = _load_weights(args, preset)
+        cfg = MOCConfig(n_classes=preset.n_classes,
+                        n_ext_classes=preset.n_ext_classes,
+                        topj=args.topj, topk=args.topk, feature_dim=w.shape[0],
+                        **perf_cfg_kwargs(args))
+        _, eval_batch, _ = make_episode_fns(cfg)
+        wj, wej = jnp.asarray(w), jnp.asarray(w_ext)
+        temperature = cfg.temperature
+
+        def batch_logits(params, batch):
+            return eval_batch(params, batch, wj, wej)
+
+        def make_template(first_bag):
+            return init_senet(jax.random.PRNGKey(0), cfg)[1]
 
     loader = BagLoader(table, args.feature_dir)
     bags = loader.read_all()
-    import jax.numpy as jnp
+    params = load_params(args.model, make_template(bags[0]))
 
-    wj, wej = jnp.asarray(w), jnp.asarray(w_ext)
     rows = []
+    jit_logits = jax.jit(batch_logits)
     for n_pad, group in sorted(bucketize(bags).items()):
         for i in range(0, len(group), args.batch_size):
             chunk = group[i : i + args.batch_size]
@@ -125,8 +161,8 @@ def main(argv=None) -> int:
             while len(chunk) < args.batch_size:
                 chunk = chunk + [dataclasses.replace(chunk[0], label=-1)]
             batch = pack_bags(chunk, n_pad=n_pad)
-            logits = np.asarray(eval_batch(params, batch, wj, wej))
-            probs = np.asarray(softmax_probs(jnp.asarray(logits), cfg.temperature))
+            logits = np.asarray(jit_logits(params, batch))
+            probs = np.asarray(softmax_probs(jnp.asarray(logits), temperature))
             for b in range(real):
                 row = {"slide_id": chunk[b].slide_id,
                        "pred": int(np.argmax(logits[b]))}

@@ -185,6 +185,25 @@ def test_predict_cli(tmp_path):
     # oracle zero-shot weights separate the synthetic corpus even untrained
     assert (got["pred"] == got["label"]).mean() >= 0.8
 
+    # a trained MIL head serves through the same CLI (--model_kind mil)
+    from moc_tpu.train import MilTrainConfig, build_model
+
+    mil_cfg = MilTrainConfig(model_type="abmil", model_size="small", n_classes=2)
+    _, _, init_fn = build_model(mil_cfg)
+    mil_params = init_fn(jax.random.PRNGKey(0), jnp.zeros((8, 64)),
+                         jnp.ones((8,), bool))
+    mil_path = str(tmp_path / "mil.msgpack")
+    save_params(mil_path, mil_params)
+    out_mil = str(tmp_path / "pred_mil.csv")
+    rc = predict_main(["--platform", "cpu", "--dataset", "nsclc",
+                       "--model", mil_path, "--model_kind", "mil",
+                       "--model_type", "abmil", "--model_size", "small",
+                       "--feature_dir", corpus["data_dir"], "--csv", csv_path,
+                       "--out", out_mil])
+    assert rc == 0
+    got_mil = pd.read_csv(out_mil)
+    assert len(got_mil) == 10 and {"prob_0", "prob_1"} <= set(got_mil.columns)
+
     # unlabeled cohort: same CSV minus the label column -> no metrics, no crash
     frame.drop(columns=["label"]).to_csv(csv_path, index=False)
     out2 = str(tmp_path / "pred2.csv")
