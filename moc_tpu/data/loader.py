@@ -58,6 +58,7 @@ class BagLoader:
         use_h5: bool = True,
         num_workers: int = 8,
         cache: bool = False,
+        cache_budget_gb: float | None = None,
         bag_size: int | None = None,
         preselect: dict[str, "np.ndarray"] | None = None,
         label_revert: bool = False,
@@ -72,18 +73,35 @@ class BagLoader:
         self.label_revert = label_revert
         self._rng = np.random.default_rng(seed)
         self._cache: dict[str, Bag] | None = {} if cache else None
+        # None = unbounded (small corpora / episode sweeps); set a budget on
+        # real datasets whose bags exceed host RAM — least-recently-read
+        # bags are evicted first
+        self._cache_budget = (None if cache_budget_gb is None
+                              else int(cache_budget_gb * 2**30))
+        self._cache_bytes = 0
 
     def toggle_label_revert(self, toggle: bool) -> None:
         self.label_revert = toggle
 
+    @staticmethod
+    def _bag_bytes(bag: Bag) -> int:
+        return bag.features.nbytes + (bag.coords.nbytes if bag.coords is not None else 0)
+
     def read(self, slide_id: str) -> Bag:
         if self._cache is not None and slide_id in self._cache:
-            bag = self._cache[slide_id]
+            bag = self._cache.pop(slide_id)  # re-insert = LRU touch
+            self._cache[slide_id] = bag
         else:
             bag = read_bag(self.data_dir, slide_id, use_h5=self.use_h5,
                            label=self.table.label_of(slide_id))
             if self._cache is not None:
                 self._cache[slide_id] = bag
+                self._cache_bytes += self._bag_bytes(bag)
+                if self._cache_budget is not None:
+                    while (self._cache_bytes > self._cache_budget
+                           and len(self._cache) > 1):
+                        oldest = next(iter(self._cache))
+                        self._cache_bytes -= self._bag_bytes(self._cache.pop(oldest))
         if self.preselect is not None and slide_id in self.preselect:
             idx = np.asarray(self.preselect[slide_id])
             bag = dataclasses.replace(

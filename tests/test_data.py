@@ -403,3 +403,27 @@ def test_stream_batches_matches_batches(tmp_path):
             ids.update(int(l) for l in np.asarray(batch.n_patches))
     total = sum(1 for _ in loader.stream_batches(batch_size=2))
     assert total == len(list(loader.batches(batch_size=2)))
+
+
+def test_bag_cache_budget_evicts_lru(tmp_path):
+    from moc_tpu.data import BagLoader, SlideTable, make_synthetic_corpus
+    from moc_tpu.data.synthetic import SyntheticWSIConfig
+
+    cfg_data = SyntheticWSIConfig(slides_per_class=4, min_patches=200,
+                                  max_patches=200, dim=64, seed=9)
+    corpus = make_synthetic_corpus(str(tmp_path), cfg_data, shots=(1,), n_folds=1,
+                                   val_per_class=1, test_per_class=1)
+    table = SlideTable.from_csv(corpus["csv_path"], corpus["label_dict"])
+    bag_bytes = 200 * 64 * 4
+    budget_gb = (2 * bag_bytes + 1000) / 2**30  # room for ~2 bags + coords
+    loader = BagLoader(table, corpus["data_dir"], cache=True,
+                       cache_budget_gb=budget_gb)
+    ids = list(table.slide_ids)
+    for sid in ids[:4]:
+        loader.read(sid)
+    assert len(loader._cache) <= 3  # evicted down toward the budget
+    # most-recently-read stays; the LRU victim was the oldest
+    assert ids[3] in loader._cache and ids[0] not in loader._cache
+    # reads still correct after eviction
+    bag = loader.read(ids[0])
+    assert bag.features.shape == (200, 64)
