@@ -21,11 +21,12 @@ Faithfulness notes vs ``train_fold``:
     (``metrics.auc_ovr_macro``); binary is P(class 1), identical to host.
   * ``weighted_sample`` is not supported fused (reference uses a host RNG
     sampler); use the streaming trainer for that.
-  * TransMIL compiles pathologically under ``vmap(scan(grad(...)))`` (the
-    Nystrom+PPEG program did not finish an XLA-CPU compile in 18 min;
-    same class as the Mosaic note in BENCH_NOTES) — use the streaming
-    trainer for ``model_type="transmil"``. CLAM/ABMIL/MIL_fc/CHIEF/TITAN
-    compile and train normally (tested).
+  * TransMIL compiles very slowly under ``vmap(scan(grad(...)))``: the
+    Nystrom(iterative-pinv)+PPEG backward costs ~105 s of XLA-CPU compile
+    for ONE scan-of-grad and roughly doubles per extra nesting level
+    (epoch scan, fold vmap) — tens of minutes for a real grid. Use the
+    streaming trainer for ``model_type="transmil"``.
+    CLAM/ABMIL/MIL_fc/CHIEF/TITAN compile and train normally (tested).
 """
 
 from __future__ import annotations
