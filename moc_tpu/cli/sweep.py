@@ -108,10 +108,9 @@ def run_fused_shot(args, shot, folds, *, loader, split_path, w, w_ext, cfg,
 
     from moc_tpu.data import EpisodeBags, read_split_csv
     from moc_tpu.moc import (
-        episode_from_bags,
         make_episode_fns,
-        pad_and_stack_episodes,
         run_sweep,
+        stack_episode_bags,
         sweep_episode_results,
         zs_eval_batches,
     )
@@ -124,9 +123,7 @@ def run_fused_shot(args, shot, folds, *, loader, split_path, w, w_ext, cfg,
     ]
     if args.mode == "auto" and _fused_bytes_estimate(episodes) > args.fused_hbm_gb * 2**30:
         return None  # caller falls back to the streaming path
-    stacked = pad_and_stack_episodes(
-        [episode_from_bags(ep.train, ep.val, ep.test) for ep in episodes]
-    )
+    stacked = stack_episode_bags(episodes)  # one-pass host stacking
 
     zs = None
     if args.check_zeroshot:

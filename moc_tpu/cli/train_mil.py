@@ -208,7 +208,7 @@ def _run_fused_grid(args, shot, folds) -> list[dict]:
     import numpy as np
 
     from moc_tpu.data import BagLoader, EpisodeBags
-    from moc_tpu.moc.sweep import episode_from_bags, pad_and_stack_episodes
+    from moc_tpu.moc.sweep import stack_episode_bags
     from moc_tpu.train import MilTrainConfig
     from moc_tpu.train.mil_fused import run_mil_folds_fused
     from moc_tpu.utils.checkpoint import save_params
@@ -218,9 +218,9 @@ def _run_fused_grid(args, shot, folds) -> list[dict]:
     for fold in folds:
         table, data_dir, split, n_classes = _resolve_dataset(args, shot, fold)
         loader = BagLoader(table, data_dir, cache=True)
-        ep = EpisodeBags.load(loader, split.train, split.val, split.test)
-        episodes.append(episode_from_bags(ep.train, ep.val, ep.test))
-    stacked = pad_and_stack_episodes(episodes)
+        episodes.append(EpisodeBags.load(loader, split.train, split.val,
+                                         split.test))
+    stacked = stack_episode_bags(episodes)
 
     cfg = MilTrainConfig(
         model_type=args.model_type, model_size=args.model_size,

@@ -40,6 +40,7 @@ from moc_tpu.moc.sweep import (
     make_sweep_fn,
     pad_and_stack_episodes,
     run_sweep,
+    stack_episode_bags,
     stack_episodes,
     sweep_episode_results,
 )
@@ -68,6 +69,7 @@ __all__ = [
     "make_sweep_fn",
     "pad_and_stack_episodes",
     "run_sweep",
+    "stack_episode_bags",
     "stack_episodes",
     "sweep_episode_results",
 ]

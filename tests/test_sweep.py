@@ -129,3 +129,18 @@ def test_run_sweep_on_mesh(sweep_setup):
     np.testing.assert_allclose(
         np.asarray(result.test_auc_at_best), np.asarray(no_mesh.test_auc_at_best), rtol=1e-4
     )
+
+
+def test_stack_episode_bags_matches_two_stage(sweep_setup):
+    """The one-pass stacker equals episode_from_bags + pad_and_stack (the
+    CLI's host stacking path; composed pair kept as the oracle)."""
+    from moc_tpu.moc import stack_episode_bags
+
+    _, stacked, episode_bags = sweep_setup
+    fast = stack_episode_bags(episode_bags)
+    for name in ("train_feats", "train_mask", "train_labels", "val_feats",
+                 "val_mask", "val_labels", "test_feats", "test_mask",
+                 "test_labels"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fast, name)), np.asarray(getattr(stacked, name)),
+            err_msg=name)
