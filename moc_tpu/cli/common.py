@@ -11,6 +11,20 @@ from __future__ import annotations
 import argparse
 
 
+def setup_runtime(args: argparse.Namespace) -> None:
+    """Per-CLI runtime setup: optional platform override + the persistent
+    XLA compilation cache (``utils.compile_cache``) so re-invocations load
+    compiled programs from disk instead of re-paying minute-scale compiles.
+    Call before any jax program is built."""
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    from moc_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+
 def add_perf_flags(p: argparse.ArgumentParser) -> None:
     g = p.add_argument_group("performance tiers")
     g.add_argument("--dense", action="store_true",

@@ -26,6 +26,9 @@ import os
 import sys
 
 
+from moc_tpu.cli.common import setup_runtime
+
+
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="CONCH-LoRA / MoE-LoRA fine-tuning")
     p.add_argument("--lora_rank", type=int, default=4)
@@ -96,10 +99,7 @@ def _real_bags(args):
 
 def main(argv=None) -> int:
     args = get_args(argv)
-    if args.platform:
-        import jax
-
-        jax.config.update("jax_platforms", args.platform)
+    setup_runtime(args)
     os.makedirs(args.result_dir, exist_ok=True)
 
     import jax

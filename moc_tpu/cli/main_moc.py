@@ -22,7 +22,7 @@ import argparse
 import os
 import sys
 
-from moc_tpu.cli.common import add_perf_flags, perf_cfg_kwargs
+from moc_tpu.cli.common import add_perf_flags, perf_cfg_kwargs, setup_runtime
 
 
 def get_args(argv=None):
@@ -134,10 +134,7 @@ def _synthetic_setup(args):
 
 def main(argv=None) -> int:
     args = get_args(argv)
-    if args.platform:
-        import jax
-
-        jax.config.update("jax_platforms", args.platform)
+    setup_runtime(args)
 
     if args.summary:
         from moc_tpu.moc.results import summarize

@@ -26,7 +26,7 @@ import dataclasses
 import os
 import sys
 
-from moc_tpu.cli.common import add_perf_flags, perf_cfg_kwargs
+from moc_tpu.cli.common import add_perf_flags, perf_cfg_kwargs, setup_runtime
 
 
 def get_args(argv=None):
@@ -84,10 +84,7 @@ def _load_weights(args, preset):
 
 def main(argv=None) -> int:
     args = get_args(argv)
-    if args.platform:
-        import jax
-
-        jax.config.update("jax_platforms", args.platform)
+    setup_runtime(args)
 
     import jax
     import numpy as np

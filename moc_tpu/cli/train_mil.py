@@ -15,6 +15,9 @@ import os
 import sys
 
 
+from moc_tpu.cli.common import setup_runtime
+
+
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="Baseline MIL fold training")
     p.add_argument("--model_type", default="clam_sb",
@@ -140,10 +143,7 @@ def _train_vila(args, table, parts, data_dir, n_classes) -> dict:
 
 def main(argv=None) -> int:
     args = get_args(argv)
-    if args.platform:
-        import jax
-
-        jax.config.update("jax_platforms", args.platform)
+    setup_runtime(args)
     os.makedirs(args.result_dir, exist_ok=True)
 
     shots = args.shots or [args.shot]

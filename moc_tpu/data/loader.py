@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import collections
 import dataclasses
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable, Iterator, Sequence
 
@@ -79,6 +80,12 @@ class BagLoader:
         self._cache_budget = (None if cache_budget_gb is None
                               else int(cache_budget_gb * 2**30))
         self._cache_bytes = 0
+        # read() runs concurrently in the thread pool (read_all/stream_batches
+        # may even submit the same slide twice in one filler chunk); all LRU
+        # mutation — hit-touch, insert, byte accounting, eviction — happens
+        # under this lock so concurrent readers can't double-pop or
+        # double-count
+        self._cache_lock = threading.Lock()
 
     def toggle_label_revert(self, toggle: bool) -> None:
         self.label_revert = toggle
@@ -88,20 +95,26 @@ class BagLoader:
         return bag.features.nbytes + (bag.coords.nbytes if bag.coords is not None else 0)
 
     def read(self, slide_id: str) -> Bag:
-        if self._cache is not None and slide_id in self._cache:
-            bag = self._cache.pop(slide_id)  # re-insert = LRU touch
-            self._cache[slide_id] = bag
-        else:
+        bag = None
+        if self._cache is not None:
+            with self._cache_lock:
+                bag = self._cache.pop(slide_id, None)
+                if bag is not None:
+                    self._cache[slide_id] = bag  # re-insert = LRU touch
+        if bag is None:
             bag = read_bag(self.data_dir, slide_id, use_h5=self.use_h5,
                            label=self.table.label_of(slide_id))
             if self._cache is not None:
-                self._cache[slide_id] = bag
-                self._cache_bytes += self._bag_bytes(bag)
-                if self._cache_budget is not None:
-                    while (self._cache_bytes > self._cache_budget
-                           and len(self._cache) > 1):
-                        oldest = next(iter(self._cache))
-                        self._cache_bytes -= self._bag_bytes(self._cache.pop(oldest))
+                with self._cache_lock:
+                    if slide_id not in self._cache:  # lost race: count once
+                        self._cache[slide_id] = bag
+                        self._cache_bytes += self._bag_bytes(bag)
+                    if self._cache_budget is not None:
+                        while (self._cache_bytes > self._cache_budget
+                               and len(self._cache) > 1):
+                            oldest = next(iter(self._cache))
+                            self._cache_bytes -= self._bag_bytes(
+                                self._cache.pop(oldest))
         if self.preselect is not None and slide_id in self.preselect:
             idx = np.asarray(self.preselect[slide_id])
             bag = dataclasses.replace(
@@ -109,7 +122,8 @@ class BagLoader:
                 coords=bag.coords[idx] if bag.coords is not None else None,
             )
         elif self.bag_size is not None and bag.n_patches > self.bag_size:
-            idx = self._rng.permutation(bag.n_patches)[: self.bag_size]
+            with self._cache_lock:  # np.Generator is not thread-safe either
+                idx = self._rng.permutation(bag.n_patches)[: self.bag_size]
             bag = dataclasses.replace(
                 bag, features=bag.features[idx],
                 coords=bag.coords[idx] if bag.coords is not None else None,
@@ -263,15 +277,21 @@ class EpisodeBags:
         eval_batch_size: int = 8,
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         eval_device_budget_gb: float = 4.0,
+        device_put: bool = True,
     ) -> "EpisodeBags":
         """Materialize one episode's bags. The (small) train batch always
         lives on device; the eval chunks stay device-resident only while
         their total padded size fits ``eval_device_budget_gb`` — beyond
         that they are packed host-side and transfer lazily per jit call, so
-        a full real dataset (tens of GB padded) cannot OOM HBM at load."""
+        a full real dataset (tens of GB padded) cannot OOM HBM at load.
+
+        ``device_put=False`` keeps EVERYTHING host-resident — required when
+        the caller will restack/place the bags itself (the fused sweep) or
+        when several episodes are loaded before deciding where they run, so
+        n folds cannot stack up HBM allocations before the decision."""
         train_bags = loader.read_all(train_ids)
         n_pad = bucket_size(max(b.n_patches for b in train_bags), buckets)
-        train = pack_bags(train_bags, n_pad=n_pad)
+        train = pack_bags(train_bags, n_pad=n_pad, device_put=device_put)
 
         def grouped(ids: Sequence[str]):
             bags = loader.read_all(ids)
@@ -290,7 +310,7 @@ class EpisodeBags:
         eval_bytes = sum(
             eval_batch_size * bn_pad * dim * 4 for bn_pad, _ in val_groups + test_groups
         )
-        on_device = eval_bytes <= eval_device_budget_gb * 2**30
+        on_device = device_put and eval_bytes <= eval_device_budget_gb * 2**30
 
         def pack(groups):
             return [pack_bags(chunk, n_pad=bn_pad, device_put=on_device)

@@ -213,9 +213,16 @@ def ablation_slide_logits(
     if cfg.exact_impl != "gather" and cfg.score_dtype == "float32":
         views, _, logits, logits_ext = _dense_views_weights(
             None, {}, feats, w, w_ext, cfg)
-        union = ops.union_selection_threshold(logits, logits_ext, valid,
-                                              cfg.topj, cfg.n_classes,
-                                              cfg.discard)
+        # same union routing as moc_slide_logits_masked so ablation results
+        # agree across exact_impl settings under approx_topk/sort
+        if cfg.approx_topk or cfg.select_method == "sort":
+            union = ops.union_selection(logits, logits_ext, valid, cfg.topj,
+                                        cfg.n_classes, cfg.discard,
+                                        cfg.approx_topk)
+        else:
+            union = ops.union_selection_threshold(logits, logits_ext, valid,
+                                                  cfg.topj, cfg.n_classes,
+                                                  cfg.discard)
         return ops.topj_pooling(fuse_views_fixed(views, mode), union, cfg.topk)
     sel = slide_process(feats, valid, w, w_ext, cfg, None)
     fused = fuse_views_fixed(sel.views, mode)

@@ -71,26 +71,31 @@ def streamed_slide_logits(
     vchunks = valid.reshape(n // m, m)
 
     def body(carry, inp):
-        queue, aux = carry
+        queue, aux, aux_w = carry
         mb, vm = inp
         out = encode_fn(params, mb)  # [M, C] (or ([M, C], scalar))
         if with_aux:
             logits, a = out
-            aux = aux + a
+            # weight the per-chunk aux (router balance loss) by the chunk's
+            # valid-patch fraction so padding patches never steer the router
+            # — fully-padded filler chunks contribute zero
+            frac = jnp.sum(vm.astype(jnp.float32)) / vm.shape[0]
+            aux = aux + frac * a
+            aux_w = aux_w + frac
         else:
             logits = out
         logits = jnp.where(vm[:, None], logits, NEG)
-        return (update_queue(queue, logits), aux), None
+        return (update_queue(queue, logits), aux, aux_w), None
 
     queue0 = jnp.full((cfg.queue_size, cfg.n_classes), NEG, jnp.float32)
-    (queue, aux), _ = jax.lax.scan(body, (queue0, jnp.float32(0.0)),
-                                   (chunks, vchunks))
+    (queue, aux, aux_w), _ = jax.lax.scan(
+        body, (queue0, jnp.float32(0.0), jnp.float32(0.0)), (chunks, vchunks))
     # count-corrected mean over genuinely filled slots
     filled = queue > NEG / 2
     count = jnp.maximum(jnp.sum(filled[:, 0]), 1)
     pooled = jnp.sum(jnp.where(filled, queue, 0.0), axis=0) / count
     if with_aux:
-        return pooled, aux / (n // m)
+        return pooled, aux / jnp.maximum(aux_w, 1e-6)
     return pooled
 
 

@@ -1,6 +1,7 @@
 """moc_tpu.utils — benchmarking, checkpointing, logging, profiling helpers."""
 
 from moc_tpu.utils.benchmark import device_time
+from moc_tpu.utils.compile_cache import enable_compilation_cache
 from moc_tpu.utils.logging import AverageMeter, ScalarLogger
 
-__all__ = ["device_time", "AverageMeter", "ScalarLogger"]
+__all__ = ["device_time", "enable_compilation_cache", "AverageMeter", "ScalarLogger"]

@@ -119,8 +119,13 @@ def test_sweep_cli_fused_matches_stream(tmp_path):
         assert fused["best_epoch"] == stream["best_epoch"]
         for key in ("best_val", "test_at_best_val", "test_acc_at_best_val"):
             assert abs(fused[key] - stream[key]) < 1e-5, (key, fused, stream)
-        # the zero-shot floor is identical (host-side in both modes)
-        assert fused["zero_shot_test"] == stream["zero_shot_test"]
+        # the zero-shot floor matches: the fused mode computes it on device
+        # INSIDE the sweep program, the streaming mode on host via sklearn —
+        # same math, float-path differences only
+        for split in ("zero_shot_train", "zero_shot_val", "zero_shot_test"):
+            for k in ("loss", "acc", "auc"):
+                assert abs(fused[split][k] - stream[split][k]) < 1e-4, (
+                    split, k, fused[split], stream[split])
         # both modes write the checkpoint the result JSON points at
         for d in (fused_dir, stream_dir):
             assert os.path.exists(os.path.join(
