@@ -28,7 +28,17 @@ TRANSMIL_SIZES = {"small": 1024, "big": 1024, "benchmark": 384, "conch": 512,
 
 def _iter_pinv(mat: jax.Array, iters: int = 6) -> jax.Array:
     """Moore-Penrose pseudo-inverse by Newton-Schulz-style iteration
-    (the ``pinv_iterations=6`` recommendation the reference uses)."""
+    (the ``pinv_iterations=6`` recommendation the reference uses).
+
+    Reverse-mode differentiates through the unrolled iteration — the same
+    gradient the reference's autograd computes. (A ``jax.custom_vjp`` using
+    the implicit inverse rule ``dZ = -Z dA Z`` was measured during round 3:
+    it saves only ~25% of the ``scan(grad)`` compile once the depthwise
+    convs are shifted-add — 10.9 s vs 14.5 s — while deviating up to 80%
+    from the unrolled gradient on the near-singular landmark kernels the
+    6-step iteration leaves unconverged, so it was rejected. The compile
+    pathology was the grouped-conv VJPs, not this loop; see the residual
+    conv / PPEG notes.)"""
     abs_m = jnp.abs(mat)
     z = mat.swapaxes(-1, -2) / (
         jnp.max(jnp.sum(abs_m, axis=-1), axis=-1, keepdims=True)[..., None]
@@ -105,20 +115,22 @@ class NystromAttention(nn.Module):
 
         if self.residual:
             # depthwise conv along the sequence, one filter per head shared
-            # across dh (ref nystrom_attention residual conv, kernel 33).
-            # Runs as a 512-channel depthwise conv (lane-aligned) with the
-            # per-head filter tiled across its dh channels — the 8-channel
-            # formulation wasted 94% of each vector register.
+            # across dh (ref nystrom_attention residual conv, kernel 33),
+            # computed as K shifted-slice multiply-adds instead of a
+            # feature_group_count=512 conv: identical math, but the flat
+            # elementwise graph keeps XLA's while-loop-body compile linear —
+            # the grouped-conv VJP inside ``scan(grad)`` was a major part of
+            # the fused-trainer compile pathology (BENCH_NOTES round 3).
             kern = self.param("res_conv", nn.initializers.lecun_normal(),
                               (self.residual_kernel, 1, h))
-            kern_full = jnp.repeat(kern, dh, axis=2)  # [K, 1, h*dh]
-            vt = v.transpose(1, 0, 2).reshape(1, n, h * dh)  # ch = head*dh+j
-            conv = jax.lax.conv_general_dilated(
-                vt, kern_full, (1,), "SAME",
-                dimension_numbers=("NWC", "WIO", "NWC"),
-                feature_group_count=h * dh,
-            )  # [1, n, h*dh]
-            out = out + conv[0].reshape(n, h, dh).transpose(1, 0, 2)
+            kern_full = jnp.repeat(kern[:, 0, :], dh, axis=1)  # [K, h*dh]
+            vt = v.transpose(1, 0, 2).reshape(n, h * dh)  # ch = head*dh+j
+            half = self.residual_kernel // 2
+            vp = jnp.pad(vt, ((half, self.residual_kernel - 1 - half), (0, 0)))
+            conv = jnp.zeros_like(vt)
+            for kk in range(self.residual_kernel):
+                conv = conv + vp[kk : kk + n] * kern_full[kk][None, :]
+            out = out + conv.reshape(n, h, dh).transpose(1, 0, 2)
 
         out = out.transpose(1, 0, 2).reshape(n, d)[n - n_orig :]
         return nn.Dense(d, name="to_out")(out)
@@ -175,12 +187,18 @@ class PPEG(nn.Module):
             biases.append(b)
         combined = kernels[0] + kernels[1] + kernels[2]
         combined = combined.at[3, 3, 0, :].add(1.0)  # the identity residual
-        out = jax.lax.conv_general_dilated(
-            img, combined, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.dim,
-        ) + (biases[0] + biases[1] + biases[2])
-        return jnp.concatenate([cls, out[0].reshape(-1, self.dim)], axis=0)
+        # 7x7 depthwise conv as 49 shifted-slice multiply-adds (SAME pad 3):
+        # identical values, but the flat elementwise graph avoids the
+        # grouped-conv VJP that made scan(grad(TransMIL)) pathologically
+        # slow to compile (see NystromAttention residual note)
+        pad3 = jnp.pad(img[0], ((3, 3), (3, 3), (0, 0)))
+        acc = jnp.zeros((grid_h, grid_w, self.dim), img.dtype)
+        for dy in range(7):
+            for dx in range(7):
+                acc = acc + (pad3[dy : dy + grid_h, dx : dx + grid_w]
+                             * combined[dy, dx, 0][None, None, :])
+        out = acc + (biases[0] + biases[1] + biases[2])
+        return jnp.concatenate([cls, out.reshape(-1, self.dim)], axis=0)
 
 
 @dataclasses.dataclass(frozen=True)

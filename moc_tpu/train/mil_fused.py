@@ -19,14 +19,12 @@ Faithfulness notes vs ``train_fold``:
     (the scan is static-length).
   * multiclass AUC uses the baseline ``ovr``-macro protocol on device
     (``metrics.auc_ovr_macro``); binary is P(class 1), identical to host.
-  * ``weighted_sample`` is not supported fused (reference uses a host RNG
-    sampler); use the streaming trainer for that.
-  * TransMIL compiles very slowly under ``vmap(scan(grad(...)))``: the
-    Nystrom(iterative-pinv)+PPEG backward costs ~105 s of XLA-CPU compile
-    for ONE scan-of-grad and roughly doubles per extra nesting level
-    (epoch scan, fold vmap) — tens of minutes for a real grid. Use the
-    streaming trainer for ``model_type="transmil"``.
-    CLAM/ABMIL/MIL_fc/CHIEF/TITAN compile and train normally (tested).
+  * every model type compiles and trains fused, TransMIL included: the r2
+    compile pathology (~105 s of XLA-CPU compile per ``scan(grad)`` nesting
+    level) was the grouped depthwise-conv VJPs in NystromAttention/PPEG;
+    with those as shifted-add slices the full
+    ``vmap(scan(scan(grad(TransMIL))))`` grid compiles in ~54 s on XLA-CPU
+    (measured round 3; CLAM-class models compile in seconds as before).
 """
 
 from __future__ import annotations
