@@ -36,7 +36,7 @@ def get_args(argv=None):
     p.add_argument("--fused", action="store_true",
                    help="train all folds of a shot as ONE vmapped program "
                         "(few-shot grids; folds shard over devices; not "
-                        "available for vila/weighted_sample)")
+                        "available for vila)")
     p.add_argument("--drop_out", type=float, default=0.0)
     p.add_argument("--bag_loss", default="ce", choices=["ce", "svm"])
     p.add_argument("--inst_loss", default="ce", choices=["ce", "svm"])
@@ -228,6 +228,7 @@ def _run_fused_grid(args, shot, folds) -> list[dict]:
         inst_loss=args.inst_loss, subtyping=args.subtyping, B=args.B,
         bag_weight=args.bag_weight, lr=args.lr, reg=args.reg, opt=args.opt,
         max_epochs=args.max_epochs, early_stopping=args.early_stopping,
+        weighted_sample=args.weighted_sample,
         steps_per_epoch=int(np.asarray(stacked.train_feats).shape[1]),
         seed=args.seed,
     )

@@ -21,7 +21,11 @@ from typing import Iterator
 
 import numpy as np
 
-from moc_tpu.zeroshot.transform import preprocess_image, preprocess_image_plip
+from moc_tpu.zeroshot.transform import (
+    preprocess_image,
+    preprocess_image_musk,
+    preprocess_image_plip,
+)
 
 
 def _make_transform(kind: str, image_size: int):
@@ -29,7 +33,9 @@ def _make_transform(kind: str, image_size: int):
         return lambda im: preprocess_image(im, image_size)
     if kind == "plip":
         return lambda im: preprocess_image_plip(im, image_size)
-    raise ValueError(f"unknown transform {kind!r} (clip | plip)")
+    if kind == "musk":
+        return lambda im: preprocess_image_musk(im, image_size)
+    raise ValueError(f"unknown transform {kind!r} (clip | plip | musk)")
 
 
 @dataclasses.dataclass

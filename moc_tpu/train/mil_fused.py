@@ -19,6 +19,10 @@ Faithfulness notes vs ``train_fold``:
     (the scan is static-length).
   * multiclass AUC uses the baseline ``ovr``-macro protocol on device
     (``metrics.auc_ovr_macro``); binary is P(class 1), identical to host.
+  * ``weighted_sample`` runs fused: a per-epoch on-device class-balanced
+    resample with replacement (``jax.random.choice`` over inverse-class-
+    frequency weights — the reference's ``WeightedRandomSampler`` epoch
+    semantics with the jax RNG instead of torch's host RNG).
   * every model type compiles and trains fused, TransMIL included: the r2
     compile pathology (~105 s of XLA-CPU compile per ``scan(grad)`` nesting
     level) was the grouped depthwise-conv VJPs in NystromAttention/PPEG;
@@ -60,12 +64,25 @@ def _device_auc(probs, labels, valid, n_classes: int):
     return auc_ovr_macro(probs, labels, valid, n_classes)
 
 
+def _weighted_epoch_order(labels, key, n_classes: int):
+    """On-device class-balanced resample with replacement — the fused
+    equivalent of the reference's ``WeightedRandomSampler`` epoch
+    (``make_weights_for_balanced_classes_split``, ``utils/utils.py:383-397``:
+    per-sample weight ``N / count(class)``). Filler rows (label < 0) get
+    weight 0 and are never drawn."""
+    b = labels.shape[0]
+    valid = labels >= 0
+    safe = jnp.maximum(labels, 0)
+    oh = jax.nn.one_hot(safe, n_classes) * valid[:, None].astype(jnp.float32)
+    counts = jnp.sum(oh, axis=0)  # [C]
+    w = jnp.where(valid, (jnp.sum(valid) / jnp.maximum(counts, 1.0))[safe], 0.0)
+    w = w / jnp.sum(w)
+    return jax.random.choice(key, b, shape=(b,), replace=True, p=w)
+
+
 def make_mil_fold_fn(cfg: MilTrainConfig):
     """Build ``run(episode, seed) -> FusedFoldResult`` for ONE fold;
     vmap over a leading fold axis for the grid."""
-    if cfg.weighted_sample:
-        raise ValueError("weighted_sample is host-RNG sampling; "
-                         "use train_fold for it")
     model, forward, init_fn = build_model(cfg)
     bag_loss = bag_loss_fn(cfg.bag_loss)
     optimizer = make_optimizer(cfg)
@@ -100,9 +117,10 @@ def make_mil_fold_fn(cfg: MilTrainConfig):
             ekey = jax.random.fold_in(
                 jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), seed), epoch)
 
-            def slide_body(inner, i):
+            def slide_body(inner, inp):
                 params, opt_state = inner
-                rng = jax.random.fold_in(ekey, i)
+                pos, i = inp  # visit position (rng) / slide row (data)
+                rng = jax.random.fold_in(ekey, pos)
                 loss, grads = jax.value_and_grad(slide_loss)(
                     params, episode.train_feats[i], episode.train_mask[i],
                     episode.train_labels[i], rng)
@@ -117,8 +135,16 @@ def make_mil_fold_fn(cfg: MilTrainConfig):
                     new_opt, opt_state)
                 return (params, opt_state), loss
 
+            if cfg.weighted_sample:
+                # fold_in(ekey, b) cannot collide with the per-visit keys
+                # (positions are < b)
+                order = _weighted_epoch_order(
+                    episode.train_labels, jax.random.fold_in(ekey, b),
+                    cfg.n_classes)
+            else:
+                order = jnp.arange(b)
             (params, opt_state), _ = jax.lax.scan(
-                slide_body, (params, opt_state), jnp.arange(b))
+                slide_body, (params, opt_state), (jnp.arange(b), order))
 
             val_auc, _, _ = eval_split(params, episode.val_feats,
                                        episode.val_mask, episode.val_labels)

@@ -44,6 +44,40 @@ def preprocess_batch(images, image_size: int = 448) -> np.ndarray:
     return np.stack([preprocess_image(im, image_size) for im in images])
 
 
+IMAGENET_INCEPTION_MEAN = (0.5, 0.5, 0.5)
+IMAGENET_INCEPTION_STD = (0.5, 0.5, 0.5)
+
+
+def preprocess_image_musk(image, image_size: int = 384) -> np.ndarray:
+    """MUSK preprocessing (ref ``get_musk_transforms``,
+    ``/root/reference/models/model_musk.py:98-106``): bicubic resize of the
+    short side to ``image_size``, center crop to the square, scale to [0,1],
+    normalize with the IMAGENET inception statistics (mean=std=0.5). Output
+    NHWC-ordered ``[384, 384, 3]`` float32 (flax convention)."""
+    try:
+        from PIL import Image
+
+        if not isinstance(image, Image.Image):
+            image = Image.fromarray(np.asarray(image))
+        w, h = image.size
+        scale = image_size / min(w, h)
+        image = image.resize((round(w * scale), round(h * scale)), Image.BICUBIC)
+        arr = np.asarray(image, dtype=np.float32) / 255.0
+    except ImportError:  # PIL-free fallback: nearest resize via indexing
+        arr = np.asarray(image, dtype=np.float32) / 255.0
+        h, w = arr.shape[:2]
+        scale = image_size / min(h, w)
+        yi = np.clip((np.arange(round(h * scale)) / scale).astype(int), 0, h - 1)
+        xi = np.clip((np.arange(round(w * scale)) / scale).astype(int), 0, w - 1)
+        arr = arr[yi][:, xi]
+    h, w = arr.shape[:2]
+    top, left = (h - image_size) // 2, (w - image_size) // 2
+    arr = arr[top : top + image_size, left : left + image_size]
+    mean = np.asarray(IMAGENET_INCEPTION_MEAN, np.float32)
+    std = np.asarray(IMAGENET_INCEPTION_STD, np.float32)
+    return (arr - mean) / std
+
+
 def preprocess_image_plip(image, image_size: int = 224,
                           normalize: bool = False) -> np.ndarray:
     """PLIP preprocessing variant (ref ``dataset_h5.py:159-189``,

@@ -151,8 +151,40 @@ def test_patch_bag_reader(tmp_path):
         chunk[0], np.asarray(
             __import__("PIL.Image", fromlist=["Image"]).fromarray(imgs[0])
             .resize((24, 24), 2), np.float32) / 255.0, atol=1e-6)
+    # MUSK variant (ref get_musk_transforms, model_musk.py:98-106):
+    # bicubic short-side resize + center crop + inception mean/std (0.5)
+    musk = PatchBagReader(p, image_size=16, transform="musk")
+    chunk = next(iter(musk.batches(4)))[0]
+    assert chunk.shape == (4, 16, 16, 3)
+    from PIL import Image
+
+    expect = (np.asarray(
+        Image.fromarray(imgs[0]).resize((16, 16), Image.BICUBIC),
+        np.float32) / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(chunk[0], expect, atol=1e-6)
+    assert chunk.min() >= -1.0 and chunk.max() <= 1.0  # inception range
+
     with pytest.raises(ValueError, match="clip | plip"):
         list(PatchBagReader(p, transform="typo").batches(4))
+
+
+def test_preprocess_image_musk_short_side_and_crop():
+    """Rectangular input: the SHORT side lands at image_size and the long
+    side is center-cropped (torchvision Resize(size=int) + CenterCrop
+    semantics of the reference musk transform)."""
+    from moc_tpu.zeroshot.transform import preprocess_image_musk
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 128, 3)) * 255).astype(np.uint8)  # H=64 short
+    out = preprocess_image_musk(img, image_size=32)
+    assert out.shape == (32, 32, 3)
+    from PIL import Image
+
+    # manual: resize to (W=64, H=32) bicubic, crop center 32 cols
+    resized = np.asarray(Image.fromarray(img).resize((64, 32), Image.BICUBIC),
+                         np.float32) / 255.0
+    expect = (resized[:, 16:48] - 0.5) / 0.5
+    np.testing.assert_allclose(out, expect, atol=1e-6)
 
 
 def test_policy_json_to_csv(tmp_path):
