@@ -50,12 +50,26 @@ def _self_attn(sd, prefix):
 
 
 def _cross_attn(sd, prefix, dim):
+    """Cross-attention (pooler) projection split.
+
+    torch ``nn.MultiheadAttention`` stores SEPARATE ``{q,k,v}_proj_weight``
+    only when ``kdim/vdim != embed_dim`` (the contrast pooler: d_model 512 vs
+    trunk 768); when they match (the caption pooler: 768/768) it packs a
+    FUSED ``in_proj_weight`` instead — both layouts appear inside one release
+    checkpoint, so both are handled (caught by the full-shape fabricated-
+    checkpoint drill, ``tests/test_fullshape_ckpt.py``)."""
     bias = _np(sd[f"{prefix}.in_proj_bias"])
     qb, kb, vb = bias[:dim], bias[dim : 2 * dim], bias[2 * dim :]
+    if f"{prefix}.in_proj_weight" in sd:  # fused qkv (kdim == embed_dim)
+        wq, wk, wv = np.split(_np(sd[f"{prefix}.in_proj_weight"]), 3, axis=0)
+    else:
+        wq = _np(sd[f"{prefix}.q_proj_weight"])
+        wk = _np(sd[f"{prefix}.k_proj_weight"])
+        wv = _np(sd[f"{prefix}.v_proj_weight"])
     return {
-        "q_proj": {"kernel": _np(sd[f"{prefix}.q_proj_weight"]).T, "bias": qb},
-        "k_proj": {"kernel": _np(sd[f"{prefix}.k_proj_weight"]).T, "bias": kb},
-        "v_proj": {"kernel": _np(sd[f"{prefix}.v_proj_weight"]).T, "bias": vb},
+        "q_proj": {"kernel": wq.T, "bias": qb},
+        "k_proj": {"kernel": wk.T, "bias": kb},
+        "v_proj": {"kernel": wv.T, "bias": vb},
         "out_proj": _dense(sd, f"{prefix}.out_proj"),
     }
 

@@ -158,11 +158,18 @@ def interpolate_vision_pos(vision_pos: np.ndarray,
     return np.concatenate([vision_pos[:1], res.astype(vision_pos.dtype)])
 
 
-def convert_musk_checkpoint(state_dict, num_patches: int | None = None) -> dict:
+def convert_musk_checkpoint(state_dict, num_patches: int | None = None,
+                            max_text_len: int | None = None) -> dict:
     """Full MUSK state dict → ``{"params": ...}`` for
     ``moc_tpu.models.musk.MUSK``. ``num_patches`` (target ``(image_size //
     patch_size)**2``) triggers bicubic pos-embed interpolation when it
-    differs from the checkpoint's grid."""
+    differs from the checkpoint's grid. ``max_text_len`` truncates the text
+    positional table: release checkpoints carry the full fairseq
+    ``max_source_positions`` table (1022 usable rows for
+    ``musk_large_patch16_384``) of which the model only ever indexes the
+    first ``max_text_len`` (ref ``modeling.py:113-118`` slices positions by
+    sequence length; caught by the full-shape drill,
+    ``tests/test_fullshape_ckpt.py``)."""
     sd = {k[7:] if k.startswith("module.") else k: v for k, v in state_dict.items()}
     if any(k.startswith("model.") for k in sd):  # timm checkpoint nesting
         sd = {k[6:]: v for k, v in sd.items() if k.startswith("model.")}
@@ -170,6 +177,8 @@ def convert_musk_checkpoint(state_dict, num_patches: int | None = None) -> dict:
     if num_patches is not None:
         params["beit3"]["vision_pos"] = interpolate_vision_pos(
             params["beit3"]["vision_pos"], num_patches)
+    if max_text_len is not None:
+        params["beit3"]["text_pos"] = params["beit3"]["text_pos"][:max_text_len]
     for head in ("vision_head", "language_head"):
         if f"{head}.weight" in sd:
             params[head] = _dense(sd, head)
@@ -188,5 +197,6 @@ def load_musk(checkpoint_path: str, cfg=None):
     sd = ckpt.get("model", ckpt.get("state_dict", ckpt)) if isinstance(ckpt, dict) else ckpt
     cfg = cfg or MuskConfig()
     params = convert_musk_checkpoint(
-        sd, num_patches=(cfg.image_size // cfg.patch_size) ** 2)
+        sd, num_patches=(cfg.image_size // cfg.patch_size) ** 2,
+        max_text_len=cfg.max_text_len)
     return MUSK(cfg), params
