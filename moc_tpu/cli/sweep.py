@@ -71,9 +71,13 @@ def _fused_bytes_estimate(episodes) -> int:
 
     def shapes(ep):
         def tot(chunks):
-            rows = sum(c.features.shape[0] for c in chunks)
+            import numpy as np
+
+            # the stackers drop bucketization filler rows (label -1), so
+            # only real slides count toward the stacked footprint
+            rows = sum(int((np.asarray(c.labels) >= 0).sum()) for c in chunks)
             n = max(c.features.shape[1] for c in chunks)
-            return rows, n
+            return max(rows, 1), n
 
         return tot([ep.train]), tot(ep.val), tot(ep.test)
 
@@ -134,11 +138,28 @@ def run_fused_shot(args, shot, folds, *, loader, split_path, w, w_ext, cfg,
     stacked = stack_episode_bags(episodes)  # one-pass host stacking
     t_stack = time.perf_counter() - t0
 
+    mesh = _episode_mesh(len(folds))
+    t0 = time.perf_counter()
+    if mesh is None:
+        # place explicitly (and blocking) so the breakdown separates the
+        # host->device transfer — the wall-clock driver on the axon tunnel
+        # (~50 MB/s; BENCH_NOTES "Round 3") — from program execution;
+        # run_sweep's own device_put then sees committed arrays (no-op)
+        import jax
+        import numpy as _np
+
+        stacked = jax.device_put(stacked)
+        for f in (stacked.train_feats, stacked.val_feats, stacked.test_feats):
+            # block_until_ready returns EARLY through the axon tunnel; only
+            # fetching result bytes synchronizes (verify SKILL.md gotcha), so
+            # pull one element per buffer to pin the transfer inside t_put
+            _np.asarray(f[(0,) * f.ndim])
+    t_put = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     seeds = jnp.asarray([args.seed + f for f in folds], jnp.int32)
     result = run_sweep(stacked, w, w_ext, cfg, repeat_num=repeat_num,
-                       seeds=seeds, mesh=_episode_mesh(len(folds)),
-                       with_zs=args.check_zeroshot)
+                       seeds=seeds, mesh=mesh, with_zs=args.check_zeroshot)
     ep_results = sweep_episode_results(result)  # blocks on the device
     t_run = time.perf_counter() - t0
 
@@ -156,8 +177,8 @@ def run_fused_shot(args, shot, folds, *, loader, split_path, w, w_ext, cfg,
               f"test={ep_result.test_at_best_val:.4f} (fused)")
     t_write = time.perf_counter() - t0
     print(f"shot {shot} fused breakdown: io={t_io:.2f}s stack={t_stack:.2f}s "
-          f"zs+train+eval={t_run:.2f}s write={t_write:.2f}s "
-          f"({len(folds)} episodes)", file=sys.stderr)
+          f"device_put={t_put:.2f}s zs+train+eval={t_run:.2f}s "
+          f"write={t_write:.2f}s ({len(folds)} episodes)", file=sys.stderr)
     return result
 
 

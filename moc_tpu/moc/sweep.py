@@ -272,15 +272,22 @@ def episode_from_bags(train_batch, val_batches, test_batches) -> StackedEpisode:
         n_pad = max(b.features.shape[1] for b in batches)
         feats, masks, labels = [], [], []
         for b in batches:
-            f = np.asarray(b.features)
-            m = np.asarray(b.mask)
+            # drop bucketization filler rows (label -1) — see
+            # stack_episode_bags: they would ride the device transfer
+            keep = np.asarray(b.labels) >= 0
+            f = np.asarray(b.features)[keep]
+            m = np.asarray(b.mask)[keep]
             pad = n_pad - f.shape[1]
             if pad:
                 f = np.pad(f, ((0, 0), (0, pad), (0, 0)))
                 m = np.pad(m, ((0, 0), (0, pad)))
             feats.append(f)
             masks.append(m)
-            labels.append(np.asarray(b.labels))
+            labels.append(np.asarray(b.labels)[keep])
+        if not any(len(l) for l in labels):  # all-filler split: keep 1 row
+            return (np.zeros((1,) + feats[0].shape[1:], np.float32),
+                    np.zeros((1,) + masks[0].shape[1:], bool),
+                    np.full((1,), -1, np.int32))
         return (np.concatenate(feats), np.concatenate(masks),
                 np.concatenate(labels))
 
@@ -339,12 +346,19 @@ def stack_episode_bags(episodes) -> StackedEpisode:
     def gather(split: str):
         chunk_lists = [[ep.train] if split == "train" else getattr(ep, split)
                        for ep in episodes]
-        rows = [sum(np.asarray(c.features).shape[0] for c in chunks)
-                for chunks in chunk_lists]
+        # Copy only REAL slides: the loader's bucketized eval chunks pad the
+        # slide-count axis with filler rows (all-False mask, label -1) for
+        # streaming-path compile reuse, and carrying them into the stack
+        # nearly triples the host->device transfer (924 MB -> 336 MB on the
+        # bench corpus; the axon tunnel moves ~55 MB/s, so that filler WAS
+        # the fused CLI's wall-clock — BENCH_NOTES "Round 3").
+        keeps = [[np.asarray(c.labels) >= 0 for c in chunks]
+                 for chunks in chunk_lists]
+        rows = [sum(int(k.sum()) for k in ks) for ks in keeps]
         n = max(np.asarray(c.features).shape[1]
                 for chunks in chunk_lists for c in chunks)
         dim = np.asarray(chunk_lists[0][0].features).shape[-1]
-        e, r = len(episodes), max(rows)
+        e, r = len(episodes), max(max(rows), 1)
         if split == "train" and len(set(rows)) != 1:
             raise ValueError(
                 f"train split sizes differ across episodes ({sorted(set(rows))}); "
@@ -354,12 +368,12 @@ def stack_episode_bags(episodes) -> StackedEpisode:
         labels = np.full((e, r), -1, np.int32)
         for i, chunks in enumerate(chunk_lists):
             at = 0
-            for c in chunks:
+            for c, keep in zip(chunks, keeps[i]):
                 f = np.asarray(c.features)
-                b, cn = f.shape[0], f.shape[1]
-                feats[i, at : at + b, :cn] = f
-                mask[i, at : at + b, :cn] = np.asarray(c.mask)
-                labels[i, at : at + b] = np.asarray(c.labels)
+                b, cn = int(keep.sum()), f.shape[1]
+                feats[i, at : at + b, :cn] = f[keep]
+                mask[i, at : at + b, :cn] = np.asarray(c.mask)[keep]
+                labels[i, at : at + b] = np.asarray(c.labels)[keep]
                 at += b
         return feats, mask, labels
 

@@ -414,14 +414,6 @@ def test_mil_folds_fused_on_mesh_matches(mil_fused_setup):
                                np.asarray(plain.test_auc), rtol=1e-4)
 
 
-def test_mil_fused_rejects_weighted_sample(mil_fused_setup):
-    from moc_tpu.train import MilTrainConfig
-    from moc_tpu.train.mil_fused import make_mil_fold_fn
-
-    with pytest.raises(ValueError, match="weighted_sample"):
-        make_mil_fold_fn(MilTrainConfig(weighted_sample=True))
-
-
 def test_weighted_epoch_order_balances_classes():
     """The fused weighted order must reproduce the reference sampler's
     distribution: inverse-class-frequency with replacement, filler never
