@@ -63,6 +63,7 @@ class NystromAttention(nn.Module):
     pinv_iterations: int = 6
     residual: bool = True
     residual_kernel: int = 33
+    conv_impl: str = "conv"  # "conv" (fast forward) | "slices" (fast grad compile)
 
     @nn.compact
     def __call__(self, x, valid):
@@ -115,21 +116,33 @@ class NystromAttention(nn.Module):
 
         if self.residual:
             # depthwise conv along the sequence, one filter per head shared
-            # across dh (ref nystrom_attention residual conv, kernel 33),
-            # computed as K shifted-slice multiply-adds instead of a
-            # feature_group_count=512 conv: identical math, but the flat
-            # elementwise graph keeps XLA's while-loop-body compile linear —
-            # the grouped-conv VJP inside ``scan(grad)`` was a major part of
-            # the fused-trainer compile pathology (BENCH_NOTES round 3).
+            # across dh (ref nystrom_attention residual conv, kernel 33), run
+            # at 512 channels (the 8-channel form wasted 94% of each vector
+            # register). Two mathematically identical implementations:
+            # "conv" — feature_group_count=512 grouped conv, the fast
+            #          FORWARD (the shifted-add form measured 95 vs 54
+            #          ms/batch-8 whole-model inference, BENCH_NOTES r3);
+            # "slices" — K shifted-slice multiply-adds whose flat elementwise
+            #          VJP keeps ``vmap(scan(grad))`` compile linear — the
+            #          grouped-conv VJP was the fused-trainer compile
+            #          pathology (~105 s per scan nesting level).
             kern = self.param("res_conv", nn.initializers.lecun_normal(),
                               (self.residual_kernel, 1, h))
             kern_full = jnp.repeat(kern[:, 0, :], dh, axis=1)  # [K, h*dh]
             vt = v.transpose(1, 0, 2).reshape(n, h * dh)  # ch = head*dh+j
             half = self.residual_kernel // 2
-            vp = jnp.pad(vt, ((half, self.residual_kernel - 1 - half), (0, 0)))
-            conv = jnp.zeros_like(vt)
-            for kk in range(self.residual_kernel):
-                conv = conv + vp[kk : kk + n] * kern_full[kk][None, :]
+            if self.conv_impl == "conv":
+                conv = jax.lax.conv_general_dilated(
+                    vt[None], kern_full[:, None, :], (1,),
+                    [(half, self.residual_kernel - 1 - half)],
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                    feature_group_count=h * dh,
+                )[0]
+            else:
+                vp = jnp.pad(vt, ((half, self.residual_kernel - 1 - half), (0, 0)))
+                conv = jnp.zeros_like(vt)
+                for kk in range(self.residual_kernel):
+                    conv = conv + vp[kk : kk + n] * kern_full[kk][None, :]
             out = out + conv.reshape(n, h, dh).transpose(1, 0, 2)
 
         out = out.transpose(1, 0, 2).reshape(n, d)[n - n_orig :]
@@ -138,11 +151,13 @@ class NystromAttention(nn.Module):
 
 class TransLayer(nn.Module):
     dim: int = 512
+    conv_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x, valid):
         normed = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return x + NystromAttention(self.dim, num_landmarks=self.dim // 2,
+                                    conv_impl=self.conv_impl,
                                     name="attn")(normed, valid)
 
 
@@ -169,6 +184,7 @@ class PPEG(nn.Module):
     (ref ``model_mil.py:228-241``)."""
 
     dim: int = 512
+    conv_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x, grid_h: int, grid_w: int, valid):
@@ -187,16 +203,23 @@ class PPEG(nn.Module):
             biases.append(b)
         combined = kernels[0] + kernels[1] + kernels[2]
         combined = combined.at[3, 3, 0, :].add(1.0)  # the identity residual
-        # 7x7 depthwise conv as 49 shifted-slice multiply-adds (SAME pad 3):
-        # identical values, but the flat elementwise graph avoids the
-        # grouped-conv VJP that made scan(grad(TransMIL)) pathologically
-        # slow to compile (see NystromAttention residual note)
-        pad3 = jnp.pad(img[0], ((3, 3), (3, 3), (0, 0)))
-        acc = jnp.zeros((grid_h, grid_w, self.dim), img.dtype)
-        for dy in range(7):
-            for dx in range(7):
-                acc = acc + (pad3[dy : dy + grid_h, dx : dx + grid_w]
-                             * combined[dy, dx, 0][None, None, :])
+        if self.conv_impl == "conv":  # fast forward (see NystromAttention)
+            acc = jax.lax.conv_general_dilated(
+                img, combined, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.dim,
+            )[0]
+        else:
+            # 7x7 depthwise conv as 49 shifted-slice multiply-adds (SAME pad
+            # 3): identical values, but the flat elementwise graph avoids the
+            # grouped-conv VJP that made scan(grad(TransMIL)) pathologically
+            # slow to compile (see NystromAttention residual note)
+            pad3 = jnp.pad(img[0], ((3, 3), (3, 3), (0, 0)))
+            acc = jnp.zeros((grid_h, grid_w, self.dim), img.dtype)
+            for dy in range(7):
+                for dx in range(7):
+                    acc = acc + (pad3[dy : dy + grid_h, dx : dx + grid_w]
+                                 * combined[dy, dx, 0][None, None, :])
         out = acc + (biases[0] + biases[1] + biases[2])
         return jnp.concatenate([cls, out.reshape(-1, self.dim)], axis=0)
 
@@ -206,6 +229,11 @@ class TransMILConfig:
     n_classes: int = 2
     size_arg: str = "conch"
     dim: int = 512
+    # "conv": grouped depthwise convs — the fast forward, used for
+    # inference/streaming training. "slices": shifted-add formulation with a
+    # flat elementwise VJP — what the fused fold trainer compiles inside
+    # vmap(scan(grad)) (identical values; equality tested).
+    conv_impl: str = "conv"
 
 
 class TransMIL(nn.Module):
@@ -239,9 +267,9 @@ class TransMIL(nn.Module):
         x = jnp.concatenate([cls, h], axis=0)
         full_valid = jnp.concatenate([jnp.ones((1,), bool), valid_sq])
 
-        x = TransLayer(cfg.dim, name="layer1")(x, full_valid)
-        x = PPEG(cfg.dim, name="pos_layer")(x, side, side, full_valid)
-        x = TransLayer(cfg.dim, name="layer2")(x, full_valid)
+        x = TransLayer(cfg.dim, cfg.conv_impl, name="layer1")(x, full_valid)
+        x = PPEG(cfg.dim, cfg.conv_impl, name="pos_layer")(x, side, side, full_valid)
+        x = TransLayer(cfg.dim, cfg.conv_impl, name="layer2")(x, full_valid)
         pooled = nn.LayerNorm(epsilon=1e-5, name="norm")(x)[0]
         head = nn.Dense(cfg.n_classes, name="fc2")
         # patch-level logits skip the final norm and drop cls/wrap rows

@@ -120,11 +120,16 @@ class EarlyStopping:
                 self.early_stop = True
 
 
-def build_model(cfg: MilTrainConfig):
+def build_model(cfg: MilTrainConfig, *, grad_friendly: bool = False):
     """Model-zoo dispatch (ref ``core_utils.py:140-200``). Returns
     ``(module, forward, init_fn)`` where ``forward(params, feats, valid,
     label, train, rng) -> (logits [C], instance_loss scalar)`` for ONE slide
-    and ``init_fn(rng, feats, valid)`` creates the full parameter tree."""
+    and ``init_fn(rng, feats, valid)`` creates the full parameter tree.
+
+    ``grad_friendly`` picks formulations whose VJPs compile fast inside
+    ``vmap(scan(grad))`` (the fused fold trainer): currently TransMIL's
+    depthwise convs switch to shifted-add slices (identical values; the
+    grouped-conv form is the faster forward — BENCH_NOTES r3)."""
     t = cfg.model_type
     if t in ("clam_sb", "clam_mb", "abmil"):
         model = CLAM(ClamConfig(
@@ -147,7 +152,9 @@ def build_model(cfg: MilTrainConfig):
 
         return model, forward, init_fn
     if t == "transmil":
-        model = TransMIL(TransMILConfig(n_classes=cfg.n_classes, size_arg=cfg.model_size))
+        model = TransMIL(TransMILConfig(
+            n_classes=cfg.n_classes, size_arg=cfg.model_size,
+            conv_impl="slices" if grad_friendly else "conv"))
 
         def forward(params, feats, valid, label, train=False, rng=None):
             return model.apply(params, feats, valid)["logits"], jnp.float32(0.0)

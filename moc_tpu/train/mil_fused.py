@@ -83,7 +83,7 @@ def _weighted_epoch_order(labels, key, n_classes: int):
 def make_mil_fold_fn(cfg: MilTrainConfig):
     """Build ``run(episode, seed) -> FusedFoldResult`` for ONE fold;
     vmap over a leading fold axis for the grid."""
-    model, forward, init_fn = build_model(cfg)
+    model, forward, init_fn = build_model(cfg, grad_friendly=True)
     bag_loss = bag_loss_fn(cfg.bag_loss)
     optimizer = make_optimizer(cfg)
 

@@ -117,6 +117,27 @@ def test_transmil_forward():
     assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads))
 
 
+def test_transmil_conv_impls_identical():
+    """The grouped-conv forward (inference default) and the shifted-slice
+    formulation (fused-trainer ``grad_friendly`` path) are the same math —
+    values AND gradients must agree on the same params."""
+    feats, valid = _bag(9, n=256, n_valid=200)
+    conv = TransMIL(TransMILConfig(n_classes=2, conv_impl="conv"))
+    slices = TransMIL(TransMILConfig(n_classes=2, conv_impl="slices"))
+    params = conv.init(jax.random.PRNGKey(0), feats, valid)
+    out_c = conv.apply(params, feats, valid)
+    out_s = slices.apply(params, feats, valid)
+    for k in ("logits", "patch_logits"):
+        np.testing.assert_allclose(np.asarray(out_c[k]), np.asarray(out_s[k]),
+                                   rtol=1e-5, atol=1e-5)
+    g_c = jax.grad(lambda p: conv.apply(p, feats, valid)["logits"][0])(params)
+    g_s = jax.grad(lambda p: slices.apply(p, feats, valid)["logits"][0])(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-4, atol=1e-5),
+        g_c, g_s)
+
+
 def test_transmil_vmap_batch():
     model = TransMIL(TransMILConfig(n_classes=2, size_arg="conch"))
     f0, v0 = _bag(6, n=256, n_valid=100)
