@@ -254,8 +254,13 @@ def bench_sweep_cli() -> dict:
             warm = time.perf_counter() - t0
             # the tunnel's host<->device bandwidth swings 2.4-100 MB/s minute
             # to minute (BENCH_NOTES "Round 3"), so one warm draw can be 10x
-            # off; keep re-drawing while the stage budget allows
-            while time.perf_counter() - t_stage < 300:
+            # off; keep re-drawing while the stage budget allows (cap at 60%
+            # of the stage budget so completed numbers are never thrown away
+            # by the daemon-thread timeout in main())
+            import os as _os
+
+            budget = float(_os.environ.get("MOC_BENCH_SWEEP_BUDGET_S", "900"))
+            while time.perf_counter() - t_stage < min(300.0, 0.6 * budget):
                 t0 = time.perf_counter()
                 sweep_cli.main(args)
                 warm = min(warm, time.perf_counter() - t0)
@@ -323,8 +328,11 @@ def main() -> None:
         if th.is_alive():
             log(f"sweep stage exceeded its {budget:.0f}s budget; abandoning")
             payload["sweep"] = {"skipped": f"budget {budget:.0f}s exceeded"}
-            print(json.dumps(payload))
-            sys.stdout.flush()
+            # the wedged thread still holds contextlib.redirect_stdout (it
+            # swaps sys.stdout PROCESS-wide) — print to the real stdout so
+            # the one-JSON-line contract survives the timeout path
+            print(json.dumps(payload), file=sys.__stdout__)
+            sys.__stdout__.flush()
             os._exit(0)  # the stuck thread still holds the TPU client
         payload["sweep"] = box.get("sweep")
     print(json.dumps(payload))

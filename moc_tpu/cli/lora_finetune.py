@@ -139,10 +139,10 @@ def main(argv=None) -> int:
     moe = args.lora_experts > 1
     coef = args.balance_coef if moe else 0.0
 
-    def encode(p, mb):
+    def encode(p, mb, vm=None):
         if coef > 0:
             out, inter = tower.apply(p, mb, mutable=["intermediates"])
-            return out, lora_balance_loss(inter["intermediates"])
+            return out, lora_balance_loss(inter["intermediates"], patch_valid=vm)
         return tower.apply(p, mb)
 
     cfg = LoraFinetuneConfig(queue_size=args.queue_size, minibatch=args.minibatch,

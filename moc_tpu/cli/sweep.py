@@ -71,11 +71,9 @@ def _fused_bytes_estimate(episodes) -> int:
 
     def shapes(ep):
         def tot(chunks):
-            import numpy as np
-
-            # the stackers drop bucketization filler rows (label -1), so
-            # only real slides count toward the stacked footprint
-            rows = sum(int((np.asarray(c.labels) >= 0).sum()) for c in chunks)
+            # the stackers drop bucketization filler rows (BagBatch.
+            # real_rows), so only real slides count toward the footprint
+            rows = sum(int(c.real_rows().sum()) for c in chunks)
             n = max(c.features.shape[1] for c in chunks)
             return max(rows, 1), n
 

@@ -54,6 +54,15 @@ class BagBatch:
     def __len__(self) -> int:
         return self.batch_size
 
+    def real_rows(self):
+        """Host bool ``[B]``: True on real slides, False on bucketization
+        filler rows (label ``-1``, all-False mask). THE single definition of
+        the filler convention — the sweep stackers and the fused-mode HBM
+        estimate all key off this, so a sentinel change stays in one place."""
+        import numpy as np
+
+        return np.asarray(self.labels) >= 0
+
     def slice_batch(self, start: int, size: int) -> "BagBatch":
         return jax.tree.map(lambda x: x[start : start + size], self)
 

@@ -272,9 +272,9 @@ def episode_from_bags(train_batch, val_batches, test_batches) -> StackedEpisode:
         n_pad = max(b.features.shape[1] for b in batches)
         feats, masks, labels = [], [], []
         for b in batches:
-            # drop bucketization filler rows (label -1) — see
+            # drop bucketization filler rows (BagBatch.real_rows) — see
             # stack_episode_bags: they would ride the device transfer
-            keep = np.asarray(b.labels) >= 0
+            keep = b.real_rows()
             f = np.asarray(b.features)[keep]
             m = np.asarray(b.mask)[keep]
             pad = n_pad - f.shape[1]
@@ -346,14 +346,13 @@ def stack_episode_bags(episodes) -> StackedEpisode:
     def gather(split: str):
         chunk_lists = [[ep.train] if split == "train" else getattr(ep, split)
                        for ep in episodes]
-        # Copy only REAL slides: the loader's bucketized eval chunks pad the
-        # slide-count axis with filler rows (all-False mask, label -1) for
-        # streaming-path compile reuse, and carrying them into the stack
+        # Copy only REAL slides (``BagBatch.real_rows``): the loader's
+        # bucketized eval chunks pad the slide-count axis with filler rows
+        # for streaming-path compile reuse, and carrying them into the stack
         # nearly triples the host->device transfer (924 MB -> 336 MB on the
         # bench corpus; the axon tunnel moves ~55 MB/s, so that filler WAS
         # the fused CLI's wall-clock — BENCH_NOTES "Round 3").
-        keeps = [[np.asarray(c.labels) >= 0 for c in chunks]
-                 for chunks in chunk_lists]
+        keeps = [[c.real_rows() for c in chunks] for chunks in chunk_lists]
         rows = [sum(int(k.sum()) for k in ks) for ks in keeps]
         n = max(np.asarray(c.features).shape[1]
                 for chunks in chunk_lists for c in chunks)

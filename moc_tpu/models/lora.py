@@ -55,11 +55,13 @@ def lora_optimizer(base: optax.GradientTransformation, params,
     )
 
 
-def lora_balance_loss(intermediates) -> jax.Array:
+def lora_balance_loss(intermediates, patch_valid=None) -> jax.Array:
     """Mean Switch-Transformer load-balancing loss over every MoE-LoRA
     router gate sown by ``nn.Attention`` (collection ``intermediates``, key
     ``lora_gate``; run ``apply(..., mutable=["intermediates"])`` to collect).
-    All tokens are weighted uniformly — the tower sees only real patches.
+    ``patch_valid [M]`` masks the LEADING (patch-image) axis of each gate so
+    padding patches inside a partially-valid minibatch never steer the
+    router statistics (every ViT token of an invalid patch gets weight 0).
     Formula shared with the adapter zoo (ref ``load_balancing_loss_func``,
     ``model_adapters.py:253-289``)."""
     from moc_tpu.models.adapters import load_balancing_loss
@@ -81,7 +83,12 @@ def lora_balance_loss(intermediates) -> jax.Array:
     for g in gates:
         probs = g.reshape(-1, g.shape[-1])
         idx = jnp.argmax(probs, axis=-1)
-        valid = jnp.ones(probs.shape[0], bool)
+        if patch_valid is None:
+            valid = jnp.ones(probs.shape[0], bool)
+        else:
+            # g is [M, ..., E] row-major → flat rows stay patch-major
+            valid = jnp.repeat(patch_valid,
+                               probs.shape[0] // patch_valid.shape[0])
         losses.append(load_balancing_loss(probs, idx, valid))
     return jnp.mean(jnp.stack(losses))
 

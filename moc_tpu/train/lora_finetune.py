@@ -61,9 +61,10 @@ def streamed_slide_logits(
     """Stream ``patches [N, ...]`` through ``encode_fn(params, mb) ->
     [M, C]`` patch logits in ``cfg.minibatch`` chunks; return the top-q mean
     slide logits ``[C]`` (invalid patches contribute ``-inf`` and never enter
-    the queue). With ``with_aux`` the encoder returns ``(logits, scalar)``
-    per minibatch (e.g. a router balance loss) and this returns
-    ``(slide_logits, mean_aux)``."""
+    the queue). With ``with_aux`` the encoder is called as
+    ``encode_fn(params, mb, chunk_valid)`` and returns ``(logits, scalar)``
+    per minibatch (e.g. a router balance loss computed over the valid
+    patches only); this then returns ``(slide_logits, mean_aux)``."""
     n = patches.shape[0]
     m = cfg.minibatch
     assert n % m == 0, f"pad the bag to a multiple of {m}"
@@ -73,17 +74,18 @@ def streamed_slide_logits(
     def body(carry, inp):
         queue, aux, aux_w = carry
         mb, vm = inp
-        out = encode_fn(params, mb)  # [M, C] (or ([M, C], scalar))
         if with_aux:
-            logits, a = out
-            # weight the per-chunk aux (router balance loss) by the chunk's
-            # valid-patch fraction so padding patches never steer the router
-            # — fully-padded filler chunks contribute zero
+            # aux encoders take the chunk validity so the router balance
+            # loss is computed over REAL patches only (the encoder masks
+            # gate rows; lora_balance_loss(patch_valid=...)); the chunk
+            # losses combine weighted by valid fraction — fully-padded
+            # filler chunks contribute zero
+            logits, a = encode_fn(params, mb, vm)
             frac = jnp.sum(vm.astype(jnp.float32)) / vm.shape[0]
             aux = aux + frac * a
             aux_w = aux_w + frac
         else:
-            logits = out
+            logits = encode_fn(params, mb)  # [M, C]
         logits = jnp.where(vm[:, None], logits, NEG)
         return (update_queue(queue, logits), aux, aux_w), None
 

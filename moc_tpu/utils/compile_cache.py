@@ -37,7 +37,18 @@ def enable_compilation_cache() -> str | None:
     """
     global _enabled
     d = cache_dir()
-    if d is None or _enabled:
+    if d is None:
+        # MOC_TPU_CACHE_DIR=0 must actually disable: JAX reads a lingering
+        # JAX_COMPILATION_CACHE_DIR env var natively at startup, so clear
+        # the config too (review finding r3)
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", None)
+        except Exception:
+            pass
+        return None
+    if _enabled:
         return d
     try:
         os.makedirs(d, exist_ok=True)

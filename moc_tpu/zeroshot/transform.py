@@ -14,6 +14,23 @@ OPENAI_DATASET_MEAN = (0.48145466, 0.4578275, 0.40821073)
 OPENAI_DATASET_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
+def _resize_short_side_dims(w: int, h: int, size: int) -> tuple[int, int]:
+    """torchvision ``Resize(int)`` output dims ``(w', h')``: short side set to
+    ``size`` exactly, long side ``int(size * long / short)`` — FLOORED, not
+    rounded (``torchvision.transforms.functional.resize``); a round() here
+    shifts every output pixel of a e.g. 700×1000 patch by one."""
+    short, long = (w, h) if w <= h else (h, w)
+    new_short, new_long = size, int(size * long / short)
+    return (new_short, new_long) if w <= h else (new_long, new_short)
+
+
+def _center_crop_origin(h: int, w: int, size: int) -> tuple[int, int]:
+    """torchvision ``CenterCrop`` origin: ``int(round((dim - size) / 2))``
+    (Python banker's rounding), NOT floor — they differ whenever the
+    resized-minus-crop difference is odd."""
+    return int(round((h - size) / 2.0)), int(round((w - size) / 2.0))
+
+
 def preprocess_image(image, image_size: int = 448) -> np.ndarray:
     """PIL image or uint8 array ``[H, W, 3]`` → normalized ``[H', W', 3]`` f32."""
     try:
@@ -22,18 +39,17 @@ def preprocess_image(image, image_size: int = 448) -> np.ndarray:
         if not isinstance(image, Image.Image):
             image = Image.fromarray(np.asarray(image))
         w, h = image.size
-        scale = image_size / min(w, h)
-        image = image.resize((round(w * scale), round(h * scale)), Image.BICUBIC)
+        image = image.resize(_resize_short_side_dims(w, h, image_size), Image.BICUBIC)
         arr = np.asarray(image, dtype=np.float32) / 255.0
     except ImportError:  # PIL-free fallback: nearest resize via indexing
         arr = np.asarray(image, dtype=np.float32) / 255.0
         h, w = arr.shape[:2]
-        scale = image_size / min(h, w)
-        yi = np.clip((np.arange(round(h * scale)) / scale).astype(int), 0, h - 1)
-        xi = np.clip((np.arange(round(w * scale)) / scale).astype(int), 0, w - 1)
+        nw, nh = _resize_short_side_dims(w, h, image_size)
+        yi = np.clip((np.arange(nh) * h / nh).astype(int), 0, h - 1)
+        xi = np.clip((np.arange(nw) * w / nw).astype(int), 0, w - 1)
         arr = arr[yi][:, xi]
     h, w = arr.shape[:2]
-    top, left = (h - image_size) // 2, (w - image_size) // 2
+    top, left = _center_crop_origin(h, w, image_size)
     arr = arr[top : top + image_size, left : left + image_size]
     mean = np.asarray(OPENAI_DATASET_MEAN, np.float32)
     std = np.asarray(OPENAI_DATASET_STD, np.float32)
@@ -60,18 +76,17 @@ def preprocess_image_musk(image, image_size: int = 384) -> np.ndarray:
         if not isinstance(image, Image.Image):
             image = Image.fromarray(np.asarray(image))
         w, h = image.size
-        scale = image_size / min(w, h)
-        image = image.resize((round(w * scale), round(h * scale)), Image.BICUBIC)
+        image = image.resize(_resize_short_side_dims(w, h, image_size), Image.BICUBIC)
         arr = np.asarray(image, dtype=np.float32) / 255.0
     except ImportError:  # PIL-free fallback: nearest resize via indexing
         arr = np.asarray(image, dtype=np.float32) / 255.0
         h, w = arr.shape[:2]
-        scale = image_size / min(h, w)
-        yi = np.clip((np.arange(round(h * scale)) / scale).astype(int), 0, h - 1)
-        xi = np.clip((np.arange(round(w * scale)) / scale).astype(int), 0, w - 1)
+        nw, nh = _resize_short_side_dims(w, h, image_size)
+        yi = np.clip((np.arange(nh) * h / nh).astype(int), 0, h - 1)
+        xi = np.clip((np.arange(nw) * w / nw).astype(int), 0, w - 1)
         arr = arr[yi][:, xi]
     h, w = arr.shape[:2]
-    top, left = (h - image_size) // 2, (w - image_size) // 2
+    top, left = _center_crop_origin(h, w, image_size)
     arr = arr[top : top + image_size, left : left + image_size]
     mean = np.asarray(IMAGENET_INCEPTION_MEAN, np.float32)
     std = np.asarray(IMAGENET_INCEPTION_STD, np.float32)

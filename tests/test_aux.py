@@ -187,6 +187,40 @@ def test_preprocess_image_musk_short_side_and_crop():
     np.testing.assert_allclose(out, expect, atol=1e-6)
 
 
+def test_transform_rounding_matches_torchvision():
+    """torchvision semantics exactly: Resize(int) FLOORS the long side
+    (``int(size * long / short)``) and CenterCrop ROUNDS the origin
+    (``int(round((dim - size) / 2))``, banker's) — a round()/floor swap
+    shifts every pixel of some inputs (review finding r3)."""
+    from moc_tpu.zeroshot.transform import (
+        _center_crop_origin,
+        _resize_short_side_dims,
+    )
+
+    # 700x1000 (w,h): 384 * 1000 / 700 = 548.57 -> torchvision floors to 548
+    assert _resize_short_side_dims(700, 1000, 384) == (384, 548)
+    assert _resize_short_side_dims(1000, 700, 384) == (548, 384)
+    # odd difference: (35 - 32) / 2 = 1.5 -> torchvision round() gives 2
+    assert _center_crop_origin(35, 32, 32) == (2, 0)
+    # even .5 rounds down under banker's: (33 - 32) / 2 = 0.5 -> 0
+    assert _center_crop_origin(33, 33, 32) == (0, 0)
+
+    from PIL import Image
+
+    from moc_tpu.zeroshot.transform import preprocess_image_musk
+
+    rng = np.random.default_rng(1)
+    img = (rng.random((67, 128, 3)) * 255).astype(np.uint8)  # H=67 short
+    out = preprocess_image_musk(img, image_size=32)
+    assert out.shape == (32, 32, 3)
+    # manual torchvision pipeline: resize to (W=int(32*128/67)=61, H=32),
+    # crop left = int(round((61-32)/2)) = 14 (29/2=14.5 banker's -> 14)
+    resized = np.asarray(Image.fromarray(img).resize((61, 32), Image.BICUBIC),
+                         np.float32) / 255.0
+    expect = (resized[:, 14:46] - 0.5) / 0.5
+    np.testing.assert_allclose(out, expect, atol=1e-6)
+
+
 def test_policy_json_to_csv(tmp_path):
     payload = {"topj": {"nsclc": 0.9, "rcc": 0.8}, "delta": {"nsclc": 0.85}}
     jp = str(tmp_path / "r.json")
