@@ -166,13 +166,18 @@ def bench_torch_cpu(n_slides: int = 3) -> float:
     return sps
 
 
+SWEEP_SHOT = 8           # largest shot the vendored-corpus splits support
+SWEEP_MIN_P, SWEEP_MAX_P = 1500, 4000  # real NSCLC/RCC feature bags bucket
+SWEEP_EPOCHS = 25        # to 2048/4096; shot-8 x C=2 -> 16 train slides
+
+
 def bench_torch_episode() -> float:
     """One full reference-protocol episode in torch-CPU, driven by the
     reference's selection/pooling functions: 25 epochs of per-slide senet
     steps (Adam 1e-3/wd 1e-4, random 50% train mask) + train/val eval each
     epoch and test on val improvement (``main_moc.py:378-644``). Operating
-    point mirrors the CLI sweep's synthetic corpus (shot 2 × C=2: 4 train,
-    4 val, 8 test slides, 500-2000 patches, D=512). Returns s/episode —
+    point mirrors the CLI sweep stage's corpus (shot 8 × C=2: 16 train,
+    4 val, 8 test slides, 1500-4000 patches, D=512). Returns s/episode —
     the reference-code anchor for the fused-sweep ratio."""
     import torch
 
@@ -189,10 +194,10 @@ def bench_torch_episode() -> float:
     one_slide = _torch_slide_pipeline(psi, psc, senet, w, w_ext, TOPJ, TOPK)
 
     def bag():
-        n = int(torch.randint(500, 2000, (1,), generator=gen))
+        n = int(torch.randint(SWEEP_MIN_P, SWEEP_MAX_P, (1,), generator=gen))
         return torch.randn(n, DIM, generator=gen)
 
-    train = [(bag(), i % N_CLASSES) for i in range(4)]
+    train = [(bag(), i % N_CLASSES) for i in range(2 * SWEEP_SHOT)]
     val = [(bag(), i % N_CLASSES) for i in range(4)]
     test = [(bag(), i % N_CLASSES) for i in range(8)]
     ce = torch.nn.CrossEntropyLoss()
@@ -224,14 +229,16 @@ def bench_torch_episode() -> float:
 def bench_sweep_cli() -> dict:
     """Episode-sweep wallclock through the CLI-reachable fused path.
 
-    Drives ``moc_tpu.cli.sweep`` (the code path users run) twice on the
-    synthetic corpus — the first call generates the corpus and compiles (or
-    loads the persistent compile cache), the second measures warm end-to-end
-    wallclock (IO + in-program zs floor + 25-epoch training + eval + result
-    writing) per episode. 5 episodes = shot 2 × folds {0..4}: ONE compiled
-    fused program. The ratio is anchored on the reference's own code via
-    ``bench_torch_episode``. CLI stdout is routed to stderr so the headline
-    JSON stays the only stdout line.
+    Drives ``moc_tpu.cli.sweep`` (the code path users run) on the BASELINE
+    operating point — shot 8 (16 train slides/episode, the largest the
+    vendored splits support), 1500-4000-patch bags (real feature-bag
+    buckets), 25 epochs, 5 folds as ONE compiled fused program — first call
+    generates the corpus and compiles (or loads the persistent cache), later
+    calls measure warm end-to-end wallclock (IO + in-program zs floor +
+    training + eval + result writing). The ratio is anchored on the
+    reference's own code via ``bench_torch_episode`` at the same point. CLI
+    stdout is routed to stderr so the headline JSON stays the only stdout
+    line.
     """
     import contextlib
     import shutil
@@ -241,9 +248,11 @@ def bench_sweep_cli() -> dict:
 
     root = tempfile.mkdtemp(prefix="moc_bench_sweep_")
     try:
-        args = ["--dataset", "synthetic", "--shots", "2",
+        args = ["--dataset", "synthetic", "--shots", str(SWEEP_SHOT),
                 "--folds", "0", "1", "2", "3", "4", "--topj", "400",
-                "--topk", "10", "--num_epochs", "25",
+                "--topk", "10", "--num_epochs", str(SWEEP_EPOCHS),
+                "--synthetic_min_patches", str(SWEEP_MIN_P),
+                "--synthetic_max_patches", str(SWEEP_MAX_P),
                 "--result_dir", root, "--mode", "fused"]
         with contextlib.redirect_stdout(sys.stderr):
             t_stage = time.perf_counter()
@@ -267,7 +276,10 @@ def bench_sweep_cli() -> dict:
         log(f"fused CLI sweep: cold {cold:.1f}s, warm {warm:.1f}s (best) for 5 episodes")
         out = {"s_per_episode_warm": round(warm / 5, 3),
                "s_per_episode_cold": round(cold / 5, 3),
-               "episodes": 5, "path": "cli.sweep --mode fused"}
+               "episodes": 5, "path": "cli.sweep --mode fused",
+               "protocol": (f"shot {SWEEP_SHOT} x 5 folds, "
+                            f"{SWEEP_MIN_P}-{SWEEP_MAX_P} patch bags, "
+                            f"{SWEEP_EPOCHS} epochs, C=2")}
         try:
             ref_s = bench_torch_episode()
             out["torch_episode_s"] = round(ref_s, 3)

@@ -49,6 +49,10 @@ def get_args(argv=None):
     p.add_argument("--synthetic_classes", type=int, default=2,
                    help="class count for --dataset synthetic (3+ exercises "
                         "the ovo-macro AUC path)")
+    p.add_argument("--synthetic_min_patches", type=int, default=500,
+                   help="synthetic-corpus bag size range (the bench protocol "
+                        "uses 1500-4000 to mirror real feature bags)")
+    p.add_argument("--synthetic_max_patches", type=int, default=2000)
     # explicit environment paths (hard-coded in the reference)
     from moc_tpu.config import DEFAULT_PROMPT_ROOT
 
@@ -101,13 +105,17 @@ def _synthetic_setup(args):
     from moc_tpu.data.synthetic import SyntheticWSIConfig
 
     n_cls = getattr(args, "synthetic_classes", 2)
+    min_p = getattr(args, "synthetic_min_patches", 500)
+    max_p = getattr(args, "synthetic_max_patches", 2000)
     root = os.path.join(args.result_dir, "synthetic_corpus")
     if n_cls != 2:
         root = os.path.join(args.result_dir, f"synthetic_corpus_{n_cls}cls")
+    if (min_p, max_p) != (500, 2000):  # size-variant corpora live apart
+        root += f"_{min_p}-{max_p}p"
     marker = os.path.join(root, "dataset.csv")
     # 16/class: val 2 + test 4 leaves 10 ≥ the largest shot (8)
     cfg = SyntheticWSIConfig(n_classes=n_cls, slides_per_class=16,
-                             min_patches=500, max_patches=2000,
+                             min_patches=min_p, max_patches=max_p,
                              seed=args.seed)
     if not os.path.exists(marker):
         corpus = make_synthetic_corpus(

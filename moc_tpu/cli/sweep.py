@@ -47,6 +47,10 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic_classes", type=int, default=2,
                    help="class count for --dataset synthetic")
+    p.add_argument("--synthetic_min_patches", type=int, default=500,
+                   help="synthetic-corpus bag size range (the bench protocol "
+                        "uses 1500-4000 to mirror real feature bags)")
+    p.add_argument("--synthetic_max_patches", type=int, default=2000)
     p.add_argument("--platform", default=None)
     p.add_argument("--resume", action="store_true",
                    help="skip (fold, shot) episodes whose result JSON exists "
