@@ -196,9 +196,12 @@ def union_selection_threshold(logits: jax.Array, logits_ext: jax.Array,
                               discard: tuple[str, ...] = ()) -> jax.Array:
     """``union_selection`` computed with ``topk_threshold_mask`` instead of a
     batched sort — bit-identical output. The bottom-k stage needs its rows in
-    bg-key rank order (stage-2 column top-j ties resolve by rank position,
-    matching the reference), reconstructed by one tiny ``[topj]`` sort of the
-    thresholded set.
+    bg-key RANK order (stage-2 column top-j ties resolve by rank position,
+    matching the reference), which ``lax.top_k`` produces natively (key
+    desc, ties index-asc) — so that one key row skips the bit-descent and
+    runs a plain top_k instead of thresholding, compacting, and re-sorting
+    (the reconstruction machinery measured ~0.25 ms of the 0.92 ms batch-8
+    forward; BENCH_NOTES "Round 3").
     """
     n = logits.shape[0]
     k = min(topj, n)
@@ -206,15 +209,12 @@ def union_selection_threshold(logits: jax.Array, logits_ext: jax.Array,
                                             n_classes, discard)
     if stacked is None:
         return jnp.zeros((n,), jnp.bool_)
-    sel = topk_threshold_mask(stacked, k)  # [n_keys, N]
     if bottomk:
-        union = jnp.any(sel[:-1], axis=0) if sel.shape[0] > 1 else             jnp.zeros((n,), jnp.bool_)
-        bk_asc, slot_valid, _ = gather_selected(sel[-1], k)
-        # exact lax.top_k ordering: key desc, ties index-asc (stable sort of
-        # ~u over the already index-ascending buffer)
-        ukey = jnp.where(slot_valid, monotone_u32(stacked[-1])[bk_asc],
-                         jnp.uint32(0))
-        _, bk_idx = jax.lax.sort((~ukey, bk_asc), num_keys=1, is_stable=True)
+        sel = (topk_threshold_mask(stacked[:-1], k)
+               if stacked.shape[0] > 1 else None)  # [n_keys-1, N]
+        union = (jnp.any(sel, axis=0) if sel is not None
+                 else jnp.zeros((n,), jnp.bool_))
+        _, bk_idx = jax.lax.top_k(stacked[-1], k)  # rank-ordered already
         bk_count = jnp.minimum(k, jnp.sum(valid))
         pos = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
         stage_valid = pos < bk_count
@@ -222,7 +222,7 @@ def union_selection_threshold(logits: jax.Array, logits_ext: jax.Array,
                                   topj, k, n)
         union = union.at[bk_orig].set(True, mode="drop")
     else:
-        union = jnp.any(sel, axis=0)
+        union = jnp.any(topk_threshold_mask(stacked, k), axis=0)
     return union & valid
 
 
