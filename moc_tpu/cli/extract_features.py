@@ -1,0 +1,198 @@
+"""Native patch-feature extraction: raw pixels → CLAM-schema bag files.
+
+The reference repo CONSUMES pre-extracted feature dirs (its dataset code
+reads ``h5_files/<slide>.h5`` produced by an external CLAM fork; see
+``/root/reference/datasets/dataset_generic.py`` + ``dataset_h5.py``) — the
+extraction step itself has no in-repo equivalent. This CLI closes that gap
+natively: it reads raw-pixel patch bags (``imgs``-bearing h5, or coords-h5 +
+WSI via OpenSlide), encodes them through the CONCH or MUSK vision tower on
+the accelerator, and streams bag files (``features [N, D]`` + ``coords``)
+that ``BagLoader`` / the MOC and MIL CLIs consume directly.
+
+  python -m moc_tpu.cli.extract_features \
+      --patch_dir /data/patches --out_dir /data/merge_features_conch \
+      --backbone conch --checkpoint /path/conch.bin
+
+Encoding runs one fixed-shape jitted program (tail batches are zero-padded
+and trimmed) so every slide reuses a single compiled executable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="Patch-bag feature extraction")
+    p.add_argument("--patch_dir", required=True,
+                   help="dir with h5_files/<slide>.h5 patch bags (or the "
+                        "h5 dir itself)")
+    p.add_argument("--out_dir", required=True,
+                   help="output feature dir (writes h5_files/<slide>.h5)")
+    p.add_argument("--csv", default=None, help="optional slide_id list CSV")
+    p.add_argument("--backbone", default="conch",
+                   choices=["conch", "musk", "debug"],
+                   help="vision tower ('debug' = checkpoint-free projection "
+                        "for pipeline smoke tests)")
+    p.add_argument("--checkpoint", default=None,
+                   help="CONCH/MUSK release checkpoint path")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--image_size", type=int, default=None,
+                   help="default: 448 (conch) / 384 (musk) / 64 (debug)")
+    p.add_argument("--normalize_embeddings",
+                   type=lambda s: s.lower() != "false", default=True,
+                   help="L2-normalize embeddings (the MI-Zero/MOC protocol)")
+    p.add_argument("--bf16", action="store_true",
+                   help="encode in bfloat16 (serving-tier cast)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip slides whose output bag already exists")
+    p.add_argument("--wsi_dir", default=None,
+                   help="WSI dir for coords-only patch h5s (needs OpenSlide)")
+    p.add_argument("--wsi_ext", default=".svs")
+    p.add_argument("--patch_size", type=int, default=256)
+    p.add_argument("--level", type=int, default=0)
+    p.add_argument("--platform", default=None)
+    return p.parse_args(argv)
+
+
+def _default_image_size(backbone: str) -> int:
+    return {"conch": 448, "musk": 384, "debug": 64}[backbone]
+
+
+def build_encoder(backbone: str, checkpoint: str | None, image_size: int,
+                  normalize: bool, bf16: bool, feature_dim: int = 512):
+    """``encode(images [B, S, S, 3] f32) -> np [B, D]`` on the accelerator.
+
+    ``debug`` is a deterministic checkpoint-free random projection of the
+    pixels — the full CLI pipeline without model weights (tests, dry runs).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if backbone == "conch":
+        if not checkpoint:
+            raise ValueError("--backbone conch needs --checkpoint")
+        from moc_tpu.zeroshot import load_conch
+
+        model, params = load_conch(checkpoint, image_size=image_size)
+
+        @jax.jit
+        def fn(images):
+            if bf16:
+                images = images.astype(jnp.bfloat16)
+            emb = model.apply(params, images, normalize=normalize,
+                              method=model.encode_image)
+            return emb.astype(jnp.float32)
+
+    elif backbone == "musk":
+        if not checkpoint:
+            raise ValueError("--backbone musk needs --checkpoint")
+        from moc_tpu.models.musk import MuskConfig
+        from moc_tpu.zeroshot.convert_musk import load_musk
+
+        model, params = load_musk(checkpoint, MuskConfig(image_size=image_size))
+
+        @jax.jit
+        def fn(images):
+            if bf16:
+                images = images.astype(jnp.bfloat16)
+            emb, _, _ = model.apply(params, images=images, normalize=normalize)
+            return emb.astype(jnp.float32)
+
+    else:  # debug: fixed random projection, no weights
+        key = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def fn(images):
+            flat = images.reshape(images.shape[0], -1)
+            proj = jax.random.normal(key, (flat.shape[1], feature_dim),
+                                     jnp.float32) / np.sqrt(flat.shape[1])
+            emb = flat @ proj
+            if normalize:
+                emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True).clip(1e-12)
+            return emb
+
+    return lambda images: np.asarray(fn(np.asarray(images, np.float32)))
+
+
+def extract_slide(reader, encode, out_path: str, batch_size: int) -> int:
+    """Stream one slide's patches through ``encode`` into a bag h5.
+
+    Tail batches are zero-padded to ``batch_size`` (one compiled shape) and
+    the padded rows trimmed before writing. Returns the patch count."""
+    from moc_tpu.data.bags import append_hdf5
+
+    tmp = out_path + ".tmp"
+    if os.path.exists(tmp):
+        os.remove(tmp)
+    total = 0
+    mode = "w"
+    for imgs, coords in reader.batches(batch_size):
+        b = imgs.shape[0]
+        if b < batch_size:  # pad the tail to the compiled shape
+            pad = np.zeros((batch_size - b,) + imgs.shape[1:], imgs.dtype)
+            feats = encode(np.concatenate([imgs, pad]))[:b]
+        else:
+            feats = encode(imgs)
+        assets = {"features": feats}
+        if coords is not None:
+            assets["coords"] = np.asarray(coords)
+        append_hdf5(tmp, assets, mode=mode)
+        mode = "a"
+        total += b
+    os.replace(tmp, out_path)  # atomic: resume never sees half-written bags
+    return total
+
+
+def main(argv=None) -> int:
+    args = get_args(argv)
+    from moc_tpu.cli.common import setup_runtime
+
+    setup_runtime(args)
+
+    from moc_tpu.data.patches import CoordPatchReader, PatchBagReader, list_bags
+
+    h5_dir = (os.path.join(args.patch_dir, "h5_files")
+              if os.path.isdir(os.path.join(args.patch_dir, "h5_files"))
+              else args.patch_dir)
+    slides = (list_bags(args.patch_dir, args.csv) if args.csv
+              else sorted(os.path.splitext(f)[0] for f in os.listdir(h5_dir)
+                          if f.endswith(".h5")))
+    image_size = args.image_size or _default_image_size(args.backbone)
+    transform = "musk" if args.backbone == "musk" else "clip"
+    encode = build_encoder(args.backbone, args.checkpoint, image_size,
+                           args.normalize_embeddings, args.bf16)
+    out_h5 = os.path.join(args.out_dir, "h5_files")
+    os.makedirs(out_h5, exist_ok=True)
+
+    done = 0
+    for slide in slides:
+        out_path = os.path.join(out_h5, f"{slide}.h5")
+        if args.resume and os.path.exists(out_path):
+            print(f"{slide}: exists, skipping (--resume)")
+            continue
+        src = os.path.join(h5_dir, f"{slide}.h5")
+        if args.wsi_dir:
+            reader = CoordPatchReader(
+                src, os.path.join(args.wsi_dir, slide + args.wsi_ext),
+                patch_size=args.patch_size, level=args.level,
+                image_size=image_size, transform=transform)
+        else:
+            reader = PatchBagReader(src, image_size=image_size,
+                                    transform=transform)
+        t0 = time.perf_counter()
+        n = extract_slide(reader, encode, out_path, args.batch_size)
+        print(f"{slide}: {n} patches -> {out_path} "
+              f"({time.perf_counter() - t0:.1f}s)")
+        done += 1
+    print(f"extracted {done} slides")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -238,3 +238,45 @@ def test_train_mil_cli_multi_fold_summary(tmp_path):
     frame = pd.read_csv(os.path.join(out, "mil_summary_2.csv"))
     assert list(frame["fold"]) == ["0", "1", "mean"]
     assert {"val_auc", "test_auc", "test_acc", "test_bacc"} <= set(frame.columns)
+
+
+def test_extract_features_debug_pipeline(tmp_path):
+    """Raw patch h5 → extract_features (debug backbone) → BagLoader-readable
+    bag: the native replacement for the reference's external CLAM extraction
+    step, end-to-end without model weights."""
+    import h5py
+
+    from moc_tpu.cli import extract_features as ef
+    from moc_tpu.data.bags import read_bag_h5
+
+    patch_dir = tmp_path / "patches" / "h5_files"
+    patch_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    counts = {"s1": 7, "s2": 130}  # 130 > batch 64: exercises tail padding
+    for slide, n in counts.items():
+        with h5py.File(patch_dir / f"{slide}.h5", "w") as f:
+            f.create_dataset("imgs", data=(rng.random((n, 64, 64, 3)) * 255)
+                             .astype(np.uint8))
+            f.create_dataset("coords", data=rng.integers(0, 10_000, (n, 2))
+                             .astype(np.int32))
+
+    out = tmp_path / "features"
+    rc = ef.main(["--patch_dir", str(tmp_path / "patches"),
+                  "--out_dir", str(out), "--backbone", "debug",
+                  "--batch_size", "64", "--platform", "cpu"])
+    assert rc == 0
+    for slide, n in counts.items():
+        bag = read_bag_h5(str(out / "h5_files" / f"{slide}.h5"))
+        assert bag.features.shape == (n, 512) and bag.coords.shape == (n, 2)
+        assert np.isfinite(bag.features).all()
+        np.testing.assert_allclose(np.linalg.norm(bag.features, axis=1), 1.0,
+                                   atol=1e-5)
+
+    # deterministic + resume-aware: rerun with --resume touches nothing
+    before = {s: os.path.getmtime(out / "h5_files" / f"{s}.h5") for s in counts}
+    rc = ef.main(["--patch_dir", str(tmp_path / "patches"),
+                  "--out_dir", str(out), "--backbone", "debug",
+                  "--batch_size", "64", "--resume", "--platform", "cpu"])
+    assert rc == 0
+    after = {s: os.path.getmtime(out / "h5_files" / f"{s}.h5") for s in counts}
+    assert before == after
