@@ -226,7 +226,7 @@ def bench_torch_episode() -> float:
     return dt
 
 
-def bench_sweep_cli() -> dict:
+def bench_sweep_cli(budget: float = 900.0) -> dict:
     """Episode-sweep wallclock through the CLI-reachable fused path.
 
     Drives ``moc_tpu.cli.sweep`` (the code path users run) on the BASELINE
@@ -264,11 +264,8 @@ def bench_sweep_cli() -> dict:
             # the tunnel's host<->device bandwidth swings 2.4-100 MB/s minute
             # to minute (BENCH_NOTES "Round 3"), so one warm draw can be 10x
             # off; keep re-drawing while the stage budget allows (cap at 60%
-            # of the stage budget so completed numbers are never thrown away
-            # by the daemon-thread timeout in main())
-            import os as _os
-
-            budget = float(_os.environ.get("MOC_BENCH_SWEEP_BUDGET_S", "900"))
+            # of the caller's stage budget so completed numbers are never
+            # thrown away by the daemon-thread timeout in main())
             while time.perf_counter() - t_stage < min(300.0, 0.6 * budget):
                 t0 = time.perf_counter()
                 sweep_cli.main(args)
@@ -330,7 +327,7 @@ def main() -> None:
 
         def _sweep_stage():
             try:
-                box["sweep"] = bench_sweep_cli()
+                box["sweep"] = bench_sweep_cli(budget)
             except Exception as e:  # secondary metric must not kill the headline
                 log(f"sweep bench failed: {e}")
 

@@ -74,12 +74,23 @@ def build_encoder(backbone: str, checkpoint: str | None, image_size: int,
     import jax
     import jax.numpy as jnp
 
+    def _cast(params):
+        """bf16 serving cast: params AND images must both drop to bfloat16 —
+        casting inputs alone gets promoted straight back to f32 by the f32
+        kernels (the same rule as ``train.mil.half_precision_params``)."""
+        if not bf16:
+            return params
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+
     if backbone == "conch":
         if not checkpoint:
             raise ValueError("--backbone conch needs --checkpoint")
         from moc_tpu.zeroshot import load_conch
 
         model, params = load_conch(checkpoint, image_size=image_size)
+        params = _cast(params)
 
         @jax.jit
         def fn(images):
@@ -96,6 +107,7 @@ def build_encoder(backbone: str, checkpoint: str | None, image_size: int,
         from moc_tpu.zeroshot.convert_musk import load_musk
 
         model, params = load_musk(checkpoint, MuskConfig(image_size=image_size))
+        params = _cast(params)
 
         @jax.jit
         def fn(images):
@@ -132,6 +144,7 @@ def extract_slide(reader, encode, out_path: str, batch_size: int) -> int:
         os.remove(tmp)
     total = 0
     mode = "w"
+    dim = None
     for imgs, coords in reader.batches(batch_size):
         b = imgs.shape[0]
         if b < batch_size:  # pad the tail to the compiled shape
@@ -139,12 +152,20 @@ def extract_slide(reader, encode, out_path: str, batch_size: int) -> int:
             feats = encode(np.concatenate([imgs, pad]))[:b]
         else:
             feats = encode(imgs)
+        dim = feats.shape[-1]
         assets = {"features": feats}
         if coords is not None:
             assets["coords"] = np.asarray(coords)
         append_hdf5(tmp, assets, mode=mode)
         mode = "a"
         total += b
+    if total == 0:
+        # zero-patch slide (segmentation filtered everything): write an
+        # empty bag instead of crashing the whole extraction run
+        from moc_tpu.data.bags import write_bag_h5
+
+        write_bag_h5(tmp, np.zeros((0, dim or 1), np.float32),
+                     np.zeros((0, 2), np.int32))
     os.replace(tmp, out_path)  # atomic: resume never sees half-written bags
     return total
 

@@ -17,7 +17,6 @@ patches' forward passes via the scan.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -35,9 +34,11 @@ class LoraFinetuneConfig:
     minibatch: int = 8  # patches per tower forward (ref minibatch-8 streaming)
     learning_rate: float = 1e-4
     n_classes: int = 2
-    # > 0: MoE-LoRA mode — ``encode_fn`` must return ``(logits, balance)``
-    # per minibatch (e.g. ``models.lora.lora_balance_loss`` over sown router
-    # gates) and the train loss becomes CE + coef × mean-balance.
+    # > 0: MoE-LoRA mode — ``encode_fn`` is called as ``encode_fn(params,
+    # mb, chunk_valid)`` and must return ``(logits, balance)`` per minibatch
+    # (e.g. ``models.lora.lora_balance_loss(inter, patch_valid=chunk_valid)``
+    # over sown router gates, so padding patches inside partial chunks never
+    # steer the router); the train loss becomes CE + coef × mean-balance.
     balance_coef: float = 0.0
 
 
@@ -50,7 +51,7 @@ def update_queue(queue: jax.Array, new_logits: jax.Array) -> jax.Array:
 
 
 def streamed_slide_logits(
-    encode_fn: Callable[[dict, jax.Array], jax.Array],
+    encode_fn,  # (params, mb) -> [M, C]; with_aux: (params, mb, valid) -> ([M, C], scalar)
     params: dict,
     patches: jax.Array,
     valid: jax.Array,

@@ -8,9 +8,12 @@ every CLI, ``bench.py`` and ``__graft_entry__.py`` call
 the compile, every later process (re-runs, resumed sweeps, the driver's
 bench) loads from disk in seconds.
 
-Default location ``~/.cache/moc_tpu/xla`` (durable across /tmp cleanups),
-overridable with ``MOC_TPU_CACHE_DIR``; ``MOC_TPU_CACHE_DIR=0`` disables.
-An explicitly-set ``JAX_COMPILATION_CACHE_DIR`` env var wins (user intent).
+Default location ``~/.cache/moc_tpu/xla`` (durable across /tmp cleanups).
+Precedence: ``MOC_TPU_CACHE_DIR=0|off|none`` force-DISABLES caching (the
+strongest signal of intent — it clears ``jax_compilation_cache_dir`` even
+when a ``JAX_COMPILATION_CACHE_DIR`` env var lingers from an earlier run);
+otherwise an explicitly-set ``JAX_COMPILATION_CACHE_DIR`` wins over
+``MOC_TPU_CACHE_DIR``, which wins over the default.
 """
 
 from __future__ import annotations
