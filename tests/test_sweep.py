@@ -144,3 +144,63 @@ def test_stack_episode_bags_matches_two_stage(sweep_setup):
         np.testing.assert_array_equal(
             np.asarray(getattr(fast, name)), np.asarray(getattr(stacked, name)),
             err_msg=name)
+
+
+def test_stackers_trim_filler_fuzz():
+    """Property fuzz of the filler-trim invariants: for random chunk layouts
+    (odd buckets, filler-heavy chunks, whole-chunk filler), both stackers
+    agree, keep exactly the real slides in order, and carry no filler
+    between episodes beyond the cross-episode max."""
+    import jax.numpy as jnp
+
+    from moc_tpu.data.batching import BagBatch
+    from moc_tpu.moc import stack_episode_bags
+    from moc_tpu.moc.sweep import episode_from_bags, pad_and_stack_episodes
+
+    rng = np.random.default_rng(7)
+
+    def chunk(n_rows, n_real, n_patches, d=8):
+        labels = np.full((n_rows,), -1, np.int32)
+        labels[:n_real] = rng.integers(0, 2, n_real)
+        feats = rng.normal(size=(n_rows, n_patches, d)).astype(np.float32)
+        mask = rng.random((n_rows, n_patches)) < 0.8
+        mask[n_real:] = False
+        feats[~mask] = 0.0
+        return BagBatch(features=jnp.asarray(feats), mask=jnp.asarray(mask),
+                        labels=jnp.asarray(labels),
+                        n_patches=jnp.asarray(mask.sum(1), jnp.int32))
+
+    class Ep:
+        def __init__(self, train, val, test):
+            self.train, self.val, self.test = train, val, test
+
+    for trial in range(4):
+        eps = []
+        for _ in range(3):
+            train = chunk(4, 4, int(rng.integers(6, 20)))
+            val = [chunk(int(rng.integers(2, 6)), int(rng.integers(0, 3)),
+                         int(rng.integers(6, 20))) for _ in range(2)]
+            test = [chunk(int(rng.integers(2, 6)), int(rng.integers(1, 3)),
+                          int(rng.integers(6, 20)))]
+            eps.append(Ep(train, val, test))
+        fast = stack_episode_bags(eps)
+        slow = pad_and_stack_episodes(
+            [episode_from_bags(ep.train, ep.val, ep.test) for ep in eps])
+        for name in ("train_feats", "train_mask", "train_labels", "val_feats",
+                     "val_mask", "val_labels", "test_feats", "test_mask",
+                     "test_labels"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(fast, name)), np.asarray(getattr(slow, name)),
+                err_msg=f"trial {trial}: {name}")
+        # row budget: exactly max-over-episodes of the real-slide count
+        for split in ("val", "test"):
+            reals = [sum(int((np.asarray(c.labels) >= 0).sum())
+                         for c in getattr(ep, split)) for ep in eps]
+            assert getattr(fast, f"{split}_labels").shape[1] == max(max(reals), 1)
+            # real slides survive in original order
+            for i, ep in enumerate(eps):
+                want = np.concatenate(
+                    [np.asarray(c.labels)[np.asarray(c.labels) >= 0]
+                     for c in getattr(ep, split)])
+                got = np.asarray(getattr(fast, f"{split}_labels"))[i][:len(want)]
+                np.testing.assert_array_equal(got, want)
