@@ -317,3 +317,42 @@ def test_musk_pos_interpolation_to_224(musk):
     tmodel = musk[0]
     params = convert_musk_checkpoint(tmodel.state_dict(), num_patches=196)
     assert params["params"]["beit3"]["vision_pos"].shape == (197, 1024)
+
+
+def test_extract_features_cli_with_fullshape_conch(conch, tmp_path):
+    """The extraction CLI end-to-end with a release-layout CONCH checkpoint:
+    raw 448px patch bags → cli.extract_features --backbone conch →
+    BagLoader-schema 512-d unit-norm feature bags."""
+    import h5py
+    import torch as _torch
+
+    from moc_tpu.cli import extract_features as ef
+    from moc_tpu.data.bags import read_bag_h5
+
+    sd = conch[2]
+    ckpt = str(tmp_path / "conch.bin")
+    _torch.save({"state_dict": sd}, ckpt)
+
+    patch_dir = tmp_path / "patches" / "h5_files"
+    patch_dir.mkdir(parents=True)
+    rng = np.random.default_rng(5)
+    with h5py.File(patch_dir / "s.h5", "w") as f:
+        f.create_dataset("imgs", data=(rng.random((5, 448, 448, 3)) * 255)
+                         .astype(np.uint8))
+        f.create_dataset("coords", data=rng.integers(0, 99999, (5, 2))
+                         .astype(np.int32))
+
+    out = tmp_path / "features"
+    rc = ef.main(["--patch_dir", str(tmp_path / "patches"),
+                  "--out_dir", str(out), "--backbone", "conch",
+                  "--checkpoint", ckpt, "--batch_size", "4",
+                  "--platform", "cpu"])
+    assert rc == 0
+    bag = read_bag_h5(str(out / "h5_files" / "s.h5"))
+    assert bag.features.shape == (5, 512)
+    assert np.isfinite(bag.features).all()
+    np.testing.assert_allclose(np.linalg.norm(bag.features, axis=1), 1.0,
+                               atol=1e-4)
+    # distinct patches must not collapse
+    gram = bag.features @ bag.features.T
+    assert (np.abs(gram[~np.eye(5, dtype=bool)]) < 0.999).all()
