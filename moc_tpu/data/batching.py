@@ -110,6 +110,13 @@ def pack_bags(
     max_n = max(b.n_patches for b in bags)
     if n_pad is None:
         n_pad = bucket_size(max_n, buckets)
+    elif max_n > n_pad:
+        # the packers would silently TRUNCATE (all-True mask over dropped
+        # patches, n_patches > padded_len) — fail loudly like pad_bag does
+        long = [b.slide_id for b in bags if b.n_patches > n_pad]
+        raise ValueError(
+            f"bags longer than n_pad={n_pad}: {long[:5]} (max {max_n}); "
+            "raise n_pad/bag_size or subsample the bags first")
     from moc_tpu.data.native import pack_bags_native
 
     features, mask = pack_bags_native([b.features for b in bags], n_pad)
@@ -126,7 +133,15 @@ def pack_bags(
     labels = np.asarray([b.label if b.label is not None else -1 for b in bags], np.int32)
     n_patches = np.asarray([b.n_patches for b in bags], np.int32)
     coords = None
-    if with_coords and all(c is not None for c in coords_list):
+    if with_coords and any(c is not None for c in coords_list):
+        if not all(c is not None for c in coords_list):
+            # a silent batch-wide None here would detach coords far from
+            # the one coord-less bag that caused it
+            missing = [b.slide_id for b, c in zip(bags, coords_list)
+                       if c is None]
+            raise ValueError(
+                f"with_coords=True but bags lack coords: {missing[:5]} "
+                "(mixing h5 and coord-less pt bags in one batch)")
         coords = np.stack(coords_list)
     if not device_put:
         # host-resident batch: numpy leaves transfer lazily at each jit call

@@ -214,6 +214,13 @@ class BagLoader:
             return
         if self.bag_size is not None:
             counts = [min(c, self.bag_size) for c in counts]
+        if self.preselect is not None:
+            # read() returns exactly the preselected rows (preselect
+            # supersedes bag_size), so the bucket must size to THAT —
+            # a metadata-derived bucket smaller than the preselect length
+            # would silently truncate in the packer (which now raises)
+            counts = [len(self.preselect[sid]) if sid in self.preselect else c
+                      for sid, c in zip(ids, counts)]
 
         grouped: dict[int, list[str]] = {}
         for sid, c in zip(ids, counts):

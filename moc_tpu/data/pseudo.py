@@ -102,7 +102,11 @@ def pseudo_epoch(
             continue
         fg_key = (fg_key_for or {}).get(s.label)
         if fg_key is None:  # default: the pool named by anything non-normal
-            fg_key = next(k for k in s.pools if k != normal_key)
+            fg_key = next((k for k in s.pools if k != normal_key), None)
+            if fg_key is None:
+                raise ValueError(
+                    f"no non-{normal_key!r} pool for label {s.label} "
+                    f"(pools: {sorted(s.pools)})")
         if mode == "mixed":
             yield assemble_mixed_bag(s.pools[fg_key], s.pools[normal_key], rng,
                                      bag_size=bag_size), s.label

@@ -9,8 +9,9 @@ equivalent:
     ``four_pt_hard`` — CLAM's ``isInContourV1/V2/V3_Easy/V3_Hard``) are
     vectorized numpy point-in-polygon tests over the WHOLE grid at once
     instead of a per-point cv2 call;
-  * slide access is a caller-provided ``reader(coord, level, size)``
-    callable (an OpenSlide adapter is one lambda away), so the module works
+  * slide access is a caller-provided ``reader(coord, size)`` callable
+    reading at the grid's own level (an OpenSlide adapter closing over the
+    level is one lambda away), so the module works
     on arrays and test fixtures without native slide libraries;
   * batches come out as padded numpy stacks ready for ``jnp`` transfer.
 """

@@ -99,10 +99,16 @@ class SlideTable:
         return np.where(self.labels == cls_idx)[0]
 
     def label_of(self, slide_id: str) -> int:
-        row = self.frame[self.frame["slide_id"] == slide_id]
-        if len(row) == 0:
+        # dict lookup, built once: the per-call boolean frame scan made
+        # read_all quadratic in table size on the host IO hot path
+        cache = self.__dict__.get("_label_cache")
+        if cache is None:
+            cache = dict(zip(self.frame["slide_id"].astype(str),
+                             self.frame["label"].astype(int)))
+            self.__dict__["_label_cache"] = cache
+        if slide_id not in cache:
             raise KeyError(slide_id)
-        return int(row["label"].iloc[0])
+        return int(cache[slide_id])
 
     def subset_by_slide_ids(self, slide_ids: Sequence[str]) -> "SlideTable":
         """Row-select by membership, preserving table order

@@ -367,7 +367,11 @@ class EncoderLayer(nn.Module):
                                            layernorm_eps=cfg.layernorm_eps)
             y, aux = MoELayer(dim=d, hidden_dim=cfg.ffn_dim, cfg=mcfg,
                               axis_name=cfg.expert_axis, name="moe_layer")(
-                x.reshape(b * l, d)
+                x.reshape(b * l, d),
+                # pad tokens must not occupy expert capacity or steer the
+                # aux loss (pad-invariance invariant; ref moe_layer threads
+                # input_padding_mask the same way)
+                None if padding_mask is None else padding_mask.reshape(b * l),
             )
             x = y.reshape(b, l, d)
         else:

@@ -177,6 +177,16 @@ def _branch(q, k, v, sl, dr, causal, use_flash, axis_name,
         # reference's causal gather we keep the local rank's own K/V)
         world = jax.lax.psum(1, axis_name)
         ranks_per_segment = min(sl // l, world)
+        if world % ranks_per_segment != 0:
+            # jnp.take would clip the OOB block index for trailing ranks
+            # (silently double-attending the last KV block) and the ring
+            # perm would leave them zero-filled; the reference guards the
+            # same class of mismatch (``assert sl % seq_len == 0``,
+            # dilated_attention.py gather_kv)
+            raise ValueError(
+                f"dilated CP needs the axis size ({world}) divisible by "
+                f"ranks_per_segment ({ranks_per_segment} = min({sl}//{l}, "
+                f"world)); pick segment lengths that tile the axis")
         my = jax.lax.axis_index(axis_name)
         if gather_mode == "ring":
             rps = ranks_per_segment

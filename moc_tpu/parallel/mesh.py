@@ -40,6 +40,14 @@ def make_mesh(axis_sizes: Mapping[str, int] | None = None,
         devices = jax.devices()
     n = len(devices)
     sizes = dict(axis_sizes or {AXIS_DATA: n})
+    unknown = sorted(set(sizes) - set(DEFAULT_AXES))
+    if unknown:
+        # silently dropping a name (while its size still fed the device
+        # budget) produced half-empty meshes with no error; "pipe" is a
+        # per-module shard_map axis (parallel/pipeline.py), not a mesh axis
+        raise ValueError(
+            f"unknown mesh axes {unknown}; valid: {list(DEFAULT_AXES)} "
+            "(pipeline stages use parallel.pipeline's own axis, not the mesh)")
     names = [a for a in DEFAULT_AXES if a in sizes] or [AXIS_DATA]
     fill = [a for a in names if sizes.get(a, 1) == -1]
     fixed = int(np.prod([s for s in sizes.values() if s != -1]))

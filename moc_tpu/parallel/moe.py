@@ -55,7 +55,7 @@ class MoEConfig:
 def capacity_for(n_tokens: int, n_experts: int, gate_type: str,
                  capacity_factor: float = 1.0,
                  eval_capacity_fraction: float | None = None,
-                 is_eval: bool = True) -> int:
+                 is_eval: bool = False) -> int:
     """Reference capacity formulas: top1 ``int(cf·⌈S/E⌉)``
     (``routing.py:60-61``), top2 ``2·⌈S/E⌉`` (``routing.py:281-282``); in
     eval mode (``is_eval`` + fraction set) ``⌈fraction·S⌉``
@@ -164,13 +164,17 @@ def moe_dispatch_combine(
     *,
     axis_name: str | None = None,
     capacity: int | None = None,
+    input_mask: jax.Array | None = None,
 ):
     """Functional MoE core. ``x [S, D]`` local tokens, ``gate_logits [S, E]``.
 
     ``expert_fn`` maps ``[E_local, T, D] -> [E_local, T, D]`` (the local
     expert stack). With ``axis_name`` (inside shard_map over the expert
     axis), dispatch/combine ride ``lax.all_to_all``; without it, all experts
-    are local. Returns ``(y [S, D], aux_loss)``.
+    are local. ``input_mask [S]`` (True = padding) removes pad tokens from
+    routing — they neither occupy expert capacity nor move the aux loss
+    (ref ``moe_layer.py`` threads ``input_padding_mask`` the same way; the
+    pad-invariance invariant requires it). Returns ``(y [S, D], aux_loss)``.
     """
     s, d = x.shape
     e = gate_logits.shape[-1]
@@ -178,11 +182,13 @@ def moe_dispatch_combine(
         capacity = capacity_for(s, e, cfg.gate_type, cfg.capacity_factor,
                                 cfg.eval_capacity_fraction, is_eval=cfg.is_eval)
     if cfg.gate_type == "top1":
-        combine, dispatch, aux = top1_gate(gate_logits, capacity)
+        combine, dispatch, aux = top1_gate(gate_logits, capacity,
+                                           input_mask=input_mask)
     else:
         combine, dispatch, aux = top2_gate(
             gate_logits, capacity,
-            normalize_before_drop=cfg.normalize_before_drop)
+            normalize_before_drop=cfg.normalize_before_drop,
+            input_mask=input_mask)
 
     expert_in = jnp.einsum("sd,sec->ecd", x, dispatch.astype(x.dtype))  # [E, C, D]
     if axis_name is not None:
@@ -214,8 +220,9 @@ class MoELayer(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x):
-        """``x [S, D]`` (local tokens) → ``(y [S, D], aux_loss)``."""
+    def __call__(self, x, input_mask: jax.Array | None = None):
+        """``x [S, D]`` (local tokens, ``input_mask [S]`` True = padding) →
+        ``(y [S, D], aux_loss)``."""
         e = self.cfg.n_experts
         gate_logits = nn.Dense(e, use_bias=False, name="gate")(x)
         w1 = self.param("experts_w1", nn.initializers.lecun_normal(),
@@ -257,4 +264,5 @@ class MoELayer(nn.Module):
             return jnp.einsum("eth,ehd->etd", h, w2l) + b2l[:, None]
 
         return moe_dispatch_combine(x, gate_logits, expert_fn, self.cfg,
-                                    axis_name=self.axis_name)
+                                    axis_name=self.axis_name,
+                                    input_mask=input_mask)

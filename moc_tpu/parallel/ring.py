@@ -62,32 +62,38 @@ def ring_attention(
         else (lambda q_, k_, v_, **kw: mha_reference(q_, k_, v_, **kw))
     )
 
-    def block_attention(k_blk, v_blk, src_rank):
-        if not causal:
-            return attn(q, k_blk, v_blk, sm_scale=sm_scale)
-        # causal across shards: segment-id trick — give queries their global
-        # position band and keys theirs, then mask inside the kernel via an
-        # explicit dense path (global positions aren't expressible with the
-        # kernel's local causal flag)
-        q_pos = my * l_local + jnp.arange(l_local)
-        k_pos = src_rank * l_local + jnp.arange(l_local)
-        scale = sm_scale if sm_scale is not None else q.shape[-1] ** -0.5
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k_blk).astype(jnp.float32) * scale
-        mask = k_pos[None, None, None, :] <= q_pos[None, None, :, None]
-        s = jnp.where(mask, s, -0.7 * jnp.finfo(jnp.float32).max)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        out = jnp.einsum("bhqk,bhkd->bhqd", (p / l).astype(q.dtype), v_blk)
-        return out, (m + jnp.log(l))[..., 0]
+    # Causal blockwise structure (review r3 — the old path ran a dense
+    # [L,L] f32 score tensor for EVERY block): with per-shard position
+    # bands, the diagonal block (src == my) is exactly the kernel's LOCAL
+    # causal case, fully-past blocks (src < my) need no mask at all, and
+    # fully-future blocks (src > my) contribute provably-zero merge weight
+    # — lax.cond skips their compute entirely at runtime.
+    neg_lse = jnp.float32(-0.7 * jnp.finfo(jnp.float32).max)
 
-    # step 0: local block
-    out, lse = block_attention(k, v, my)
+    def past_block(k_blk, v_blk):
+        o, l = attn(q, k_blk, v_blk, sm_scale=sm_scale)
+        # pin branch output types (cond requires both branches identical;
+        # the reference path returns f32 outputs for bf16 inputs)
+        return o.astype(q.dtype), l.astype(jnp.float32)
+
+    def future_block(k_blk, v_blk):
+        # derive from q/k so the outputs carry the same varying-axes type
+        # as the past branch inside shard_map (plain constants are
+        # "unvarying" and cond rejects the branch mismatch)
+        zero = q * 0 + k_blk[..., :1, :] * 0
+        return zero, zero[..., 0].astype(jnp.float32) + neg_lse
+
+    # step 0: local (diagonal) block — local causal ⇔ global causal here
+    out, lse = attn(q, k, v, sm_scale=sm_scale, causal=causal)
     k_blk, v_blk = k, v
     for step in range(1, world):
         k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
         src = (my - step) % world
-        out_i, lse_i = block_attention(k_blk, v_blk, src)
+        if causal:
+            out_i, lse_i = jax.lax.cond(src < my, past_block, future_block,
+                                        k_blk, v_blk)
+        else:
+            out_i, lse_i = past_block(k_blk, v_blk)
         out, lse = _merge_partials(out, lse, out_i, lse_i)
     return out

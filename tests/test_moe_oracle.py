@@ -117,7 +117,8 @@ def test_eval_capacity_fraction(routing):
         torch.from_numpy(logits), eval_mode=True,
         moe_eval_capacity_token_fraction=0.25)
     assert combine.shape[-1] == capacity_for(40, 8, "top1",
-                                             eval_capacity_fraction=0.25)
+                                             eval_capacity_fraction=0.25,
+                                             is_eval=True)
 
 
 # ───────────────────────── full MOELayer oracle ─────────────────────────

@@ -285,3 +285,60 @@ def test_ring_attention_matches_full(causal):
         check_vma=False,
     )(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(full), rtol=3e-4, atol=3e-4)
+
+
+def test_moe_layer_pad_invariance():
+    """Padding tokens must not occupy expert capacity, perturb the aux loss,
+    or receive expert output (review r3: the mask was unreachable — pad
+    tokens overflowed experts and dropped real tokens). Capacity is a
+    function of the STATIC padded length, so the invariant is pad-CONTENT
+    invariance at fixed shape."""
+    rng = np.random.default_rng(8)
+    real = jnp.asarray(rng.normal(size=(48, 32)).astype(np.float32))
+    # tight capacity so stray pad routing WOULD displace real tokens
+    cfg = MoEConfig(n_experts=4, gate_type="top2", capacity_factor=1.0)
+    layer = MoELayer(dim=32, hidden_dim=64, cfg=cfg)
+    params = layer.init(jax.random.PRNGKey(0), real)
+
+    mask = jnp.concatenate([jnp.zeros((48,), bool), jnp.ones((16,), bool)])
+    pad_a = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+    pad_b = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32) * 10)
+    y_a, aux_a = layer.apply(params, jnp.concatenate([real, pad_a]), mask)
+    y_b, aux_b = layer.apply(params, jnp.concatenate([real, pad_b]), mask)
+
+    np.testing.assert_allclose(np.asarray(y_a[:48]), np.asarray(y_b[:48]),
+                               rtol=1e-5, atol=1e-6)
+    # NOTE: aux is intentionally NOT asserted equal — the reference computes
+    # me = mean(gates) over ALL tokens including pads (routing.py:94-99,
+    # 345-350) and parity wins; only routing/capacity/outputs are masked
+    assert np.isfinite(float(aux_a)) and np.isfinite(float(aux_b))
+    # pad rows receive no expert output at all
+    np.testing.assert_allclose(np.asarray(y_a[48:]), 0.0, atol=1e-6)
+    # sanity: WITHOUT the mask the adversarial rows do change real outputs
+    y_nomask, _ = layer.apply(params, jnp.concatenate([real, pad_b]))
+    assert not np.allclose(np.asarray(y_nomask[:48]), np.asarray(y_b[:48]),
+                           rtol=1e-5, atol=1e-6)
+
+
+def test_encoder_moe_block_pad_invariance():
+    """Through the encoder: an MoE block fed different pad-row CONTENT at
+    the same padded shape produces identical real-position outputs."""
+    from moc_tpu.nn.encoder import Encoder, EncoderConfig
+
+    cfg = EncoderConfig(embed_dim=32, ffn_dim=64, layers=2, heads=4,
+                        moe_freq=2, moe=MoEConfig(n_experts=4,
+                                                  gate_type="top2",
+                                                  capacity_factor=1.0))
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(2, 12, 32)).astype(np.float32))
+    enc = Encoder(cfg)
+    params = enc.init(jax.random.PRNGKey(0), x)
+    pad = jnp.concatenate([jnp.zeros((2, 12), bool), jnp.ones((2, 4), bool)],
+                          axis=1)
+    pads = [jnp.asarray(rng.normal(size=(2, 4, 32)).astype(np.float32) * s)
+            for s in (1.0, 10.0)]
+    outs = [enc.apply(params, jnp.concatenate([x, p], axis=1),
+                      padding_mask=pad)[0] for p in pads]
+    np.testing.assert_allclose(np.asarray(outs[0][:, :12]),
+                               np.asarray(outs[1][:, :12]),
+                               rtol=1e-4, atol=1e-5)
