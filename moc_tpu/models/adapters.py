@@ -30,8 +30,7 @@ from flax import linen as nn
 from moc_tpu import ops
 
 
-def _l2norm(x, axis=-1):
-    return x / jnp.linalg.norm(x, axis=axis, keepdims=True).clip(1e-12)
+from moc_tpu.models.layers import l2norm as _l2norm  # noqa: E402  (shared def)
 
 
 def _kaiming_a5(key, shape, dtype=jnp.float32):

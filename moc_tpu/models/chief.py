@@ -84,13 +84,16 @@ class CHIEF(nn.Module):
                  *, train: bool = False):
         h, scores = self._embed(feats, valid, train)
         weights = masked_attention_weights(scores, valid)
-        wsi_feature = (weights @ h)[0]
-        m = wsi_feature + self._site_vec(anatomic, train)
+        pooled_h = (weights @ h)[0]
+        m = pooled_h + self._site_vec(anatomic, train)
         logits = self.classifiers(m)
         return {
             "logits": logits,
             "attention": scores,
-            "wsi_feature": wsi_feature,
+            # the exported slide embedding pools the RAW input features
+            # (ref ``slide_embeddings = A @ h_ori``, model_chief.py:136,148)
+            # — NOT the hidden pooling the logits use (review r3)
+            "wsi_feature": (weights @ feats)[0],
             "wsi_feature_anatomical": m,
         }
 

@@ -108,7 +108,7 @@ class CLAM(nn.Module):
         inst_heads = StackedDense(cfg.n_classes, 2, name="instance_classifiers")
         one_hot = jax.nn.one_hot(label, cfg.n_classes)  # [C]
 
-        def ce(feats_k, sel_valid, target):
+        def ce_sums(feats_k, sel_valid, target):
             logits = inst_heads(feats_k)  # [k, C, 2]
             labels = jnp.full((feats_k.shape[0],), target, jnp.int32)
             # per-class CE over the k instances: [k, C]
@@ -116,15 +116,22 @@ class CLAM(nn.Module):
                 logits, labels[:, None].repeat(cfg.n_classes, 1)
             )
             w = sel_valid.astype(jnp.float32)[:, None]
-            return jnp.sum(per * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)  # [C]
+            return jnp.sum(per * w, axis=0), jnp.sum(w)  # ([C], scalar)
 
         total = jnp.zeros((cfg.n_classes,), jnp.float32)
         for branch in range(scores.shape[0]):
             row = scores[branch]
             top_feats, top_valid = masked_topk_feats(row, h, valid, k, largest=True)
             bot_feats, bot_valid = masked_topk_feats(row, h, valid, k, largest=False)
-            in_class = ce(top_feats, top_valid, 1) + ce(bot_feats, bot_valid, 0)  # [C]
-            out_class = ce(top_feats, top_valid, 0)  # [C]
+            # one mean over the CONCATENATED [top; bottom] = 2k instances,
+            # exactly inst_eval's CrossEntropyLoss(reduction='mean') over
+            # all_instances (ref model_clam.py:130-150) — summing two
+            # per-half means doubled the in-class term (review r3)
+            s_top, n_top = ce_sums(top_feats, top_valid, 1)
+            s_bot, n_bot = ce_sums(bot_feats, bot_valid, 0)
+            in_class = (s_top + s_bot) / jnp.maximum(n_top + n_bot, 1.0)  # [C]
+            s_out, n_out = ce_sums(top_feats, top_valid, 0)
+            out_class = s_out / jnp.maximum(n_out, 1.0)  # [C]
             if scores.shape[0] == 1:
                 # SB: one attention row supervises every class head
                 branch_w = jnp.ones((cfg.n_classes,))

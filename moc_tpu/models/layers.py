@@ -15,6 +15,13 @@ from flax import linen as nn
 NEG_INF = -1e30
 
 
+def l2norm(x, axis=-1):
+    """Clip-guarded L2 normalization — THE single definition (the towers in
+    musk/adapters/coca all import this; keeping three copies in sync was a
+    review finding r3)."""
+    return x / jnp.linalg.norm(x, axis=axis, keepdims=True).clip(1e-12)
+
+
 class AttnNet(nn.Module):
     """2-layer tanh attention scorer: ``[N, L] -> [N, K]`` raw scores."""
 

@@ -108,6 +108,13 @@ def merge_lora(params):
             raise ValueError(
                 "merge_lora cannot fold mixture-of-LoRA experts "
                 "(input-dependent routing); export the adapters instead")
+        if "lora_block_a" in tree:
+            # the whole-block residual adapter bypasses the block (out +=
+            # x @ A @ B of the block INPUT) — not foldable into any single
+            # weight; silently dropping it would discard trained adaptation
+            raise ValueError(
+                "merge_lora cannot fold block-level LoRA (residual on the "
+                "block input); export the adapters instead")
         if "in_proj" in tree and "lora_a_q" in tree:
             kernel = np.array(tree["in_proj"]["kernel"])
             d = kernel.shape[0]

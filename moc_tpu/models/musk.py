@@ -101,8 +101,7 @@ class BEiT3(nn.Module):
         return out, aux
 
 
-def _l2norm(x):
-    return x / jnp.linalg.norm(x, axis=-1, keepdims=True).clip(1e-12)
+from moc_tpu.models.layers import l2norm as _l2norm  # noqa: E402  (shared def)
 
 
 class MUSK(nn.Module):

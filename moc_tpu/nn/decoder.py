@@ -144,7 +144,9 @@ class DecoderCrossAttention(nn.Module):
         scale = (d // h) ** -0.5
         logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
         if memory_mask is not None:
-            logits = jnp.where(memory_mask[:, None, None, :], logits, -jnp.inf)
+            # finite fill: NaN-safe for all-masked memory (see CrossAttention)
+            logits = jnp.where(memory_mask[:, None, None, :], logits,
+                               -0.7 * jnp.finfo(jnp.float32).max)
         if rel_pos is not None:
             logits = logits + rel_pos[None]
         w = jax.nn.softmax(logits, axis=-1)
@@ -246,12 +248,15 @@ class Decoder(nn.Module):
             x = LayerNorm(name="layer_norm")(x)
         return x, (new_caches if caches is not None else None)
 
-    def init_cache(self, batch: int, max_len: int):
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.float32):
+        """KV caches; ``dtype`` must match the activations
+        (``dynamic_update_slice`` rejects mixed dtypes — pass ``bfloat16``
+        when serving with half-precision params)."""
         c = self.cfg
         dh = c.embed_dim // c.heads
         shape = (batch, c.heads, max_len, dh)
         return [
-            (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+            (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
             for _ in range(c.layers)
         ]
 
@@ -297,15 +302,20 @@ def sample_generate(
             kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
             logits = jnp.where(logits < kth, -jnp.inf, logits)
         if top_p is not None:
-            sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+            # argsort-scatter: O(V log V) and a true sorted-PREFIX keep —
+            # the old strict-greater rank matrix was O(V^2) memory ([B,V,V]
+            # is GBs at the 32k-64k vocabs) and let every boundary TIE
+            # through, widening the nucleus (review r3)
+            order = jnp.argsort(-logits, axis=-1)  # desc, ties index-asc
+            sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
             probs = jax.nn.softmax(sorted_logits, axis=-1)
             cum = jnp.cumsum(probs, axis=-1)
             # keep tokens in the 1 - top_p quantile (reference convention)
             keep_sorted = cum <= (1.0 - top_p)
             keep_sorted = keep_sorted.at[..., 0].set(True)  # always ≥ 1 token
-            n_keep = jnp.sum(keep_sorted, axis=-1, keepdims=True)
-            rank = jnp.sum(logits[..., None, :] > logits[..., :, None], axis=-1)
-            logits = jnp.where(rank < n_keep, logits, -jnp.inf)
+            inv = jnp.argsort(order, axis=-1)  # inverse permutation
+            keep = jnp.take_along_axis(keep_sorted, inv, axis=-1)
+            logits = jnp.where(keep, logits, -jnp.inf)
         return logits
 
     track_seen = repetition_penalty != 1.0

@@ -394,7 +394,9 @@ class Encoder(nn.Module):
     def __call__(self, x, padding_mask=None, split: int | None = None):
         cfg = self.cfg
         rel_pos = None
-        if cfg.rel_pos_buckets > 0:
+        # both knobs, like the decoder (decoder.py): rel_pos_buckets alone
+        # with the default max_rel_pos=0 would hit log(0) in _bucket
+        if cfg.rel_pos_buckets > 0 and cfg.max_rel_pos > 0:
             rel_pos = RelativePositionBias(
                 cfg.rel_pos_buckets, cfg.max_rel_pos, cfg.heads, name="relative_position"
             )(x.shape[1], x.shape[1])

@@ -32,11 +32,18 @@ class RetNetConfig:
     activation: str = "gelu"  # GLU activation (ref config.py:257)
 
 
-def retention_rel_pos(slen: int, heads: int, head_qk_dim: int):
-    """(sin, cos, decay) tables (ref ``retnet.py RetNetRelPos``)."""
+def retention_rel_pos(slen: int, heads: int, head_qk_dim: int,
+                      pos_offset=0):
+    """(sin, cos, decay) tables (ref ``retnet.py RetNetRelPos``).
+
+    ``pos_offset`` rotates at ABSOLUTE positions ``offset..offset+slen-1``
+    — required when continuing recurrent/chunkwise decoding across calls
+    (the threaded state holds keys rotated at their absolute positions;
+    restarting theta at 0 breaks the relative angles — review r3; the
+    reference's ``recurrent_forward`` indexes sin/cos absolutely)."""
     angle = 1.0 / (10000 ** jnp.linspace(0, 1, head_qk_dim // 2))
     angle = jnp.repeat(angle, 2)  # interleaved pairs
-    pos = jnp.arange(slen)
+    pos = jnp.arange(slen) + pos_offset
     sin = jnp.sin(pos[:, None] * angle[None, :])
     cos = jnp.cos(pos[:, None] * angle[None, :])
     decay = jnp.log(1 - 2.0 ** (-5 - jnp.arange(heads, dtype=jnp.float32)))
@@ -66,12 +73,15 @@ class MultiScaleRetention(nn.Module):
     stabilize: bool = True  # torchscale's extra abs-row-sum clamp (parallel only)
 
     @nn.compact
-    def __call__(self, x, mode: str = "parallel", state=None, chunk_size: int = 64):
+    def __call__(self, x, mode: str = "parallel", state=None, chunk_size: int = 64,
+                 pos_offset=0):
         """``x [B, L, D]`` → (out, new_state). Modes: parallel | recurrent |
         chunkwise. ``state = (kv [B, H, Dk, Dv], scale [H])`` threads
-        recurrent decoding. With ``stabilize=False`` the parallel and
-        recurrent forms are numerically equivalent (the reference's parallel
-        form adds a detached abs-row-sum clamp the recurrent form lacks)."""
+        recurrent decoding; pass ``pos_offset`` = number of tokens already
+        consumed so a continued call rotates q/k at absolute positions.
+        With ``stabilize=False`` the parallel and recurrent forms are
+        numerically equivalent (the reference's parallel form adds a
+        detached abs-row-sum clamp the recurrent form lacks)."""
         c = self.cfg
         b, l, d = x.shape
         h = c.heads
@@ -83,7 +93,7 @@ class MultiScaleRetention(nn.Module):
         v = nn.Dense(c.value_dim, use_bias=False, name="v_proj")(x)
         g = nn.Dense(c.value_dim, use_bias=False, name="g_proj")(x)
 
-        sin, cos, decay = retention_rel_pos(l, h, dk)
+        sin, cos, decay = retention_rel_pos(l, h, dk, pos_offset)
         qh = theta_shift(q.reshape(b, l, h, dk), sin[:, None], cos[:, None])
         kh = theta_shift(k.reshape(b, l, h, dk), sin[:, None], cos[:, None])
         kh = kh * (dk ** -0.5)

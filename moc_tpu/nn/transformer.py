@@ -136,8 +136,12 @@ class CrossAttention(nn.Module):
         v = nn.Dense(self.dim, name="v_proj")(kv_in)
         mask = None
         if key_padding_mask is not None:
-            # True = masked out (torch key_padding_mask semantics)
-            mask = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, 0.0)
+            # True = masked out (torch key_padding_mask semantics); finite
+            # fill (not -inf) so an ALL-masked key set — an empty bag fed to
+            # a pooling cross-attention — yields a uniform row instead of
+            # softmax(-inf...)=NaN poisoning the slide (review r3)
+            mask = jnp.where(key_padding_mask[:, None, None, :],
+                             -0.7 * jnp.finfo(jnp.float32).max, 0.0)
         out = dot_product_attention(
             _split_heads(q, self.num_heads),
             _split_heads(k, self.num_heads),

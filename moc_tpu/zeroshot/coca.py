@@ -29,8 +29,7 @@ class CoCaConfig:
 CONCH_VITB16 = CoCaConfig()  # the conch_ViT-B-16.json configuration
 
 
-def _l2norm(x, axis=-1):
-    return x / jnp.linalg.norm(x, axis=axis, keepdims=True).clip(1e-12)
+from moc_tpu.models.layers import l2norm as _l2norm  # noqa: E402  (shared def)
 
 
 class CoCa(nn.Module):

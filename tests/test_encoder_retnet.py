@@ -296,3 +296,28 @@ def test_encoder_decoder_shared_embeddings():
         zeroed["params"]["src_embed"]["embedding"])
     lz, _ = model.apply(zeroed, src, tgt)
     np.testing.assert_allclose(np.asarray(lz), 0.0, atol=1e-6)
+
+
+def test_retention_cross_call_continuation():
+    """Recurrent/chunkwise decoding continued across CALLS (threaded state +
+    pos_offset) equals one parallel pass — the rotary positions must be
+    absolute, not restarted per call (review r3)."""
+    cfg = RetNetConfig(embed_dim=32, value_dim=64, heads=4, ffn_dim=64, layers=1)
+    x = _x(12, b=2, l=16, d=32)
+    msr = MultiScaleRetention(cfg, stabilize=False)
+    params = msr.init(jax.random.PRNGKey(0), x)
+    out_p, _ = msr.apply(params, x, mode="parallel")
+
+    out_a, state = msr.apply(params, x[:, :10], mode="recurrent")
+    out_b, _ = msr.apply(params, x[:, 10:], mode="recurrent", state=state,
+                         pos_offset=10)
+    got = jnp.concatenate([out_a, out_b], axis=1)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(got),
+                               rtol=2e-3, atol=2e-4)
+
+    out_ca, cstate = msr.apply(params, x[:, :8], mode="chunkwise", chunk_size=4)
+    out_cb, _ = msr.apply(params, x[:, 8:], mode="chunkwise", chunk_size=4,
+                          state=cstate, pos_offset=8)
+    got_c = jnp.concatenate([out_ca, out_cb], axis=1)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(got_c),
+                               rtol=2e-3, atol=2e-4)

@@ -43,7 +43,9 @@ def _install_stubs():
         fs.nn = fsnn
         sys.modules["fairscale"] = fs
         sys.modules["fairscale.nn"] = fsnn
-    if "timm" not in sys.modules:
+    # EXTEND any existing timm stub (test_vila_oracle installs one without
+    # drop_path; module execution order must not matter)
+    if True:
         def drop_path(x, drop_prob=0.0, training=False):
             if drop_prob == 0.0 or not training:
                 return x
@@ -57,13 +59,16 @@ def _install_stubs():
                 t.normal_(mean, std).clamp_(min(a, a * std), max(b, b * std))
             return t
 
-        tm = types.ModuleType("timm")
-        tmm = types.ModuleType("timm.models")
-        tml = types.ModuleType("timm.models.layers")
-        tmr = types.ModuleType("timm.models.registry")
-        tml.drop_path = drop_path
-        tml.trunc_normal_ = trunc_normal_
-        tmr.register_model = lambda fn: fn
+        tm = sys.modules.setdefault("timm", types.ModuleType("timm"))
+        tmm = getattr(tm, "models", None) or types.ModuleType("timm.models")
+        tml = getattr(tmm, "layers", None) or types.ModuleType("timm.models.layers")
+        tmr = getattr(tmm, "registry", None) or types.ModuleType("timm.models.registry")
+        if not hasattr(tml, "drop_path"):
+            tml.drop_path = drop_path
+        if not hasattr(tml, "trunc_normal_"):
+            tml.trunc_normal_ = trunc_normal_
+        if not hasattr(tmr, "register_model"):
+            tmr.register_model = lambda fn: fn
         tm.models = tmm
         tmm.layers = tml
         tmm.registry = tmr
