@@ -90,15 +90,21 @@ def auc_ovo_macro(probs, labels, valid=None, n_classes: int | None = None):
         valid = jnp.ones(labels.shape, bool)
     c = n_classes if n_classes is not None else probs.shape[1]
     total = 0.0
-    n_pairs = 0
+    weight = 0.0
     for a in range(c):
         for b in range(a + 1, c):
             in_pair = valid & ((labels == a) | (labels == b))
             auc_a = auc_binary(probs[:, a], (labels == a).astype(jnp.int32), in_pair)
             auc_b = auc_binary(probs[:, b], (labels == b).astype(jnp.int32), in_pair)
-            total = total + 0.5 * (auc_a + auc_b)
-            n_pairs += 1
-    return total / n_pairs
+            # pairs with a missing class would contribute the 0.5 fallback
+            # and dilute the macro mean (the host path nanmeans them away;
+            # review r3) — weight each pair by both classes being present
+            w = (jnp.sum(valid & (labels == a)) > 0) & \
+                (jnp.sum(valid & (labels == b)) > 0)
+            w = w.astype(jnp.float32)
+            total = total + w * 0.5 * (auc_a + auc_b)
+            weight = weight + w
+    return total / jnp.maximum(weight, 1.0)
 
 
 def auc_ovr_macro(probs, labels, valid=None, n_classes: int | None = None):

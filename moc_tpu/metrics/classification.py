@@ -37,9 +37,14 @@ def balanced_accuracy(logits, labels, n_classes: int, valid=None):
     if valid is None:
         valid = jnp.ones(labels.shape, bool)
     preds = jnp.argmax(logits, axis=-1)
-    recalls = []
+    recalls, present = [], []
     for c in range(n_classes):
         in_c = valid & (labels == c)
         hit = jnp.sum((preds == c) & in_c)
         recalls.append(hit / jnp.maximum(jnp.sum(in_c), 1))
-    return jnp.mean(jnp.stack(recalls))
+        present.append(jnp.sum(in_c) > 0)
+    # sklearn balanced_accuracy_score averages over classes PRESENT in
+    # y_true; counting absent classes as recall 0 deflated few-shot splits
+    # that lack a class (review r3)
+    w = jnp.stack(present).astype(jnp.float32)
+    return jnp.sum(jnp.stack(recalls) * w) / jnp.maximum(jnp.sum(w), 1.0)

@@ -229,14 +229,28 @@ def _freeze_classifier(optimizer: optax.GradientTransformation,
         {"train": optimizer, "frozen": optax.set_to_zero()}, label_tree)
 
 
+def cosine_epoch_schedule(lr: float, steps_per_epoch: int, t_max: int = 20):
+    """torch ``CosineAnnealingLR(T_max=20)`` stepped per EPOCH:
+    ``lr * 0.5 * (1 + cos(pi * epoch / T_max))`` — periodic past T_max
+    (the LR cosines back up), exactly like the torch formula."""
+    spe = max(steps_per_epoch, 1)
+
+    def schedule(step):
+        epoch = step // spe
+        return lr * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / t_max))
+
+    return schedule
+
+
 def make_optimizer(cfg: MilTrainConfig) -> optax.GradientTransformation:
     """``get_optim`` + CosineAnnealingLR(T_max=20)
     (ref ``utils/utils.py:270-279``, ``core_utils.py:205-206``). The torch
     scheduler steps per epoch; optax counts updates, hence the
-    ``steps_per_epoch`` stretch."""
-    schedule = optax.cosine_decay_schedule(
-        cfg.lr,
-        decay_steps=max(cfg.max_epochs, 20) * max(cfg.steps_per_epoch, 1))
+    ``steps_per_epoch`` stretch. T_max stays 20 REGARDLESS of max_epochs
+    (the reference hard-codes it), and torch's formula is periodic — past
+    epoch 20 the LR cosines back UP; stretching the decay over max_epochs
+    instead held the LR high through the mid-epochs (review r3)."""
+    schedule = cosine_epoch_schedule(cfg.lr, cfg.steps_per_epoch)
     if cfg.opt == "adam":
         return optax.chain(optax.add_decayed_weights(cfg.reg),
                            optax.scale_by_adam(),
@@ -256,6 +270,22 @@ def weighted_order(labels: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     w = (len(labels) / np.maximum(counts, 1))[labels]
     w /= w.sum()
     return rng.choice(len(labels), size=len(labels), replace=True, p=w)
+
+
+def _weighted_batch_order(batches, rng: np.random.Generator) -> np.ndarray:
+    """Batch-granularity WeightedRandomSampler (ref ``utils/utils.py:383-397``):
+    draw ``len(batches)`` batches with replacement, each weighted by the sum
+    of its valid slides' inverse-class-frequency weights. At the reference's
+    ``batch_size=1`` this is exactly the per-slide sampler; for larger batches
+    it is the batch-level analogue (slides were bucketized into batches before
+    sampling, so per-slide resampling would need re-padding)."""
+    valid = [np.asarray(b.labels)[np.asarray(b.labels) >= 0] for b in batches]
+    all_lab = np.concatenate(valid)
+    counts = np.bincount(all_lab, minlength=int(all_lab.max()) + 1)
+    slide_w = len(all_lab) / np.maximum(counts.astype(np.float64), 1)
+    bw = np.array([slide_w[v].sum() for v in valid])
+    return rng.choice(len(batches), size=len(batches), replace=True,
+                      p=bw / bw.sum())
 
 
 # ------------------------------------------------------------------ driver
@@ -464,11 +494,24 @@ def train_fold(
     stopper = EarlyStopping(cfg.patience, cfg.stop_epoch)
     rng = jax.random.PRNGKey(cfg.seed + 1)
     stop_at = cfg.max_epochs
+    # weighted_sample resamples the epoch order class-balanced with
+    # replacement (ref WeightedRandomSampler, ``utils/utils.py:383-397``);
+    # it needs an indexable epoch, so the train stream is materialized once
+    # (few-shot train splits are small — this is the path the flag targets)
+    train_batches = None
+    rng_w = np.random.default_rng(cfg.seed + 7) if cfg.weighted_sample else None
     for epoch in range(cfg.max_epochs):
         from moc_tpu.utils.logging import AverageMeter
 
         loss_meter = AverageMeter()
-        for batch in loaders["train"]():
+        if cfg.weighted_sample:
+            if train_batches is None:
+                train_batches = list(loaders["train"]())
+            order = _weighted_batch_order(train_batches, rng_w)
+            epoch_batches = (train_batches[i] for i in order)
+        else:
+            epoch_batches = loaders["train"]()
+        for batch in epoch_batches:
             rng, step_rng = jax.random.split(rng)
             params, opt_state, loss = train_step(
                 params, opt_state, batch.features, batch.mask, batch.labels, step_rng

@@ -240,7 +240,13 @@ def run_pretrain(
                 ckpt_dir, {"params": jax.device_get(params),
                            "opt_state": jax.device_get(opt_state)}, step=last)
             params = jax.tree.map(jax.device_put, tree["params"], shardings)
-            opt_state = jax.tree.map(jnp.asarray, tree["opt_state"])
+            # re-place the optimizer moments with the shardings optimizer.init
+            # gave the fresh state — a plain asarray would materialize them
+            # replicated/unsharded, OOMing models sized to the sharded budget
+            opt_state = jax.tree.map(
+                lambda fresh, restored: jax.device_put(restored, fresh.sharding)
+                if hasattr(fresh, "sharding") else jnp.asarray(restored),
+                opt_state, tree["opt_state"])
             start = last
             if log:
                 log(f"resumed from step {last}")

@@ -23,13 +23,19 @@ from moc_tpu.nn.decoder import Decoder, DecoderConfig, greedy_generate, sample_g
 
 @dataclasses.dataclass(frozen=True)
 class CaptionerConfig:
+    """``eot_id`` defaults to the largest vocab id — the CONCH tokenizer
+    convention this repo relies on everywhere (``tokenizer.py``: argmax(ids)
+    finds EOT), so generation actually terminates on sequences produced by
+    ``ConchTokenizer``. The reference's ``generate`` defaults to the
+    open_clip legacy (sot=1, eot=2; ``coca_model.py:271-272``) — pass those
+    explicitly to reproduce it against a vocabulary that really uses id 2."""
     vocab_size: int = 32007
     width: int = 768
     layers: int = 12
     heads: int = 12
     context_length: int = 128
     sot_id: int = 1
-    eot_id: int = 2
+    eot_id: int = 32006
 
 
 class CoCaCaptioner(nn.Module):

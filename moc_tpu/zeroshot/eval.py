@@ -23,6 +23,7 @@ import numpy as np
 
 from moc_tpu import ops
 from moc_tpu.data.batching import BagBatch
+from moc_tpu.metrics.classification import CONCH_TEMPERATURE
 
 
 def multi_topj_pooling(logits: jax.Array, valid: jax.Array,
@@ -66,7 +67,7 @@ def run_mizero(
     batches: Iterable[BagBatch],
     classifier: np.ndarray,
     *,
-    logit_scale: float = 56.3477,
+    logit_scale: float = CONCH_TEMPERATURE,
     topj: Sequence[int] = (1, 5, 10, 50, 100),
     project_fn: Callable[[jax.Array], jax.Array] | None = None,
     metrics: Sequence[str] = ("acc", "bacc", "weighted_kappa", "kappa",
@@ -136,7 +137,7 @@ def run_zeroshot_tiles(
     tile_batches: Iterable[tuple[np.ndarray, np.ndarray]],
     classifier: np.ndarray,
     *,
-    logit_scale: float = 56.3477,
+    logit_scale: float = CONCH_TEMPERATURE,
     metrics: Sequence[str] = ("acc", "bacc", "weighted_kappa", "kappa",
                               "roc_auc", "weighted_f1"),
 ):

@@ -13,6 +13,9 @@ import numpy as np
 OPENAI_DATASET_MEAN = (0.48145466, 0.4578275, 0.40821073)
 OPENAI_DATASET_STD = (0.26862954, 0.26130258, 0.27577711)
 
+IMAGENET_INCEPTION_MEAN = (0.5, 0.5, 0.5)
+IMAGENET_INCEPTION_STD = (0.5, 0.5, 0.5)
+
 
 def _resize_short_side_dims(w: int, h: int, size: int) -> tuple[int, int]:
     """torchvision ``Resize(int)`` output dims ``(w', h')``: short side set to
@@ -31,37 +34,54 @@ def _center_crop_origin(h: int, w: int, size: int) -> tuple[int, int]:
     return int(round((h - size) / 2.0)), int(round((w - size) / 2.0))
 
 
-def preprocess_image(image, image_size: int = 448) -> np.ndarray:
-    """PIL image or uint8 array ``[H, W, 3]`` → normalized ``[H', W', 3]`` f32."""
+def _resize_to_unit(image, image_size: int, *, aspect_preserving: bool,
+                    interp: str) -> np.ndarray:
+    """Shared resize(+crop) core of every transform variant: PIL image or
+    uint8 array → ``[image_size, image_size, 3]`` float32 in [0, 1].
+
+    ``aspect_preserving=True`` is the torchvision Resize(short-side)+
+    CenterCrop pipeline; ``False`` is a direct square resize (the PLIP
+    path). The PIL-free fallback is a nearest-neighbour index resize —
+    shared here so a fix to its rounding applies to all variants."""
     try:
         from PIL import Image
 
         if not isinstance(image, Image.Image):
             image = Image.fromarray(np.asarray(image))
         w, h = image.size
-        image = image.resize(_resize_short_side_dims(w, h, image_size), Image.BICUBIC)
+        dims = (_resize_short_side_dims(w, h, image_size)
+                if aspect_preserving else (image_size, image_size))
+        image = image.resize(
+            dims, Image.BICUBIC if interp == "bicubic" else Image.BILINEAR)
         arr = np.asarray(image, dtype=np.float32) / 255.0
     except ImportError:  # PIL-free fallback: nearest resize via indexing
         arr = np.asarray(image, dtype=np.float32) / 255.0
         h, w = arr.shape[:2]
-        nw, nh = _resize_short_side_dims(w, h, image_size)
+        nw, nh = (_resize_short_side_dims(w, h, image_size)
+                  if aspect_preserving else (image_size, image_size))
         yi = np.clip((np.arange(nh) * h / nh).astype(int), 0, h - 1)
         xi = np.clip((np.arange(nw) * w / nw).astype(int), 0, w - 1)
         arr = arr[yi][:, xi]
-    h, w = arr.shape[:2]
-    top, left = _center_crop_origin(h, w, image_size)
-    arr = arr[top : top + image_size, left : left + image_size]
-    mean = np.asarray(OPENAI_DATASET_MEAN, np.float32)
-    std = np.asarray(OPENAI_DATASET_STD, np.float32)
-    return (arr - mean) / std
+    if aspect_preserving:
+        h, w = arr.shape[:2]
+        top, left = _center_crop_origin(h, w, image_size)
+        arr = arr[top : top + image_size, left : left + image_size]
+    return arr
+
+
+def _normalize(arr: np.ndarray, mean, std) -> np.ndarray:
+    return (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+def preprocess_image(image, image_size: int = 448) -> np.ndarray:
+    """PIL image or uint8 array ``[H, W, 3]`` → normalized ``[H', W', 3]`` f32."""
+    arr = _resize_to_unit(image, image_size, aspect_preserving=True,
+                          interp="bicubic")
+    return _normalize(arr, OPENAI_DATASET_MEAN, OPENAI_DATASET_STD)
 
 
 def preprocess_batch(images, image_size: int = 448) -> np.ndarray:
     return np.stack([preprocess_image(im, image_size) for im in images])
-
-
-IMAGENET_INCEPTION_MEAN = (0.5, 0.5, 0.5)
-IMAGENET_INCEPTION_STD = (0.5, 0.5, 0.5)
 
 
 def preprocess_image_musk(image, image_size: int = 384) -> np.ndarray:
@@ -70,27 +90,9 @@ def preprocess_image_musk(image, image_size: int = 384) -> np.ndarray:
     short side to ``image_size``, center crop to the square, scale to [0,1],
     normalize with the IMAGENET inception statistics (mean=std=0.5). Output
     NHWC-ordered ``[384, 384, 3]`` float32 (flax convention)."""
-    try:
-        from PIL import Image
-
-        if not isinstance(image, Image.Image):
-            image = Image.fromarray(np.asarray(image))
-        w, h = image.size
-        image = image.resize(_resize_short_side_dims(w, h, image_size), Image.BICUBIC)
-        arr = np.asarray(image, dtype=np.float32) / 255.0
-    except ImportError:  # PIL-free fallback: nearest resize via indexing
-        arr = np.asarray(image, dtype=np.float32) / 255.0
-        h, w = arr.shape[:2]
-        nw, nh = _resize_short_side_dims(w, h, image_size)
-        yi = np.clip((np.arange(nh) * h / nh).astype(int), 0, h - 1)
-        xi = np.clip((np.arange(nw) * w / nw).astype(int), 0, w - 1)
-        arr = arr[yi][:, xi]
-    h, w = arr.shape[:2]
-    top, left = _center_crop_origin(h, w, image_size)
-    arr = arr[top : top + image_size, left : left + image_size]
-    mean = np.asarray(IMAGENET_INCEPTION_MEAN, np.float32)
-    std = np.asarray(IMAGENET_INCEPTION_STD, np.float32)
-    return (arr - mean) / std
+    arr = _resize_to_unit(image, image_size, aspect_preserving=True,
+                          interp="bicubic")
+    return _normalize(arr, IMAGENET_INCEPTION_MEAN, IMAGENET_INCEPTION_STD)
 
 
 def preprocess_image_plip(image, image_size: int = 224,
@@ -101,21 +103,8 @@ def preprocess_image_plip(image, image_size: int = 224,
     with the CLIP-stats ``Normalize`` commented out, so ``normalize``
     defaults to False; pass True for the PLIP-processor-faithful path
     (same OpenAI statistics)."""
-    try:
-        from PIL import Image
-
-        if not isinstance(image, Image.Image):
-            image = Image.fromarray(np.asarray(image))
-        image = image.resize((image_size, image_size), Image.BILINEAR)
-        arr = np.asarray(image, dtype=np.float32) / 255.0
-    except ImportError:  # PIL-free fallback: nearest resize via indexing
-        arr = np.asarray(image, dtype=np.float32) / 255.0
-        h, w = arr.shape[:2]
-        yi = np.clip((np.arange(image_size) * h / image_size).astype(int), 0, h - 1)
-        xi = np.clip((np.arange(image_size) * w / image_size).astype(int), 0, w - 1)
-        arr = arr[yi][:, xi]
+    arr = _resize_to_unit(image, image_size, aspect_preserving=False,
+                          interp="bilinear")
     if normalize:
-        mean = np.asarray(OPENAI_DATASET_MEAN, np.float32)
-        std = np.asarray(OPENAI_DATASET_STD, np.float32)
-        arr = (arr - mean) / std
+        arr = _normalize(arr, OPENAI_DATASET_MEAN, OPENAI_DATASET_STD)
     return arr

@@ -73,6 +73,36 @@ def test_accuracy_and_bacc():
     assert float(accuracy(logits, labels, valid)) == pytest.approx(1.0)
 
 
+def test_bacc_absent_class_matches_sklearn():
+    """sklearn balanced_accuracy_score averages over classes PRESENT in
+    y_true; a few-shot split missing a class must not deflate the mean
+    (review r3)."""
+    from sklearn.metrics import balanced_accuracy_score
+
+    logits = np.array([[3.0, 1.0, 0.0], [0.0, 3.0, 0.0], [0.5, 2.0, 0.0],
+                       [4.0, 0.0, 0.0]])
+    labels = np.array([0, 1, 1, 0])  # class 2 absent
+    preds = logits.argmax(1)
+    want = balanced_accuracy_score(labels, preds)
+    got = float(balanced_accuracy(logits, labels, 3))
+    assert got == pytest.approx(want)
+
+
+def test_auc_ovo_absent_class_pairs_excluded():
+    """Pairs involving an absent class must not dilute the OVO macro mean
+    with the 0.5 fallback (host _auc_host nanmeans them away; review r3)."""
+    from sklearn.metrics import roc_auc_score
+
+    rng = np.random.default_rng(3)
+    probs = rng.dirichlet([1.0, 1.0, 1.0], size=40).astype(np.float32)
+    labels = rng.integers(0, 2, size=40)  # class 2 absent
+    got = float(auc_ovo_macro(probs, labels, n_classes=3))
+    # only the (0,1) pair survives → equals the binary sym-pair AUC
+    a01 = roc_auc_score((labels == 0).astype(int), probs[:, 0])
+    a10 = roc_auc_score((labels == 1).astype(int), probs[:, 1])
+    assert got == pytest.approx(0.5 * (a01 + a10), abs=1e-6)
+
+
 def test_softmax_temperature():
     logits = np.array([[0.01, 0.02]])
     p_cold = np.asarray(softmax_probs(logits, temperature=1.0))

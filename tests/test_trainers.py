@@ -56,6 +56,29 @@ def test_weighted_order_balances_classes():
     assert 0.3 < frac1 < 0.7  # roughly balanced despite 9:1 skew
 
 
+def test_weighted_batch_order_balances_and_feeds_train_fold():
+    """cfg.weighted_sample must be consumed by the STREAMING trainer too
+    (review r3: the flag was silently ignored off the fused path). The
+    batch-granularity order reproduces the reference WeightedRandomSampler
+    at batch_size=1."""
+    from moc_tpu.data.batching import BagBatch
+    from moc_tpu.train.mil import _weighted_batch_order
+
+    rng = np.random.default_rng(0)
+    batches = []
+    for lab in [0] * 90 + [1] * 10:
+        feats = rng.normal(size=(1, 8, 4)).astype(np.float32)
+        batches.append(BagBatch(features=jnp.asarray(feats),
+                                mask=jnp.ones((1, 8), bool),
+                                labels=jnp.asarray([lab], jnp.int32),
+                                n_patches=jnp.asarray([8], jnp.int32)))
+    order = _weighted_batch_order(batches, np.random.default_rng(1))
+    assert order.shape == (100,)
+    lab_of = np.array([int(np.asarray(b.labels)[0]) for b in batches])
+    frac1 = (lab_of[order] == 1).mean()
+    assert 0.3 < frac1 < 0.7  # roughly balanced despite 9:1 skew
+
+
 @pytest.mark.parametrize("model_type", ["clam_sb", "clam_mb", "abmil", "mil", "transmil", "chief"])
 def test_build_model_forward(model_type):
     cfg = MilTrainConfig(model_type=model_type, n_classes=2, model_size="conch")
@@ -328,19 +351,25 @@ def test_lora_balance_loss_from_sown_gates():
 
 
 def test_cosine_schedule_anneals_per_epoch():
-    """The reference's CosineAnnealingLR steps per EPOCH; with
-    steps_per_epoch the optax schedule must still be at ~full LR after one
-    epoch of per-slide updates (it previously decayed within epoch one)."""
-    import optax
+    """The reference's CosineAnnealingLR(T_max=20) steps per EPOCH with a
+    FIXED period of 20 regardless of max_epochs, and torch's closed form is
+    periodic — past epoch 20 the LR cosines back up. Check the actual
+    schedule make_optimizer uses against torch's formula."""
+    import math
 
     from moc_tpu.train import MilTrainConfig
-    from moc_tpu.train.mil import make_optimizer
+    from moc_tpu.train.mil import cosine_epoch_schedule, make_optimizer
 
-    cfg = MilTrainConfig(max_epochs=20, lr=1e-3, steps_per_epoch=16, opt="sgd")
-    sched = optax.cosine_decay_schedule(
-        cfg.lr, decay_steps=max(cfg.max_epochs, 20) * cfg.steps_per_epoch)
-    assert float(sched(16)) > 0.99 * cfg.lr  # one epoch in: ~full LR
-    assert float(sched(20 * 16)) < 1e-6  # fully annealed at max_epochs
+    cfg = MilTrainConfig(max_epochs=50, lr=1e-3, steps_per_epoch=16, opt="sgd")
+    sched = cosine_epoch_schedule(cfg.lr, cfg.steps_per_epoch)
+    for epoch in (0, 1, 10, 19, 20, 35, 50):
+        torch_lr = cfg.lr * 0.5 * (1 + math.cos(math.pi * epoch / 20))
+        got = float(sched(epoch * 16))  # first step of the epoch
+        assert got == pytest.approx(torch_lr, rel=1e-5, abs=1e-9), epoch
+        # constant within the epoch (torch steps the scheduler per epoch)
+        assert float(sched(epoch * 16 + 15)) == pytest.approx(got, rel=1e-6)
+    assert float(sched(20 * 16)) < 1e-8  # fully annealed at T_max
+    assert float(sched(40 * 16)) == pytest.approx(cfg.lr)  # periodic: back up
     make_optimizer(cfg)  # constructs
 
 
