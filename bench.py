@@ -37,6 +37,23 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _first_device(retries: int = 3, sleep_s: float = 30.0):
+    """Backend init with retry + CPU fallback. The axon tunnel can be
+    transiently UNAVAILABLE (one rehearsal wedged 35 min then raised);
+    losing the round's bench record to a flaky tunnel is worse than a
+    CPU-labeled number, so retry, then force the CPU backend."""
+    import jax
+
+    for attempt in range(retries):
+        try:
+            return jax.devices()[0]
+        except RuntimeError as e:
+            log(f"backend init failed (attempt {attempt + 1}/{retries}): {e}")
+            time.sleep(sleep_s)
+    jax.config.update("jax_platforms", "cpu")
+    return jax.devices()[0]
+
+
 def bench_jax() -> float:
     import jax
     import jax.numpy as jnp
@@ -44,7 +61,7 @@ def bench_jax() -> float:
     from moc_tpu.moc import MOCConfig, make_episode_fns, init_senet
     from moc_tpu.data.batching import BagBatch
 
-    dev = jax.devices()[0]
+    dev = _first_device()
     log(f"jax backend: {dev.platform} ({dev.device_kind})")
 
     cfg = MOCConfig(n_classes=N_CLASSES, n_ext_classes=N_EXT, topj=TOPJ, topk=TOPK,
@@ -300,7 +317,17 @@ def main() -> None:
 
     log(f"compile cache: {enable_compilation_cache()}")
     t_headline = time.perf_counter()
-    jax_sps = bench_jax()
+    try:
+        jax_sps = bench_jax()
+    except Exception as e:  # one-JSON-line contract survives ANY failure
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "moc_eval_slides_per_sec", "value": 0.0,
+            "unit": "slides/sec/chip", "vs_baseline": None,
+            "error": f"headline stage failed: {e}"}))
+        return
     headline_wall = time.perf_counter() - t_headline
     log(f"headline stage wall: {headline_wall:.1f}s")
     try:

@@ -161,10 +161,16 @@ def extract_slide(reader, encode, out_path: str, batch_size: int) -> int:
         total += b
     if total == 0:
         # zero-patch slide (segmentation filtered everything): write an
-        # empty bag instead of crashing the whole extraction run
+        # empty bag instead of crashing the whole extraction run. Probe the
+        # encoder for the real feature dim (same compiled shape as normal
+        # batches) so the empty bag stays schema-consistent with the cohort
+        # — a [0, 1] placeholder dim breaks downstream [*, N, D] stacking.
         from moc_tpu.data.bags import write_bag_h5
 
-        write_bag_h5(tmp, np.zeros((0, dim or 1), np.float32),
+        if dim is None:
+            s = getattr(reader, "image_size", 224)
+            dim = encode(np.zeros((batch_size, s, s, 3), np.float32)).shape[-1]
+        write_bag_h5(tmp, np.zeros((0, dim), np.float32),
                      np.zeros((0, 2), np.int32))
     os.replace(tmp, out_path)  # atomic: resume never sees half-written bags
     return total

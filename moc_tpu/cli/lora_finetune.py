@@ -91,10 +91,28 @@ def _real_bags(args):
         reader = PatchBagReader(os.path.join(args.h5_dir, f"{row.slide_id}.h5"),
                                 image_size=args.image_size)
         imgs = np.concatenate([c for c, _ in reader.batches(64)])
-        n = (len(imgs) // args.minibatch) * args.minibatch
-        slides.append((imgs[:n], np.ones(n, bool), int(row.label)))
-    k = max(1, len(slides) // 4)
-    return slides[k:], slides[:k]
+        # pad (never truncate) to a minibatch multiple: the trainer's valid
+        # mask already handles pad patches, and truncation would silently
+        # drop patches (or empty out slides smaller than one minibatch)
+        n = len(imgs)
+        n_pad = -n % args.minibatch if n else args.minibatch
+        if n_pad:
+            imgs = np.concatenate(
+                [imgs, np.zeros((n_pad, *imgs.shape[1:]), imgs.dtype)])
+        valid = np.arange(len(imgs)) < n
+        slides.append((imgs, valid, int(row.label)))
+    # stratified val split (the raw CSV is often label-sorted; taking a
+    # prefix would hand eval a single class and crash roc_auc_score)
+    rng = np.random.default_rng(args.seed)
+    order = rng.permutation(len(slides))
+    by_class: dict[int, list[int]] = {}
+    for i in order:
+        by_class.setdefault(slides[i][2], []).append(i)
+    val_idx = {idx for members in by_class.values()
+               for idx in members[: max(1, len(members) // 4)]}
+    train = [slides[i] for i in range(len(slides)) if i not in val_idx]
+    val = [slides[i] for i in sorted(val_idx)]
+    return train, val
 
 
 def main(argv=None) -> int:

@@ -147,6 +147,11 @@ def main(argv=None) -> int:
 
     loader = BagLoader(table, args.feature_dir)
     bags = loader.read_all()
+    if not bags:
+        raise SystemExit(
+            f"no feature bags found for {len(table)} slide ids under "
+            f"{args.feature_dir!r} — check --feature_dir matches the CSV's "
+            f"slide_id column (expected <slide_id>.h5/.pt files)")
     params = load_params(args.model, make_template(bags[0]))
 
     rows = []

@@ -159,7 +159,11 @@ def run_fused_shot(args, shot, folds, *, loader, split_path, w, w_ext, cfg,
     t_put = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    seeds = jnp.asarray([args.seed + f for f in folds], jnp.int32)
+    # every fold trains from the SAME seed — the reference runs each fold
+    # as its own process with a hard-coded seed (main_moc.py:212,
+    # moc_train.sh), and cli.main_moc does the same; review r3 aligned
+    # the sweep so the two entry points produce identical per-fold runs
+    seeds = jnp.asarray([args.seed for _ in folds], jnp.int32)
     result = run_sweep(stacked, w, w_ext, cfg, repeat_num=repeat_num,
                        seeds=seeds, mesh=mesh, with_zs=args.check_zeroshot)
     ep_results = sweep_episode_results(result)  # blocks on the device
@@ -250,7 +254,7 @@ def main(argv=None) -> int:
             split = read_split_csv(split_path(shot, fold))
             episode = EpisodeBags.load(loader, split.train, split.val, split.test,
                                        repeat_num=shot * n_classes)
-            result = run_episode(episode, w, w_ext, cfg, seed=args.seed + fold,
+            result = run_episode(episode, w, w_ext, cfg, seed=args.seed,
                                  check_zeroshot=args.check_zeroshot)
             if args.check_zeroshot:
                 write_zeroshot_result(shot_dir, shot, fold, result.zero_shot_train,

@@ -45,11 +45,21 @@ def _interpret() -> bool:
 
 def _fit_block(requested: int, length: int) -> int:
     """Largest block ≤ requested that divides ``length`` (prefers lane-aligned
-    sizes; falls back to the full length for awkward dilated-branch shapes)."""
+    sizes; falls back to the full length for awkward dilated-branch shapes).
+    Callers guard lane alignment: lengths not divisible by 128 are routed to
+    the XLA path before any kernel is built (``_lane_aligned``), so the
+    full-length fallback only ever fires for 128-multiples like 384."""
     for cand in (requested, 512, 256, 128):
         if cand <= requested and length % cand == 0:
             return cand
     return length
+
+
+def _lane_aligned(lq: int, lkv: int) -> bool:
+    """Mosaic requires the lane (last) block dim be a multiple of 128; a
+    length with no 128-multiple divisor cannot be tiled legally, so such
+    shapes take the plain-XLA path instead of failing to lower."""
+    return lq % 128 == 0 and lkv % 128 == 0
 
 
 # ───────────────────────────── forward ─────────────────────────────
@@ -403,6 +413,10 @@ def flash_attention(
         sm_scale = q.shape[-1] ** -0.5
     if (q_segment_ids is None) != (kv_segment_ids is None):
         raise ValueError("pass both or neither of q/kv segment ids")
+    if not _lane_aligned(q.shape[2], k.shape[2]):
+        return mha_reference(q, k, v, q_segment_ids=q_segment_ids,
+                             kv_segment_ids=kv_segment_ids, causal=causal,
+                             sm_scale=sm_scale)[0]
     return _flash(q, k, v, q_segment_ids, kv_segment_ids, float(sm_scale),
                   causal, block_q, block_k)
 
@@ -416,6 +430,10 @@ def flash_attention_with_lse(
     and cross-shard softmax merges."""
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
+    if not _lane_aligned(q.shape[2], k.shape[2]):
+        return mha_reference(q, k, v, q_segment_ids=q_segment_ids,
+                             kv_segment_ids=kv_segment_ids, causal=causal,
+                             sm_scale=sm_scale)
     return _fwd(q, k, v, q_segment_ids, kv_segment_ids, float(sm_scale),
                 causal, block_q, block_k)
 
@@ -429,7 +447,10 @@ def mha_reference(q, k, v, *, q_segment_ids=None, kv_segment_ids=None,
     lq, lkv = q.shape[2], k.shape[2]
     mask = None
     if causal:
-        mask = jnp.tril(jnp.ones((lq, lkv), bool), k=lkv - lq if lkv > lq else 0)[None, None]
+        # TOP-LEFT-aligned causal mask (query i sees keys 0..i in absolute
+        # position) — the same convention the Pallas kernel applies
+        # (`cols <= rows` on absolute indices); callers with lkv > lq that
+        # want bottom-right alignment must offset their positions themselves
         mask = jnp.broadcast_to(
             jnp.arange(lkv)[None, :] <= jnp.arange(lq)[:, None], (lq, lkv)
         )[None, None]

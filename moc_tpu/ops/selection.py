@@ -18,8 +18,8 @@ import jax
 import jax.numpy as jnp
 
 from moc_tpu.ops.masking import (NEG_INF, masked_col_topk,
-                                 masked_row_margin, monotone_u32,
-                                 threshold_topk_mask, topk_fn)
+                                 masked_row_margin, threshold_topk_mask,
+                                 topk_fn)
 
 
 def _scatter_topk_mask(idx: jax.Array, n: int) -> jax.Array:

@@ -27,7 +27,7 @@ _enabled = False
 def cache_dir() -> str | None:
     """Resolved cache directory, or None when disabled."""
     override = os.environ.get("MOC_TPU_CACHE_DIR")
-    if override in ("0", "off", "none"):
+    if override is not None and override.lower() in ("0", "off", "none"):
         return None
     return os.environ.get("JAX_COMPILATION_CACHE_DIR") or override or _DEFAULT
 
