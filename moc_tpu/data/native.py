@@ -78,6 +78,8 @@ def pack_bags_native(
     """Pad+stack feature arrays → ``(features [B, n_pad, D] f32, mask [B,
     n_pad] bool)`` using the native kernel; numpy fallback otherwise."""
     b = len(features)
+    if b == 0:
+        return np.zeros((0, n_pad, 0), np.float32), np.zeros((0, n_pad), bool)
     d = features[0].shape[1]
     lib = _load()
     dtype = features[0].dtype

@@ -88,23 +88,54 @@ def monotone_u32(x: jax.Array) -> jax.Array:
     return jnp.where(bits >> 31 == 1, ~bits, bits | jnp.uint32(0x80000000))
 
 
-def threshold_topk_mask(keys: jax.Array, k: int, axis: int) -> jax.Array:
+def _default_descent_bits() -> int:
+    """Bits per descent step (``MOC_TPU_DESCENT_BITS`` override for A/B).
+    Default 1 until the TPU A/B crowns a wider step (see BENCH_NOTES)."""
+    import os
+
+    return int(os.environ.get("MOC_TPU_DESCENT_BITS", "1"))
+
+
+def threshold_topk_mask(keys: jax.Array, k: int, axis: int,
+                        bits_per_step: int | None = None) -> jax.Array:
     """Exact top-k MEMBERSHIP mask along ``axis`` — the set ``top_k`` would
     select with its tie handling (ties at the k-th value → lowest index) —
-    via a 32-step bitwise threshold search instead of a sort: bit-descend to
-    the k-th largest value per slice (one fused compare+reduce per bit),
-    then take above-threshold entries plus the first ``k − #above`` ties in
-    index order. Exactly ``k`` True per slice."""
+    via a bitwise threshold search instead of a sort: descend to the k-th
+    largest value per slice (one fused compare+reduce per step), then take
+    above-threshold entries plus the first ``k − #above`` ties in index
+    order. Exactly ``k`` True per slice.
+
+    ``bits_per_step`` trades sequential depth for compare width: the
+    32-step/1-bit descent is a latency chain of 32 dependent reduce passes;
+    ``g`` bits per step tests all ``2^g − 1`` candidate prefixes of a group
+    at once (one widened compare+reduce, candidates stacked on a trailing
+    dim) in ``32/g`` steps. Bit-identical for every ``g`` dividing 32."""
+    g = bits_per_step if bits_per_step is not None else _default_descent_bits()
+    assert 32 % g == 0, "bits_per_step must divide 32"
     u = monotone_u32(keys)
+    ax = axis % u.ndim
     exp = lambda t: jnp.expand_dims(t, axis)
 
-    def body(i, t):
-        cand = t | (jnp.uint32(1) << jnp.uint32(31 - i))
-        cnt = jnp.sum((u > exp(cand)).astype(jnp.int32), axis=axis)
-        return jnp.where(cnt >= k, cand, t)
+    if g == 1:
+        def body(i, t):
+            cand = t | (jnp.uint32(1) << jnp.uint32(31 - i))
+            cnt = jnp.sum((u > exp(cand)).astype(jnp.int32), axis=axis)
+            return jnp.where(cnt >= k, cand, t)
+    else:
+        js = jnp.arange(1, 2 ** g, dtype=jnp.uint32)  # [2^g - 1]
+
+        def body(i, t):
+            shift = jnp.uint32(32 - g * (i + 1))
+            cands = t[..., None] | (js << shift)        # [*slice, m]
+            cnt = jnp.sum((u[..., None] > jnp.expand_dims(cands, ax))
+                          .astype(jnp.int32), axis=ax)  # [*slice, m]
+            # cnt is non-increasing in j, so the best prefix index j* is
+            # simply the number of candidates still holding >= k survivors
+            jstar = jnp.sum((cnt >= k).astype(jnp.uint32), axis=-1)
+            return jnp.where(jstar > 0, t | (jstar << shift), t)
 
     shape = u.shape[:axis] + u.shape[axis:][1:] if axis != -1 else u.shape[:-1]
-    t = jax.lax.fori_loop(0, 32, body, jnp.zeros(shape, jnp.uint32))
+    t = jax.lax.fori_loop(0, 32 // g, body, jnp.zeros(shape, jnp.uint32))
     have = jnp.sum((u > 0).astype(jnp.int32), axis=axis) >= k
     vk = exp(jnp.where(have, t + 1, 0))
     above = u > vk

@@ -191,6 +191,31 @@ def test_topk_threshold_mask_matches_lax_topk():
                                                   err_msg=f"{impl} {n} {kk} {kind}")
 
 
+def test_threshold_mask_bits_per_step_bit_identical():
+    """The widened g-bit descent (2^g−1 stacked candidate prefixes per
+    step) must reproduce the 1-bit descent exactly for every g dividing 32
+    — ties, ±0.0, −inf, both axes."""
+    from moc_tpu.ops.masking import threshold_topk_mask
+
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        shp = [(5, 2048), (3, 4, 512), (1, 4096)][trial % 3]
+        x = rng.normal(size=shp).astype(np.float32)
+        if trial % 2:
+            x = np.round(x * 4) / 4  # heavy ties
+        x.flat[::7] = -np.inf
+        x.flat[1::11] = 0.0
+        x.flat[2::13] = -0.0
+        k = int(rng.integers(1, min(401, shp[-1])))
+        ax = -1 if trial % 3 != 2 else 0
+        base = np.asarray(threshold_topk_mask(jnp.asarray(x), k, axis=ax))
+        for g in (2, 4, 8):
+            got = np.asarray(threshold_topk_mask(jnp.asarray(x), k, axis=ax,
+                                                 bits_per_step=g))
+            np.testing.assert_array_equal(got, base,
+                                          err_msg=f"g={g} k={k} ax={ax}")
+
+
 @pytest.mark.parametrize("discard", [(), ("topk",), ("bottomk",),
                                      ("delta_softmax", "delta_diff")])
 def test_union_threshold_matches_sort_union(discard):
