@@ -162,3 +162,36 @@ def test_run_pretrain_resume_exact(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(p_full),
                     jax.tree_util.tree_leaves(p_res)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_resume_opt_state_sharded_like_fresh(tmp_path):
+    """Restored optimizer moments must carry the SAME shardings
+    optimizer.init gave a fresh state (review r3: a plain asarray restore
+    materialized them replicated, OOMing models sized to the sharded
+    budget)."""
+    from moc_tpu.train import run_pretrain
+
+    mesh = make_mesh({"data": 2, "expert": 2})
+    ckpt = str(tmp_path / "ckpt2")
+
+    def data_fn(step):
+        return _batch(2000 + step)
+
+    run_pretrain(CFG, mesh, data_fn, total_steps=2, ckpt_dir=ckpt,
+                 ckpt_every=2, seed=4)
+    # resume with start == total_steps: restores state and returns it as-is
+    _, opt_res, losses = run_pretrain(CFG, mesh, data_fn, total_steps=2,
+                                      ckpt_dir=ckpt, ckpt_every=2, seed=4)
+    assert losses == []  # nothing re-executed
+    _, _, _, opt_fresh, _ = make_pretrain_state(CFG, mesh, seed=4)
+    fresh_leaves = jax.tree_util.tree_leaves(opt_fresh)
+    res_leaves = jax.tree_util.tree_leaves(opt_res)
+    assert len(fresh_leaves) == len(res_leaves)
+    checked = 0
+    for fresh, res in zip(fresh_leaves, res_leaves):
+        if hasattr(fresh, "sharding") and fresh.ndim > 0:
+            assert fresh.sharding.is_equivalent_to(res.sharding, fresh.ndim), (
+                fresh.sharding, res.sharding)
+            checked += 1
+    assert checked > 0
