@@ -33,17 +33,23 @@ BATCH = 8
 ITERS = 20
 
 
+_PLATFORM = "unknown"
+
+
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _first_device(retries: int = 3, sleep_s: float = 30.0):
+def _first_device(retries: int | None = None, sleep_s: float = 60.0):
     """Backend init with retry + CPU fallback. The axon tunnel can be
     transiently UNAVAILABLE (one rehearsal wedged 35 min then raised);
     losing the round's bench record to a flaky tunnel is worse than a
     CPU-labeled number, so retry, then force the CPU backend."""
     import jax
+    import os
 
+    if retries is None:
+        retries = int(os.environ.get("MOC_BENCH_INIT_RETRIES", "8"))
     for attempt in range(retries):
         try:
             return jax.devices()[0]
@@ -63,6 +69,8 @@ def bench_jax() -> float:
 
     dev = _first_device()
     log(f"jax backend: {dev.platform} ({dev.device_kind})")
+    global _PLATFORM
+    _PLATFORM = f"{dev.platform}:{dev.device_kind}"
 
     cfg = MOCConfig(n_classes=N_CLASSES, n_ext_classes=N_EXT, topj=TOPJ, topk=TOPK,
                     feature_dim=DIM)
@@ -342,6 +350,7 @@ def main() -> None:
         "value": round(jax_sps, 2),
         "unit": "slides/sec/chip",
         "vs_baseline": round(ratio, 2) if ratio is not None else None,
+        "platform": _PLATFORM,
         "sweep": None,
     }
 
