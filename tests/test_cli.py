@@ -86,6 +86,32 @@ def test_main_moc_cli_synthetic(tmp_path):
     assert {"loss", "acc", "auc"} <= set(ab)
 
 
+@pytest.mark.slow
+def test_main_moc_fold_matches_sweep(tmp_path):
+    """main_moc (per-fold process, the reference protocol) and the sweep CLI
+    must produce IDENTICAL results for the same (shot, fold, seed) — review
+    r3: the sweep previously salted the seed per fold, so the two entry
+    points silently disagreed on the same episode."""
+    common = ["--topj", "32", "--topk", "10", "--num_epochs", "2"]
+    moc_dir = str(tmp_path / "moc")
+    r = _run_cli(["moc_tpu.cli.main_moc", "--dataset", "synthetic", "--shot",
+                  "1", "--fold", "1", *common, "--result_dir", moc_dir],
+                 timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    sweep_dir = str(tmp_path / "sweep")
+    r2 = _run_cli(["moc_tpu.cli.sweep", "--dataset", "synthetic", "--shots",
+                   "1", "--folds", "1", *common, "--mode", "stream",
+                   "--result_dir", sweep_dir], timeout=600)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    a = json.load(open(os.path.join(
+        moc_dir, "best_results_shot_1_fold_1.json")))
+    b = json.load(open(os.path.join(
+        sweep_dir, "1_shot", "best_results_shot_1_fold_1.json")))
+    assert a["best_epoch"] == b["best_epoch"]
+    for key in ("best_val", "test_at_best_val", "test_acc_at_best_val"):
+        assert abs(a[key] - b[key]) < 1e-6, (key, a[key], b[key])
+
+
 def test_ebrains_presets():
     assert PRESETS["ebrains12"].n_classes == 12
     assert PRESETS["ebrains30"].n_classes == 30
