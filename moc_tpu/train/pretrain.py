@@ -242,11 +242,19 @@ def run_pretrain(
             params = jax.tree.map(jax.device_put, tree["params"], shardings)
             # re-place the optimizer moments with the shardings optimizer.init
             # gave the fresh state — a plain asarray would materialize them
-            # replicated/unsharded, OOMing models sized to the sharded budget
-            opt_state = jax.tree.map(
-                lambda fresh, restored: jax.device_put(restored, fresh.sharding)
-                if hasattr(fresh, "sharding") else jnp.asarray(restored),
-                opt_state, tree["opt_state"])
+            # replicated/unsharded, OOMing models sized to the sharded budget.
+            # Leaves whose fresh sharding is single-device (e.g. the scalar
+            # step count, created eagerly outside pjit) stay UNCOMMITTED via
+            # asarray: committing them to device 0 conflicts with
+            # mesh-placed arguments at the first jitted step.
+            def _replace(fresh, restored):
+                if (hasattr(fresh, "sharding")
+                        and not isinstance(fresh.sharding,
+                                           jax.sharding.SingleDeviceSharding)):
+                    return jax.device_put(restored, fresh.sharding)
+                return jnp.asarray(restored)
+
+            opt_state = jax.tree.map(_replace, opt_state, tree["opt_state"])
             start = last
             if log:
                 log(f"resumed from step {last}")
