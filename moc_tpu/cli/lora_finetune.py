@@ -90,7 +90,10 @@ def _real_bags(args):
     for _, row in table.iterrows():
         reader = PatchBagReader(os.path.join(args.h5_dir, f"{row.slide_id}.h5"),
                                 image_size=args.image_size)
-        imgs = np.concatenate([c for c, _ in reader.batches(64)])
+        chunks = [c for c, _ in reader.batches(64)]
+        s = args.image_size
+        imgs = (np.concatenate(chunks) if chunks
+                else np.zeros((0, s, s, 3), np.float32))  # zero-patch slide
         # pad (never truncate) to a minibatch multiple: the trainer's valid
         # mask already handles pad patches, and truncation would silently
         # drop patches (or empty out slides smaller than one minibatch)

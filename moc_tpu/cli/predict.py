@@ -145,8 +145,17 @@ def main(argv=None) -> int:
         def make_template(first_bag):
             return init_senet(jax.random.PRNGKey(0), cfg)[1]
 
+    if not len(table):
+        raise SystemExit("the slide CSV parsed to zero rows — check its "
+                         "slide_id/label columns and the label dict")
     loader = BagLoader(table, args.feature_dir)
-    bags = loader.read_all()
+    try:
+        bags = loader.read_all()
+    except (FileNotFoundError, OSError) as e:
+        raise SystemExit(
+            f"could not read feature bags under {args.feature_dir!r}: {e} — "
+            f"check --feature_dir matches the CSV's slide_id column "
+            f"(expected <slide_id>.h5/.pt files)") from e
     if not bags:
         raise SystemExit(
             f"no feature bags found for {len(table)} slide ids under "

@@ -111,7 +111,9 @@ def threshold_topk_mask(keys: jax.Array, k: int, axis: int,
     at once (one widened compare+reduce, candidates stacked on a trailing
     dim) in ``32/g`` steps. Bit-identical for every ``g`` dividing 32."""
     g = bits_per_step if bits_per_step is not None else _default_descent_bits()
-    assert 32 % g == 0, "bits_per_step must divide 32"
+    # g must divide 32, and the widened step materializes 2^g - 1 candidate
+    # columns — g > 8 would build multi-GB compare tensors, so reject it
+    assert 32 % g == 0 and g <= 8, "bits_per_step must be in {1, 2, 4, 8}"
     u = monotone_u32(keys)
     ax = axis % u.ndim
     exp = lambda t: jnp.expand_dims(t, axis)

@@ -199,15 +199,17 @@ def test_threshold_mask_bits_per_step_bit_identical():
 
     rng = np.random.default_rng(11)
     for trial in range(12):
-        shp = [(5, 2048), (3, 4, 512), (1, 4096)][trial % 3]
+        # third shape exercises a REAL multi-row axis-0 descent (512 rows,
+        # k drawn from the reduced-axis length, not the trailing dim)
+        shp = [(5, 2048), (3, 4, 512), (512, 8)][trial % 3]
+        ax = -1 if trial % 3 != 2 else 0
         x = rng.normal(size=shp).astype(np.float32)
         if trial % 2:
             x = np.round(x * 4) / 4  # heavy ties
         x.flat[::7] = -np.inf
         x.flat[1::11] = 0.0
         x.flat[2::13] = -0.0
-        k = int(rng.integers(1, min(401, shp[-1])))
-        ax = -1 if trial % 3 != 2 else 0
+        k = int(rng.integers(1, min(401, shp[ax])))
         base = np.asarray(threshold_topk_mask(jnp.asarray(x), k, axis=ax))
         for g in (2, 4, 8):
             got = np.asarray(threshold_topk_mask(jnp.asarray(x), k, axis=ax,
