@@ -78,7 +78,13 @@ def train_vila_fold(
     """``splits`` maps train/val/test → lists of ``DualScaleBag``. Bags of
     equal padded shapes share one compiled step."""
     model = ViLaMIL(cfg.model)
-    optimizer = optax.adamw(cfg.lr, weight_decay=cfg.reg)
+    # the reference wraps EVERY fold-trained model's optimizer — ViLa
+    # included — in CosineAnnealingLR(T_max=20) stepped per epoch
+    # (core_utils.py:206,232-248); one step here = one train slide
+    from moc_tpu.train.mil import cosine_epoch_schedule
+
+    schedule = cosine_epoch_schedule(cfg.lr, max(len(splits["train"]), 1))
+    optimizer = optax.adamw(schedule, weight_decay=cfg.reg)
 
     first = splits["train"][0]
     params = model.init(jax.random.PRNGKey(cfg.seed), first.feats_s, first.mask_s,
