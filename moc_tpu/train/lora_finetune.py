@@ -104,7 +104,12 @@ def streamed_slide_logits(
 
 def make_lora_train_step(encode_fn, cfg: LoraFinetuneConfig, params,
                          extra_trainable=("head",)):
-    """Jitted per-slide train step updating only LoRA (+head) params."""
+    """Jitted per-slide train step updating only LoRA (+head) params.
+
+    Deliberately CONSTANT learning rate: the reference constructs
+    ``CosineAnnealingLR(optimizer, 20)`` but never calls ``scheduler.step()``
+    anywhere in the LoRA loop (``lora_utils.py:112`` is its only mention),
+    so its effective LR is constant too."""
     opt = lora_optimizer(optax.adam(cfg.learning_rate), params, extra_trainable)
 
     def loss_fn(p, patches, valid, label):
