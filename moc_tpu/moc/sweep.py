@@ -273,10 +273,18 @@ def episode_from_bags(train_batch, val_batches, test_batches) -> StackedEpisode:
         feats, masks, labels = [], [], []
         for b in batches:
             # drop bucketization filler rows (BagBatch.real_rows) — see
-            # stack_episode_bags: they would ride the device transfer
+            # stack_episode_bags: they would ride the device transfer.
+            # Filler is appended at batch end, so slice views when the
+            # real rows form a prefix (the standard case)
             keep = b.real_rows()
-            f = np.asarray(b.features)[keep]
-            m = np.asarray(b.mask)[keep]
+            nb = int(keep.sum())
+            if nb and bool(keep[:nb].all()):
+                f = np.asarray(b.features)[:nb]
+                m = np.asarray(b.mask)[:nb]
+                keep = slice(None, nb)
+            else:
+                f = np.asarray(b.features)[keep]
+                m = np.asarray(b.mask)[keep]
             pad = n_pad - f.shape[1]
             if pad:
                 f = np.pad(f, ((0, 0), (0, pad), (0, 0)))
@@ -362,7 +370,11 @@ def stack_episode_bags(episodes) -> StackedEpisode:
             raise ValueError(
                 f"train split sizes differ across episodes ({sorted(set(rows))}); "
                 "fuse one shot at a time (repeat_num/order are shape-static)")
-        feats = np.zeros((e, r, n, dim), np.float32)
+        # np.empty + explicit pad-zeroing: a np.zeros here writes the full
+        # [E, r, n, dim] buffer (GBs) only for most of it to be overwritten
+        # by the chunk copies right after — on copy-bound hosts the zero
+        # fill alone is wall-clock material
+        feats = np.empty((e, r, n, dim), np.float32)
         mask = np.zeros((e, r, n), bool)
         labels = np.full((e, r), -1, np.int32)
         for i, chunks in enumerate(chunk_lists):
@@ -370,10 +382,25 @@ def stack_episode_bags(episodes) -> StackedEpisode:
             for c, keep in zip(chunks, keeps[i]):
                 f = np.asarray(c.features)
                 b, cn = int(keep.sum()), f.shape[1]
-                feats[i, at : at + b, :cn] = f[keep]
-                mask[i, at : at + b, :cn] = np.asarray(c.mask)[keep]
-                labels[i, at : at + b] = np.asarray(c.labels)[keep]
+                # filler rows are appended at chunk END (stream_batches /
+                # bucketization), so `keep` is a prefix in the standard
+                # case: slice views skip the boolean fancy-index, halving
+                # the copies per chunk
+                if b and bool(keep[:b].all()):
+                    fs = f[:b]
+                    ms = np.asarray(c.mask)[:b]
+                    ls = np.asarray(c.labels)[:b]
+                else:
+                    fs = f[keep]
+                    ms = np.asarray(c.mask)[keep]
+                    ls = np.asarray(c.labels)[keep]
+                feats[i, at : at + b, :cn] = fs
+                if cn < n:
+                    feats[i, at : at + b, cn:] = 0.0
+                mask[i, at : at + b, :cn] = ms
+                labels[i, at : at + b] = ls
                 at += b
+            feats[i, at:] = 0.0  # rows no chunk filled
         return feats, mask, labels
 
     tf, tm, tl = gather("train")
