@@ -15,7 +15,12 @@ def setup_runtime(args: argparse.Namespace) -> None:
     """Per-CLI runtime setup: optional platform override + the persistent
     XLA compilation cache (``utils.compile_cache``) so re-invocations load
     compiled programs from disk instead of re-paying minute-scale compiles.
-    Call before any jax program is built."""
+    Call before any jax program is built.
+
+    ``--xprof DIR`` starts a ``jax.profiler`` trace for the whole
+    invocation (stopped at interpreter exit via atexit); open the dir in
+    TensorBoard/XProf for the device timeline with collective attribution
+    (``utils.profiling``, SURVEY §5.1)."""
     if getattr(args, "platform", None):
         import jax
 
@@ -23,6 +28,13 @@ def setup_runtime(args: argparse.Namespace) -> None:
     from moc_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if getattr(args, "xprof", None):
+        import atexit
+
+        import jax
+
+        jax.profiler.start_trace(args.xprof)
+        atexit.register(jax.profiler.stop_trace)
 
 
 def add_perf_flags(p: argparse.ArgumentParser) -> None:

@@ -57,6 +57,8 @@ def get_args(argv=None):
     p.add_argument("--patch_size", type=int, default=256)
     p.add_argument("--level", type=int, default=0)
     p.add_argument("--platform", default=None)
+    p.add_argument("--xprof", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace for the run")
     return p.parse_args(argv)
 
 

@@ -44,6 +44,8 @@ def get_args(argv=None):
     p.add_argument("--result_dir", default="results/lora_finetune")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None)
+    p.add_argument("--xprof", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace for the run")
     # synthetic corpus (default) vs real patch-image bags
     p.add_argument("--synthetic", type=lambda s: s.lower() != "false", default=True)
     p.add_argument("--slides_per_class", type=int, default=6)

@@ -64,6 +64,8 @@ def get_args(argv=None):
     p.add_argument("--weights_cache_dir", type=str, default="models/classifier_weights")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu)")
+    p.add_argument("--xprof", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace for the run")
     add_perf_flags(p)
     return p.parse_args(argv)
 

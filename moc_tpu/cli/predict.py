@@ -57,6 +57,8 @@ def get_args(argv=None):
     p.add_argument("--conch_checkpoint", default=None)
     p.add_argument("--tokenizer_file", default=None)
     p.add_argument("--platform", default=None)
+    p.add_argument("--xprof", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace for the run")
     add_perf_flags(p)
     return p.parse_args(argv)
 

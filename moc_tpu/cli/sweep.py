@@ -52,6 +52,8 @@ def get_args(argv=None):
                         "uses 1500-4000 to mirror real feature bags)")
     p.add_argument("--synthetic_max_patches", type=int, default=2000)
     p.add_argument("--platform", default=None)
+    p.add_argument("--xprof", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace for the run")
     p.add_argument("--resume", action="store_true",
                    help="skip (fold, shot) episodes whose result JSON exists "
                         "(preemption-safe sweeps; the reference's de-facto "

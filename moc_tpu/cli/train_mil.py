@@ -54,6 +54,8 @@ def get_args(argv=None):
     p.add_argument("--data_root", default="data")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--platform", default=None)
+    p.add_argument("--xprof", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace for the run")
     p.add_argument("--log_data", action="store_true",
                    help="write train/val scalars (JSONL + TensorBoard) "
                         "under <result_dir>/tb")

@@ -269,35 +269,40 @@ def episode_from_bags(train_batch, val_batches, test_batches) -> StackedEpisode:
     """
 
     def cat(batches):
+        # drop bucketization filler rows (``BagBatch.real_rows``) — see
+        # stack_episode_bags: they would ride the device transfer. Filler
+        # is appended at batch end, so the real rows form a prefix in the
+        # standard case (slice views, no boolean-index copy); the output
+        # is allocated ONCE and chunks copied straight into place (the
+        # pad+concatenate formulation made two extra full copies).
         n_pad = max(b.features.shape[1] for b in batches)
-        feats, masks, labels = [], [], []
+        keeps, counts = [], []
         for b in batches:
-            # drop bucketization filler rows (BagBatch.real_rows) — see
-            # stack_episode_bags: they would ride the device transfer.
-            # Filler is appended at batch end, so slice views when the
-            # real rows form a prefix (the standard case)
             keep = b.real_rows()
             nb = int(keep.sum())
-            if nb and bool(keep[:nb].all()):
-                f = np.asarray(b.features)[:nb]
-                m = np.asarray(b.mask)[:nb]
-                keep = slice(None, nb)
-            else:
-                f = np.asarray(b.features)[keep]
-                m = np.asarray(b.mask)[keep]
-            pad = n_pad - f.shape[1]
-            if pad:
-                f = np.pad(f, ((0, 0), (0, pad), (0, 0)))
-                m = np.pad(m, ((0, 0), (0, pad)))
-            feats.append(f)
-            masks.append(m)
-            labels.append(np.asarray(b.labels)[keep])
-        if not any(len(l) for l in labels):  # all-filler split: keep 1 row
-            return (np.zeros((1,) + feats[0].shape[1:], np.float32),
-                    np.zeros((1,) + masks[0].shape[1:], bool),
+            keeps.append(slice(None, nb) if nb and bool(keep[:nb].all())
+                         else keep)
+            counts.append(nb)
+        total = sum(counts)
+        dim = np.asarray(batches[0].features).shape[-1]
+        if total == 0:  # all-filler split: keep 1 row
+            return (np.zeros((1, n_pad, dim), np.float32),
+                    np.zeros((1, n_pad), bool),
                     np.full((1,), -1, np.int32))
-        return (np.concatenate(feats), np.concatenate(masks),
-                np.concatenate(labels))
+        feats = np.empty((total, n_pad, dim), np.float32)
+        mask = np.zeros((total, n_pad), bool)
+        labels = np.empty((total,), np.int32)
+        at = 0
+        for b, keep, nb in zip(batches, keeps, counts):
+            f = np.asarray(b.features)[keep]
+            cn = f.shape[1]
+            feats[at : at + nb, :cn] = f
+            if cn < n_pad:
+                feats[at : at + nb, cn:] = 0.0
+            mask[at : at + nb, :cn] = np.asarray(b.mask)[keep]
+            labels[at : at + nb] = np.asarray(b.labels)[keep]
+            at += nb
+        return feats, mask, labels
 
     tf, tm, tl = cat([train_batch])
     vf, vm, vl = cat(val_batches)
