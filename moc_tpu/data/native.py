@@ -26,11 +26,14 @@ _lib: ctypes.CDLL | None | bool = None  # None=not tried, False=unavailable
 
 
 def build_native(force: bool = False) -> str | None:
-    """Compile ``bagpack.cpp`` → ``libbagpack.so``; returns the path or None."""
-    if os.path.exists(_SO_PATH) and not force:
-        return _SO_PATH
+    """Compile ``bagpack.cpp`` → ``libbagpack.so``; returns the path or None.
+    Rebuilds when the source is newer than the cached .so (new entry points
+    would otherwise be missing symbols)."""
     if not os.path.exists(_SRC_PATH):
-        return None
+        return _SO_PATH if os.path.exists(_SO_PATH) else None
+    if (os.path.exists(_SO_PATH) and not force
+            and os.path.getmtime(_SO_PATH) >= os.path.getmtime(_SRC_PATH)):
+        return _SO_PATH
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
@@ -62,6 +65,12 @@ def _load() -> ctypes.CDLL | None:
                         ctypes.POINTER(ctypes.c_float),
                         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
                     ]
+                i64p = ctypes.POINTER(ctypes.c_int64)
+                gp = lib.gather_pack_f32
+                gp.restype = None
+                gp.argtypes = [ctypes.POINTER(pp), i64p, i64p, i64p,
+                               ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                               pp, ctypes.c_int]
                 _lib = lib
         return _lib or None
 
@@ -113,3 +122,35 @@ def pack_bags_native(
         n_threads,
     )
     return out, mask.astype(bool)
+
+
+def gather_pack_f32(srcs: Sequence[np.ndarray], ncols: Sequence[int],
+                    dst_row_off: Sequence[int], dst: np.ndarray,
+                    n_threads: int = 8) -> bool:
+    """Threaded sweep-stack gather: copy each contiguous f32 chunk
+    ``srcs[i] [rows_i, ncols_i, D]`` into ``dst[dst_row_off[i]:, :, :]``
+    (``dst [total_rows, n_pad, D]``), zero-filling the column tail per row.
+
+    Returns False (caller must use the numpy path) when the native lib is
+    unavailable or any chunk is non-contiguous/non-f32."""
+    lib = _load()
+    if lib is None or not srcs:
+        return False
+    if dst.dtype != np.float32 or not dst.flags.c_contiguous:
+        return False
+    for a in srcs:
+        if a.dtype != np.float32 or not a.flags.c_contiguous:
+            return False
+    b = len(srcs)
+    rows = np.asarray([a.shape[0] for a in srcs], np.int64)
+    cols = np.asarray(ncols, np.int64)
+    offs = np.asarray(dst_row_off, np.int64)
+    ptr_t = ctypes.POINTER(ctypes.c_float)
+    ptrs = (ptr_t * b)(*[a.ctypes.data_as(ptr_t) for a in srcs])
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    lib.gather_pack_f32(
+        ptrs, rows.ctypes.data_as(i64), cols.ctypes.data_as(i64),
+        offs.ctypes.data_as(i64), b, dst.shape[1], dst.shape[2],
+        dst.ctypes.data_as(ptr_t), n_threads,
+    )
+    return True

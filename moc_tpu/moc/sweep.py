@@ -378,34 +378,45 @@ def stack_episode_bags(episodes) -> StackedEpisode:
         # np.empty + explicit pad-zeroing: a np.zeros here writes the full
         # [E, r, n, dim] buffer (GBs) only for most of it to be overwritten
         # by the chunk copies right after — on copy-bound hosts the zero
-        # fill alone is wall-clock material
+        # fill alone is wall-clock material. The feature copies themselves
+        # go through the native threaded gather (``data.native
+        # .gather_pack_f32``) when chunks are contiguous f32 prefixes (the
+        # standard case — filler rows sit at chunk END); the python loop
+        # held the GIL for every chunk memcpy.
+        from moc_tpu.data.native import gather_pack_f32
+
         feats = np.empty((e, r, n, dim), np.float32)
+        flat = feats.reshape(e * r, n, dim)
         mask = np.zeros((e, r, n), bool)
         labels = np.full((e, r), -1, np.int32)
+        srcs, cols, offs = [], [], []
         for i, chunks in enumerate(chunk_lists):
             at = 0
             for c, keep in zip(chunks, keeps[i]):
                 f = np.asarray(c.features)
                 b, cn = int(keep.sum()), f.shape[1]
-                # filler rows are appended at chunk END (stream_batches /
-                # bucketization), so `keep` is a prefix in the standard
-                # case: slice views skip the boolean fancy-index, halving
-                # the copies per chunk
-                if b and bool(keep[:b].all()):
-                    fs = f[:b]
-                    ms = np.asarray(c.mask)[:b]
-                    ls = np.asarray(c.labels)[:b]
+                # prefix keeps use slice VIEWS (no boolean-index copy)
+                prefix = b and bool(keep[:b].all())
+                if (prefix and f.dtype == np.float32
+                        and f.flags.c_contiguous):
+                    srcs.append(f[:b])
+                    cols.append(cn)
+                    offs.append(i * r + at)
                 else:
-                    fs = f[keep]
-                    ms = np.asarray(c.mask)[keep]
-                    ls = np.asarray(c.labels)[keep]
-                feats[i, at : at + b, :cn] = fs
-                if cn < n:
-                    feats[i, at : at + b, cn:] = 0.0
-                mask[i, at : at + b, :cn] = ms
-                labels[i, at : at + b] = ls
+                    fs = f[:b] if prefix else f[keep]
+                    feats[i, at : at + b, :cn] = fs
+                    if cn < n:
+                        feats[i, at : at + b, cn:] = 0.0
+                sl = slice(None, b) if prefix else keep
+                mask[i, at : at + b, :cn] = np.asarray(c.mask)[sl]
+                labels[i, at : at + b] = np.asarray(c.labels)[sl]
                 at += b
             feats[i, at:] = 0.0  # rows no chunk filled
+        if srcs and not gather_pack_f32(srcs, cols, offs, flat):
+            for f, cn, off in zip(srcs, cols, offs):  # no-native fallback
+                flat[off : off + f.shape[0], :cn] = f
+                if cn < n:
+                    flat[off : off + f.shape[0], cn:] = 0.0
         return feats, mask, labels
 
     tf, tm, tl = gather("train")

@@ -88,6 +88,33 @@ void pack_bags_f32(const float** bags, const int64_t* lengths, int64_t n_bags,
   });
 }
 
+// Sweep-stack gather: copy each source chunk's kept-prefix rows into a
+// shared destination buffer at a precomputed flat row offset, zero-filling
+// the n_pad-cn column tail per row. One thread task per (chunk) — the
+// python stacker loop held the GIL for every memcpy; this runs them all
+// concurrently. dst is [total_rows, n_pad, dim] row-major.
+void gather_pack_f32(const float** srcs, const int64_t* rows,
+                     const int64_t* ncols, const int64_t* dst_row_off,
+                     int64_t n_srcs, int64_t n_pad, int64_t dim, float* dst,
+                     int n_threads) {
+  parallel_for((int)n_srcs, n_threads, [&](int i) {
+    const float* src = srcs[i];
+    int64_t b = rows[i], cn = ncols[i];
+    float* out = dst + (size_t)dst_row_off[i] * n_pad * dim;
+    if (cn == n_pad) {  // contiguous block, single memcpy
+      std::memcpy(out, src, (size_t)b * n_pad * dim * sizeof(float));
+      return;
+    }
+    for (int64_t r = 0; r < b; ++r) {
+      float* row_out = out + (size_t)r * n_pad * dim;
+      std::memcpy(row_out, src + (size_t)r * cn * dim,
+                  (size_t)cn * dim * sizeof(float));
+      std::memset(row_out + (size_t)cn * dim, 0,
+                  (size_t)(n_pad - cn) * dim * sizeof(float));
+    }
+  });
+}
+
 // Same, but sources are float16 rows (the on-disk format of several
 // feature releases); converts while packing — one pass over the data.
 void pack_bags_f16(const uint16_t** bags, const int64_t* lengths,
