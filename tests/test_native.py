@@ -58,3 +58,34 @@ def test_pack_bags_uses_native(tmp_path):
     for i, b in enumerate(bags):
         np.testing.assert_allclose(np.asarray(batch.features[i, : b.n_patches]),
                                    b.features, rtol=1e-6)
+
+
+def test_gather_pack_f32_matches_numpy():
+    """The threaded sweep-stack gather fills exactly the rows it is given —
+    column tails zeroed, offsets respected — matching the numpy formulation
+    bit-for-bit (or returns False on non-native/non-contiguous input)."""
+    from moc_tpu.data.native import gather_pack_f32, native_available
+
+    rng = np.random.default_rng(5)
+    n_pad, dim, total = 16, 8, 10
+    srcs = [rng.normal(size=(3, 16, dim)).astype(np.float32),   # cn == n_pad
+            rng.normal(size=(2, 9, dim)).astype(np.float32),    # cn < n_pad
+            rng.normal(size=(4, 12, dim)).astype(np.float32)]
+    offs = [0, 3, 5]
+    want = np.full((total, n_pad, dim), 7.0, np.float32)  # sentinel
+    for f, off in zip(srcs, offs):
+        cn = f.shape[1]
+        want[off : off + f.shape[0], :cn] = f
+        want[off : off + f.shape[0], cn:] = 0.0
+    got = np.full((total, n_pad, dim), 7.0, np.float32)
+    ok = gather_pack_f32(srcs, [f.shape[1] for f in srcs], offs, got)
+    if not native_available():
+        assert not ok
+        return
+    assert ok
+    np.testing.assert_array_equal(got, want)
+    # rows 9.. untouched (sentinel intact)
+    assert (got[9] == 7.0).all()
+    # non-contiguous source refuses cleanly
+    bad = srcs[0][:, ::2]
+    assert not gather_pack_f32([bad], [bad.shape[1]], [0], got)
