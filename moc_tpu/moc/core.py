@@ -41,7 +41,11 @@ def selection_capacity_for(topj: int, n_classes: int, n_padded: int) -> int:
     from moc_tpu.ops.selection import selection_capacity
 
     cap = selection_capacity(topj, n_classes, n=n_padded)
-    return max(128, -(-cap // 128) * 128) if cap < n_padded else n_padded
+    # min AFTER rounding: ceil128(cap) can overshoot a non-128-multiple bag
+    # (cap=1500, n_padded=1510 → 1536), breaking the "never beyond the bag"
+    # contract for callers that allocate buffers from the return value
+    return min(max(128, -(-cap // 128) * 128), n_padded) if cap < n_padded \
+        else n_padded
 
 
 @dataclasses.dataclass(frozen=True)
@@ -111,6 +115,26 @@ class SlideViews:
     views: jax.Array
 
 
+def views_from_logits(logits: jax.Array, logits_ext: jax.Array,
+                      n_classes: int) -> jax.Array:
+    """The 4 classifier views (ref ``main_moc.py:335-354``) from per-row
+    logits ``[M, C]`` + extended logits ``[M, C+C_bg]`` → ``[4, M, C]``:
+    raw top, softmax, |top1−top2| margin (broadcast), bg-max (broadcast).
+
+    THE single definition — the gather path (``slide_process``) and the
+    masked dense path (``_dense_views_weights``) both call it, so the view
+    math cannot drift between training and inference formulations."""
+    top2 = jax.lax.top_k(logits, 2)[0]
+    margin = jnp.abs(top2[:, 0] - top2[:, 1])
+    return jnp.stack([
+        logits,
+        jax.nn.softmax(logits, axis=1),
+        jnp.broadcast_to(margin[:, None], logits.shape),
+        jnp.broadcast_to(jnp.max(logits_ext[:, n_classes:], axis=1)[:, None],
+                         logits.shape),
+    ])
+
+
 def slide_process(
     feats: jax.Array,
     valid: jax.Array,
@@ -163,15 +187,7 @@ def slide_process(
         sel_logits = jnp.where(sel_valid[:, None], logits[idx], 0.0)  # [S, C]
         sel_logits_ext = jnp.where(sel_valid[:, None], logits_ext[idx], 0.0)
 
-    view_top = sel_logits
-    view_softmax = jax.nn.softmax(sel_logits, axis=1)
-    top2 = jax.lax.top_k(sel_logits, 2)[0]
-    margin = jnp.abs(top2[:, 0] - top2[:, 1])  # [S]
-    view_margin = jnp.broadcast_to(margin[:, None], sel_logits.shape)
-    bg_max = jnp.max(sel_logits_ext[:, c:], axis=1)  # [S]
-    view_bg = jnp.broadcast_to(bg_max[:, None], sel_logits.shape)
-
-    views = jnp.stack([view_top, view_softmax, view_margin, view_bg])  # [4, S, C]
+    views = views_from_logits(sel_logits, sel_logits_ext, c)  # [4, S, C]
     return SlideViews(feats=sel_feats, valid=sel_valid, idx=idx, count=count, views=views)
 
 
@@ -252,14 +268,7 @@ def _dense_views_weights(senet_apply, params, feats, w, w_ext, cfg: MOCConfig):
         out_all = feats @ w_cat
     logits = out_all[:, :c]
     logits_ext = out_all[:, c : c + w_ext.shape[1]]
-    top2 = jax.lax.top_k(logits, 2)[0]
-    margin = jnp.abs(top2[:, 0] - top2[:, 1])
-    views = jnp.stack([
-        logits,
-        jax.nn.softmax(logits, axis=1),
-        jnp.broadcast_to(margin[:, None], logits.shape),
-        jnp.broadcast_to(jnp.max(logits_ext[:, c:], axis=1)[:, None], logits.shape),
-    ])  # [4, N, C]
+    views = views_from_logits(logits, logits_ext, c)  # [4, N, C]
     if fused_senet:
         hidden = jax.nn.relu(out_all[:, c + w_ext.shape[1] :]
                              + senet_p["Dense_0"]["bias"])
@@ -290,7 +299,10 @@ def moc_slide_logits_masked(
     compacting the union into a ``[capacity, D]`` buffer and re-processing
     it (``slide_process``), compute all views densely in ONE fused matmul
     pass and gate ``topj_pooling`` with the union BOOLEAN mask. Same
-    selected set, same per-row values (the same matmul produces them), no
+    selected SET exactly; per-row values match the gather path to float
+    tolerance (the reductions run at different shapes — ``[S, *]`` vs
+    ``[N, *]`` — so summation trees differ at the last ulp; tests assert
+    allclose, not bit equality), no
     capacity buffers, no ``[cap, D]`` gather — measured ~2× the gather
     formulation on v5e at topj=400/N=16k (the gather/compaction machinery
     was 0.64 + 0.35 ms of the 1.67 ms batch-8 forward).

@@ -262,7 +262,10 @@ def run_episode(
         params, opt_state, losses = train_epoch(
             params, opt_state, episode.train, order, rngs, w, w_ext
         )
-        train_eval = eval_fn(train_chunk)
+        # train-split eval feeds ONLY the log lines (the reference prints it,
+        # main_moc.py:611-620) — skip the full forward over the train bags
+        # when nobody is reading it
+        train_eval = eval_fn(train_chunk) if log else None
         val_eval = eval_fn(episode.val)
         if val_eval.auc > best_val:
             test_eval = eval_fn(episode.test)

@@ -68,13 +68,42 @@ def topk_mean(values: jax.Array, j: int, count: jax.Array) -> jax.Array:
 
     ``count`` is the dynamic number of genuinely ranked rows (e.g. number of
     valid patches); mirrors the reference's ``maxj = min(max(topj), N)`` clamp.
-    """
+
+    Rows beyond ``count`` may be gathered PAD rows holding arbitrary values
+    (NaN/inf included), so they are excluded with ``where`` — a multiply by
+    the 0 weight would propagate NaN (0·NaN = NaN). A zero-valid bag
+    (``count == 0``) returns the ``NEG_INF`` no-prediction sentinel, the
+    documented contract every mask-formulation pooling path already honors."""
     k = values.shape[0]
     eff = jnp.minimum(jnp.asarray(j, jnp.int32), count.astype(jnp.int32))
     eff = jnp.maximum(eff, 1)
     pos = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-    w = (pos < eff).astype(values.dtype)
-    return jnp.sum(values * w, axis=0) / eff.astype(values.dtype)
+    picked = jnp.where(pos < eff, values, jnp.zeros_like(values))
+    mean = jnp.sum(picked, axis=0) / eff.astype(values.dtype)
+    return jnp.where(count.astype(jnp.int32) > 0, mean,
+                     jnp.full_like(mean, NEG_INF))
+
+
+def bottomk_bg_key(logits_ext: jax.Array, valid: jax.Array, n_fg: int,
+                   detection: bool = False) -> jax.Array:
+    """THE bottom-k stage-1 ranking key: negated background-logit sum,
+    invalid rows pushed to the end with ``NEG_INF`` (ref
+    ``index_bottomk_irrel_classifier``; ascending-bg order == descending
+    key order). Single definition shared by every bottom-k formulation —
+    ``select_bottomk_irrel``, the stacked-union key rows, the threshold
+    union, and the pooling stage 1 — so the key cannot drift between the
+    equality-tested paths."""
+    bg = logits_ext[:, 1:] if detection else logits_ext[:, n_fg:]
+    return jnp.where(valid, -jnp.sum(bg, axis=1), NEG_INF)
+
+
+def bottomk_stage_valid(kb: int, valid: jax.Array) -> jax.Array:
+    """Stage-2 row validity for a ``[kb]`` bottom-k gather: positions past
+    the number of valid rows point at pad rows and must be masked. The
+    single definition of the stage-count rule (see ``bottomk_bg_key``)."""
+    bk_count = jnp.minimum(kb, jnp.sum(valid))
+    pos = jax.lax.broadcasted_iota(jnp.int32, (kb,), 0)
+    return pos < bk_count
 
 
 def monotone_u32(x: jax.Array) -> jax.Array:

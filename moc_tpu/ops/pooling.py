@@ -140,25 +140,23 @@ def _bottomk_stage1(logits, valid, n_fg: int, bottomk: int, detection: bool):
     foreground logits of those rows, their original row indices, and the
     dynamic stage count.
     """
+    from moc_tpu.ops.masking import bottomk_bg_key, bottomk_stage_valid
+
     n = logits.shape[0]
     kb = min(bottomk, n)
     if detection:
         fg = logits[:, :1]
-        bg = logits[:, 1:]
-        top1_bg = jax.lax.top_k(bg, 1)[0]  # [N, 1]
+        top1_bg = jax.lax.top_k(logits[:, 1:], 1)[0]  # [N, 1]
     else:
         fg = logits[:, :n_fg]
-        bg = logits[:, n_fg:]
-    bg_sum = jnp.sum(bg, axis=1)
-    # Ascending order among valid rows: invalid rows pushed to the end.
-    bg_key = jnp.where(valid, -bg_sum, NEG_INF)
+    # shared stage-1 key + stage-count rule (masking.bottomk_bg_key)
+    bg_key = bottomk_bg_key(logits, valid, n_fg, detection)
     _, bk_idx = jax.lax.top_k(bg_key, kb)  # [kb]
     bk_count = jnp.minimum(kb, jnp.sum(valid))
     fg_rows = fg[bk_idx]  # [kb, n_fg]
     if detection:
         fg_rows = jnp.concatenate([fg_rows, top1_bg[bk_idx]], axis=1)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (kb,), 0)
-    stage_valid = pos < bk_count
+    stage_valid = bottomk_stage_valid(kb, valid)
     return fg_rows, bk_idx, stage_valid, bk_count
 
 

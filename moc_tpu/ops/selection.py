@@ -17,7 +17,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from moc_tpu.ops.masking import (NEG_INF, masked_col_topk,
+from moc_tpu.ops.masking import (NEG_INF, bottomk_bg_key,
+                                 bottomk_stage_valid, masked_col_topk,
                                  masked_row_margin, threshold_topk_mask,
                                  topk_fn)
 
@@ -66,17 +67,12 @@ def select_bottomk_irrel(logits_ext: jax.Array, valid: jax.Array, topj: int, n_f
     kb = min(bottomk, n)
     if detection:
         fg = logits_ext[:, :1]
-        bg = logits_ext[:, 1:]
-        top1_bg = jax.lax.top_k(bg, 1)[0]
+        top1_bg = jax.lax.top_k(logits_ext[:, 1:], 1)[0]
     else:
         fg = logits_ext[:, :n_fg]
-        bg = logits_ext[:, n_fg:]
-    bg_sum = jnp.sum(bg, axis=1)
-    bg_key = jnp.where(valid, -bg_sum, NEG_INF)
+    bg_key = bottomk_bg_key(logits_ext, valid, n_fg, detection)
     _, bk_idx = topk_fn(approx)(bg_key, kb)
-    bk_count = jnp.minimum(kb, jnp.sum(valid))
-    pos = jax.lax.broadcasted_iota(jnp.int32, (kb,), 0)
-    stage_valid = pos < bk_count
+    stage_valid = bottomk_stage_valid(kb, valid)
     fg_rows = fg[bk_idx]
     if detection:
         fg_rows = jnp.concatenate([fg_rows, top1_bg[bk_idx]], axis=1)
@@ -123,8 +119,7 @@ def _stacked_policy_keys(logits, logits_ext, valid, n_classes, discard):
         keys.append(margin[None, :])  # [1, N]
     bottomk = "bottomk" not in discard
     if bottomk:
-        bg_sum = jnp.sum(logits_ext[:, n_classes:], axis=1)
-        keys.append(jnp.where(valid, -bg_sum, neg)[None, :])  # [1, N]
+        keys.append(bottomk_bg_key(logits_ext, valid, n_classes)[None, :])
     if not keys:
         return None, bottomk
     return jnp.concatenate([x.astype(jnp.float32) for x in keys], axis=0), bottomk
@@ -164,9 +159,7 @@ def _policy_candidates(logits: jax.Array, logits_ext: jax.Array,
         # rest go straight into the union
         bk_idx = idx[-1]
         idx = idx[:-1]
-        bk_count = jnp.minimum(k, jnp.sum(valid))
-        pos = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
-        stage_valid = pos < bk_count
+        stage_valid = bottomk_stage_valid(k, valid)
         bk_orig = _bottomk_stage2(bk_idx, stage_valid, logits_ext, n_classes,
                                   topj, k, n, approx)
     else:
@@ -215,9 +208,7 @@ def union_selection_threshold(logits: jax.Array, logits_ext: jax.Array,
         union = (jnp.any(sel, axis=0) if sel is not None
                  else jnp.zeros((n,), jnp.bool_))
         _, bk_idx = jax.lax.top_k(stacked[-1], k)  # rank-ordered already
-        bk_count = jnp.minimum(k, jnp.sum(valid))
-        pos = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
-        stage_valid = pos < bk_count
+        stage_valid = bottomk_stage_valid(k, valid)
         bk_orig = _bottomk_stage2(bk_idx, stage_valid, logits_ext, n_classes,
                                   topj, k, n)
         union = union.at[bk_orig].set(True, mode="drop")

@@ -90,3 +90,37 @@ def test_return_indices_within_valid():
     _, padded, valid = make_bag(n=n, c=c, pad_to=48, seed=9)
     _, idx = ops.topj_pooling(jnp.asarray(padded), jnp.asarray(valid), j, return_indices=True)
     assert np.all(np.asarray(idx) < n)
+
+
+def test_gather_pooling_zero_valid_sentinel_and_nan_pads():
+    """Gather-formulation pooling paths honor the zero-valid NEG_INF
+    sentinel and ignore NaN/inf pad rows beyond the valid count (review r3:
+    topk_mean's multiply-by-weight propagated 0*NaN, and zero-valid bags
+    leaked raw pad-row logits)."""
+    rng = np.random.default_rng(4)
+    NEG = -1e30
+    logits_ext = rng.normal(size=(12, 4)).astype(np.float32)
+    # zero-valid: sentinel, and pad-content independent
+    none = np.zeros(12, bool)
+    out = np.asarray(ops.bottomk_irrel_pooling(
+        jnp.asarray(logits_ext), jnp.asarray(none), 4, n_fg=2))
+    assert (out <= NEG / 2).all()
+    perturbed = logits_ext.copy()
+    perturbed[0] = 42.0
+    out2 = np.asarray(ops.bottomk_irrel_pooling(
+        jnp.asarray(perturbed), jnp.asarray(none), 4, n_fg=2))
+    np.testing.assert_array_equal(out, out2)
+    pooled, _ = ops.delta_softmax_pooling(
+        jnp.asarray(logits_ext[:, :3]), jnp.asarray(none), 4,
+        return_indices=True)
+    assert (np.asarray(pooled) <= NEG / 2).all()
+    # NaN pads beyond the valid count do not propagate
+    some = np.arange(12) < 3
+    with_nan = logits_ext.copy(); with_nan[3:] = np.nan
+    with_zero = logits_ext.copy(); with_zero[3:] = 0.0
+    o_nan = np.asarray(ops.bottomk_irrel_pooling(
+        jnp.asarray(with_nan), jnp.asarray(some), 8, n_fg=2))
+    o_zero = np.asarray(ops.bottomk_irrel_pooling(
+        jnp.asarray(with_zero), jnp.asarray(some), 8, n_fg=2))
+    assert np.isfinite(o_nan).all()
+    np.testing.assert_allclose(o_nan, o_zero, rtol=1e-6)
