@@ -150,6 +150,11 @@ def main(argv=None) -> int:
 
     shots = args.shots or [args.shot]
     folds = args.folds or [args.fold]
+    if args.fused and args.batch_size != 1:
+        # the fused scan is inherently per-slide; silently ignoring the flag
+        # would train a different trajectory than the streaming path
+        raise SystemExit("--fused trains per-slide (batch_size 1); "
+                         "drop --batch_size or drop --fused")
     for shot in shots:
         if args.fused and args.model_type != "vila":
             rows = _run_fused_grid(args, shot, folds)
@@ -217,11 +222,20 @@ def _run_fused_grid(args, shot, folds) -> list[dict]:
 
     episodes = []
     n_classes = None
+    loader = None
     for fold in folds:
         table, data_dir, split, n_classes = _resolve_dataset(args, shot, fold)
-        loader = BagLoader(table, data_dir, cache=True)
+        if loader is None:
+            # table/data_dir are fold-invariant; ONE cached loader means
+            # bags shared across folds (typically the whole test cohort)
+            # are read from disk once, not once per fold
+            loader = BagLoader(table, data_dir, cache=True)
+        # host-resident load (device_put=False): the fused path restacks on
+        # host and transfers once inside run_mil_folds_fused — per-fold HBM
+        # commits would stack up to folds x eval_device_budget_gb before
+        # training and round-trip every byte device->host->device
         episodes.append(EpisodeBags.load(loader, split.train, split.val,
-                                         split.test))
+                                         split.test, device_put=False))
     stacked = stack_episode_bags(episodes)
 
     cfg = MilTrainConfig(

@@ -98,7 +98,7 @@ def write_bag_h5(path: str, features: np.ndarray, coords: np.ndarray | None = No
     """
     if h5py is None:  # pragma: no cover
         raise ImportError("h5py is required for .h5 bag files")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with h5py.File(path, "w") as f:
         f.create_dataset("features", data=np.asarray(features, dtype=np.float32))
         if coords is not None:
@@ -127,6 +127,8 @@ def append_hdf5(path: str, asset_dict: dict, attr_dict: dict | None = None,
                 for attr_key, attr_val in (attr_dict or {}).get(key, {}).items():
                     dset.attrs[attr_key] = attr_val
             else:
+                if val.shape[0] == 0:
+                    continue  # dset[-0:] selects EVERYTHING, not nothing
                 dset = f[key]
                 dset.resize(len(dset) + val.shape[0], axis=0)
                 dset[-val.shape[0]:] = val

@@ -59,8 +59,6 @@ class BagBatch:
         filler rows (label ``-1``, all-False mask). THE single definition of
         the filler convention — the sweep stackers and the fused-mode HBM
         estimate all key off this, so a sentinel change stays in one place."""
-        import numpy as np
-
         return np.asarray(self.labels) >= 0
 
     def slice_batch(self, start: int, size: int) -> "BagBatch":
@@ -117,6 +115,13 @@ def pack_bags(
         raise ValueError(
             f"bags longer than n_pad={n_pad}: {long[:5]} (max {max_n}); "
             "raise n_pad/bag_size or subsample the bags first")
+    dims = {b.features.shape[1] for b in bags}
+    if len(dims) > 1:
+        # the native packer memcpys lengths[i]*dim floats assuming uniform D
+        # — mixed-extractor bags would read out of bounds (silent garbage)
+        raise ValueError(
+            f"bags mix feature dims {sorted(dims)}; one batch must come "
+            "from one extractor")
     from moc_tpu.data.native import pack_bags_native
 
     features, mask = pack_bags_native([b.features for b in bags], n_pad)

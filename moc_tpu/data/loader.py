@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import collections
 import dataclasses
+import hashlib
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable, Iterator, Sequence
@@ -72,7 +73,7 @@ class BagLoader:
         self.bag_size = bag_size
         self.preselect = preselect
         self.label_revert = label_revert
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
         self._cache: dict[str, Bag] | None = {} if cache else None
         # None = unbounded (small corpora / episode sweeps); set a budget on
         # real datasets whose bags exceed host RAM — least-recently-read
@@ -122,8 +123,14 @@ class BagLoader:
                 coords=bag.coords[idx] if bag.coords is not None else None,
             )
         elif self.bag_size is not None and bag.n_patches > self.bag_size:
-            with self._cache_lock:  # np.Generator is not thread-safe either
-                idx = self._rng.permutation(bag.n_patches)[: self.bag_size]
+            # per-slide rng derived from (seed, slide_id): thread-pool
+            # completion order must not change which subset a slide gets
+            # (a shared generator consumed in completion order made seeded
+            # runs irreproducible; review r3)
+            rng = np.random.default_rng(
+                (self.seed, int.from_bytes(
+                    hashlib.sha1(slide_id.encode()).digest()[:8], "little")))
+            idx = rng.permutation(bag.n_patches)[: self.bag_size]
             bag = dataclasses.replace(
                 bag, features=bag.features[idx],
                 coords=bag.coords[idx] if bag.coords is not None else None,
@@ -162,7 +169,7 @@ class BagLoader:
         if shard is not None:
             index, count = shard
             ids = ids[index::count]
-        bags = self.read_all(ids) if shard is not None else self.read_all()
+        bags = self.read_all(ids)
         if shuffle_seed is not None:
             rng = np.random.default_rng(shuffle_seed)
             rng.shuffle(bags)

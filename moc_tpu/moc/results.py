@@ -64,12 +64,15 @@ def summarize(summary_dir: str, shots=(1, 2, 4, 8), folds=(0, 1, 2, 3, 4)) -> di
     for shot in shots:
         shot_dir = os.path.join(summary_dir, f"{shot}_shot")
         out_path = os.path.join(summary_dir, f"summary_{shot}.csv")
+        # remove any previous CSV BEFORE attempting, like the reference
+        # (main_moc.py:60-62): a failed shot must not leave a stale summary
+        # masquerading as current results
+        if os.path.exists(out_path):
+            os.remove(out_path)
         frame = _summarize_shot(shot_dir, shot, list(folds))
         if frame is None:
             print(f"shot {shot} summary failed")
             continue
-        if os.path.exists(out_path):
-            os.remove(out_path)
         frame.to_csv(out_path, index=False)
         written[shot] = out_path
     return written
@@ -104,14 +107,16 @@ def _summarize_shot(shot_dir: str, shot: int, folds: list) -> pd.DataFrame | Non
             "test_acc": [r["test_acc_at_best_val"] for r in rows],
             "zs_test_acc": [r["zero_shot_test"]["acc"] for r in rows],
         }
-    except (FileNotFoundError, KeyError, TypeError):
+    except (FileNotFoundError, KeyError, TypeError,
+            json.JSONDecodeError):
         try:
             rows = [load(f) for f in folds]
             cols = {
                 "test_auc": [r["test_at_best_val"] for r in rows],
                 "test_acc": [r["test_acc_at_best_val"] for r in rows],
             }
-        except (FileNotFoundError, KeyError, TypeError):
+        except (FileNotFoundError, KeyError, TypeError,
+                json.JSONDecodeError):
             try:
                 rows = []
                 for fold in folds:
@@ -122,7 +127,8 @@ def _summarize_shot(shot_dir: str, shot: int, folds: list) -> pd.DataFrame | Non
                     "auc": [r["auc"] for r in rows],
                     "acc": [r["acc"] for r in rows],
                 }
-            except (FileNotFoundError, IndexError, KeyError):
+            except (FileNotFoundError, IndexError, KeyError,
+                    json.JSONDecodeError):
                 return None
     frame = {"fold": list(folds) + ["mean"]}
     for key, vals in cols.items():

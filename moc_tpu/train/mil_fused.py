@@ -126,12 +126,17 @@ def make_mil_fold_fn(cfg: MilTrainConfig):
                     episode.train_labels[i], rng)
                 updates, new_opt = optimizer.update(grads, opt_state, params)
                 new_params = optax.apply_updates(params, updates)
-                # a stopped fold freezes: parameters, moments, schedule
+                # a stopped fold freezes: parameters, moments, schedule.
+                # Filler rows (label -1) must not step either — the CE's
+                # take_along_axis would wrap -1 to class C-1 and silently
+                # train toward it (the weighted order already excludes them
+                # by weight 0; the plain arange order did not)
+                skip = stopped | (episode.train_labels[i] < 0)
                 params = jax.tree.map(
-                    lambda new, old: jnp.where(stopped, old, new),
+                    lambda new, old: jnp.where(skip, old, new),
                     new_params, params)
                 opt_state = jax.tree.map(
-                    lambda new, old: jnp.where(stopped, old, new),
+                    lambda new, old: jnp.where(skip, old, new),
                     new_opt, opt_state)
                 return (params, opt_state), loss
 
