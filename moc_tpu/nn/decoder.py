@@ -144,6 +144,10 @@ class DecoderCrossAttention(nn.Module):
         scale = (d // h) ** -0.5
         logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
         if memory_mask is not None:
+            # POLARITY: memory_mask is True = VALID memory position —
+            # the OPPOSITE of the encoder/decoder padding_mask convention
+            # (True = pad). Passing an encoder-style pad mask here would
+            # attend ONLY the pad positions.
             # finite fill: NaN-safe for all-masked memory (see CrossAttention)
             logits = jnp.where(memory_mask[:, None, None, :], logits,
                                -0.7 * jnp.finfo(jnp.float32).max)
@@ -281,11 +285,15 @@ def sample_generate(
     pad_id: Optional[int] = None,
     memory=None,
     memory_mask=None,
+    cache_dtype=jnp.float32,
 ):
     """Top-k / nucleus (top-p) sampling decode as one ``lax.scan``
     (ref ``coca_model.generate``: ``top_k`` keeps the k most probable tokens,
-    ``top_p`` keeps the smallest prefix of the sorted distribution whose mass
-    exceeds ``1 − top_p`` — note the reference's inverted convention).
+    ``top_p`` keeps the smallest HEAD of the sorted distribution whose
+    cumulative mass reaches ``top_p``, INCLUDING the crossing token — the
+    verified HF ``TopPLogitsWarper`` behavior the reference delegates to;
+    its "keep tokens in the 1 - top_p quantile" source comment describes the
+    parameter loosely, not what the warper does).
 
     ``min_len`` forbids EOS before that many generated tokens
     (≙ HF ``MinLengthLogitsProcessor``); ``repetition_penalty`` down-weights
@@ -293,7 +301,7 @@ def sample_generate(
     (≙ HF ``RepetitionPenaltyLogitsProcessor``; requires ``vocab_size`` so
     the seen-token mask has a static shape). Processors run before the
     temperature/top-k/top-p warpers, matching the reference's stack order."""
-    caches = decoder.init_cache(batch, seq_len)
+    caches = decoder.init_cache(batch, seq_len, cache_dtype)
     if repetition_penalty != 1.0 and vocab_size is None:
         raise ValueError("repetition_penalty requires vocab_size")
 
@@ -310,8 +318,11 @@ def sample_generate(
             sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
             probs = jax.nn.softmax(sorted_logits, axis=-1)
             cum = jnp.cumsum(probs, axis=-1)
-            # keep tokens in the 1 - top_p quantile (reference convention)
-            keep_sorted = cum <= (1.0 - top_p)
+            # HF TopPLogitsWarper: keep tokens whose PRECEDING cumulative
+            # mass is < top_p (head summing to >= top_p, crossing token
+            # included; verified against transformers — top_p=0.1 on
+            # [.5,.3,.15,.05] keeps only the first token)
+            keep_sorted = (cum - probs) < top_p
             keep_sorted = keep_sorted.at[..., 0].set(True)  # always ≥ 1 token
             inv = jnp.argsort(order, axis=-1)  # inverse permutation
             keep = jnp.take_along_axis(keep_sorted, inv, axis=-1)
@@ -333,7 +344,11 @@ def sample_generate(
             eos_col = jnp.arange(logits.shape[-1]) == eos_id
             logits = jnp.where((idx + 1 < min_len) & eos_col[None, :],
                                -jnp.inf, logits)
-        logits = filter_logits(logits / max(temperature, 1e-6))
+        # warpers run on UNscaled logits; temperature only shapes the
+        # final sampling distribution (ref coca_model.py:325-327:
+        # softmax(filtered_logits / temperature)) — scaling first would
+        # change nucleus membership for temperature != 1
+        logits = filter_logits(logits) / max(temperature, 1e-6)
         key, sub = jax.random.split(key)
         nxt = jax.random.categorical(sub, logits).astype(jnp.int32)
         if eos_id is not None:
@@ -367,6 +382,7 @@ def greedy_generate(
     pad_id: Optional[int] = None,
     memory=None,
     memory_mask=None,
+    cache_dtype=jnp.float32,
 ):
     """Greedy autoregressive decoding as ONE ``lax.scan``
     (ref ``coca_model.generate``'s per-token Python loop, top-k=1 path).
@@ -375,7 +391,7 @@ def greedy_generate(
     ``logits_fn(hidden [B, 1, D]) -> [B, vocab]``.
     Returns token ids ``[B, seq_len]``.
     """
-    caches = decoder.init_cache(batch, seq_len)
+    caches = decoder.init_cache(batch, seq_len, cache_dtype)
 
     def step(carry, idx):
         tokens, caches, done = carry
@@ -410,6 +426,7 @@ def beam_generate(
     pad_id: Optional[int] = None,
     memory=None,
     memory_mask=None,
+    cache_dtype=jnp.float32,
 ):
     """Beam-search decoding as one ``lax.scan`` (an upgrade beyond the
     reference: ``coca_model.generate``'s ``generation_type="beam_search"``
@@ -423,7 +440,7 @@ def beam_generate(
     ``score / length**length_penalty``.
     """
     b, k = batch, beam_size
-    caches = decoder.init_cache(b * k, seq_len)
+    caches = decoder.init_cache(b * k, seq_len, cache_dtype)
     mem = None if memory is None else jnp.repeat(memory, k, axis=0)
     mem_mask = None if memory_mask is None else jnp.repeat(memory_mask, k, axis=0)
     fill_id = eos_id if pad_id is None else pad_id

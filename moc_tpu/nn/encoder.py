@@ -289,6 +289,15 @@ class SelfAttention(nn.Module):
             k = unflat(xpos_rotary(flat(k), cfg.xpos_scale_base, downscale=True))
 
         if cfg.dilated is not None:
+            # dilated branches carry no mask/bias plumbing (segment
+            # rearrangement scrambles positions) — silently attending pad
+            # keys would break the pad-invariance invariant, so reject
+            # the unsupported combinations loudly like the ring branch
+            if padding_mask is not None or rel_pos is not None:
+                raise ValueError(
+                    "dilated attention supports unpadded, bias-free "
+                    "sequences (got padding_mask/rel_pos); pad to a "
+                    "segment-aligned length without a mask instead")
             attn = dilated_attention(q, k, v, cfg.dilated, causal=False,
                                      axis_name=cfg.seq_axis)  # [B, L, D]
         elif cfg.ring_axis is not None:
@@ -368,9 +377,9 @@ class EncoderLayer(nn.Module):
             y, aux = MoELayer(dim=d, hidden_dim=cfg.ffn_dim, cfg=mcfg,
                               axis_name=cfg.expert_axis, name="moe_layer")(
                 x.reshape(b * l, d),
-                # pad tokens must not occupy expert capacity or steer the
-                # aux loss (pad-invariance invariant; ref moe_layer threads
-                # input_padding_mask the same way)
+                # pad tokens must not occupy expert capacity (the aux
+                # loss still averages over the padded axis, matching the
+                # reference routing.py:94-99 — see moe_dispatch_combine)
                 None if padding_mask is None else padding_mask.reshape(b * l),
             )
             x = y.reshape(b, l, d)

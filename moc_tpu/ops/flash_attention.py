@@ -425,17 +425,50 @@ def flash_attention_with_lse(
     q, k, v, *, q_segment_ids=None, kv_segment_ids=None, causal=False,
     sm_scale=None, block_q: int = 1024, block_k: int = 1024,
 ):
-    """Forward-only variant returning ``(out, lse [B, H, Lq])`` — the
-    denominator statistics needed by dilated-attention branch recombination
-    and cross-shard softmax merges."""
+    """``(out, lse [B, H, Lq])`` — the denominator statistics needed by
+    dilated-attention branch recombination and cross-shard softmax merges.
+
+    Differentiable: the Pallas kernel runs the forward; the backward is the
+    XLA dense vjp of ``mha_reference`` evaluated at the saved inputs (the
+    Pallas bwd kernels only cover the ``out`` cotangent — ``lse`` carries
+    gradients through the dilated recombination weights, and its analytic
+    pullback is another attention-shaped pass, so dense is both correct and
+    simple). Memory in backward is O(Lq·Lkv) per head — fine at the
+    segment/block sizes these callers attend; use ``flash_attention`` when
+    only ``out`` is needed."""
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     if not _lane_aligned(q.shape[2], k.shape[2]):
         return mha_reference(q, k, v, q_segment_ids=q_segment_ids,
                              kv_segment_ids=kv_segment_ids, causal=causal,
                              sm_scale=sm_scale)
-    return _fwd(q, k, v, q_segment_ids, kv_segment_ids, float(sm_scale),
-                causal, block_q, block_k)
+    return _flash_with_lse(q, k, v, q_segment_ids, kv_segment_ids,
+                           float(sm_scale), causal, block_q, block_k)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_with_lse(q, k, v, q_seg, kv_seg, sm_scale, causal,
+                    block_q, block_k):
+    return _fwd(q, k, v, q_seg, kv_seg, sm_scale, causal, block_q, block_k)
+
+
+def _flash_with_lse_fwd(q, k, v, q_seg, kv_seg, sm_scale, causal,
+                        block_q, block_k):
+    out_lse = _fwd(q, k, v, q_seg, kv_seg, sm_scale, causal, block_q, block_k)
+    return out_lse, (q, k, v, q_seg, kv_seg)
+
+
+def _flash_with_lse_bwd(sm_scale, causal, block_q, block_k, res, cts):
+    q, k, v, q_seg, kv_seg = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: mha_reference(
+            q, k, v, q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+            causal=causal, sm_scale=sm_scale), q, k, v)
+    dq, dk, dv = vjp(cts)
+    return dq, dk, dv, None, None
+
+
+_flash_with_lse.defvjp(_flash_with_lse_fwd, _flash_with_lse_bwd)
 
 
 def mha_reference(q, k, v, *, q_segment_ids=None, kv_segment_ids=None,

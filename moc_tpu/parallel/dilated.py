@@ -98,7 +98,44 @@ def sparse_to_dense(out: jax.Array, lse: jax.Array, ratio: int):
     return dense[:, :h], lse_dense[:, :h]
 
 
-def _causal_gathered(qs, kg, vg, p, use_flash):
+def _pad_key_counts(sl_local: int, dr: int, seq_pad: int, n_seg: int,
+                    h: int):
+    """``[n_seg, h]`` int32: how many ZERO pad keys each segment's sparse
+    attention exposes per head.
+
+    Padding enters twice — the sequence tail of the LAST segment
+    (``_pad_to(x, 1, sl_local)``) and the per-segment ratio padding inside
+    ``dense_to_sparse`` — and a zero key is not harmless: it scores logit 0
+    against every query, contributing exactly ``exp(0) = 1`` to the softmax
+    denominator (its V row is zero, so the numerator is untouched). The
+    counts feed ``_pad_correction`` which removes those denominators
+    EXACTLY instead of masking."""
+    import numpy as np
+
+    l_pad = -(-sl_local // dr) * dr
+    h_pad = -(-h // dr) * dr
+    h2 = h_pad // dr
+    counts = np.zeros((n_seg, h), np.int32)
+    for seg in range(n_seg):
+        extra = seq_pad if seg == n_seg - 1 else 0
+        pads = range(sl_local - extra, l_pad)
+        for hh in range(h):
+            j = hh // h2
+            counts[seg, hh] = sum(1 for p in pads if p % dr == j)
+    return counts
+
+
+def _pad_correction(out, lse, n_pad):
+    """Remove ``n_pad`` zero-key contributions from ``(out, lse)``:
+    ``S_real = S − n_pad`` with ``S = exp(lse)``, computed stably as
+    ``frac = 1 − n_pad·exp(−lse)``; exact up to f32 rounding and fully
+    differentiable (unlike a post-hoc mask, which flash cannot express
+    per-head). ``n_pad`` broadcasts against ``lse [B, H, L]``."""
+    frac = jnp.clip(1.0 - n_pad * jnp.exp(-lse), 1e-20, None)
+    return out / frac[..., None], lse + jnp.log(frac)
+
+
+def _causal_gathered(qs, kg, vg, p, use_flash, n_pad_blk=None):
     """Causal attention of local queries against a rank-gathered segment.
 
     ``qs [B, ls, H, D]``; ``kg/vg [W', B, ls, H, D]`` in rank order; ``p`` =
@@ -107,9 +144,17 @@ def _causal_gathered(qs, kg, vg, p, use_flash):
     block: block r < p fully visible, r == p locally causal, r > p masked.
     Blocks are attended separately and merged by logsumexp (the cross-shard
     online-softmax recombination also used by ``parallel.ring``).
+
+    ``n_pad_blk`` = zero-pad keys per single block (``_pad_key_counts``);
+    the causal diagonal call is pad-safe (pad keys sit at strictly later
+    sparse positions than every real query), the full-block calls are not.
     """
     from moc_tpu.parallel.ring import _merge_partials
 
+    # NOTE: every gathered block is attended and future blocks discarded by
+    # NEG_LSE — ~half the FLOPs are wasted on average vs ring.py's lax.cond
+    # past/future skip; acceptable for the gather formulation (the ring
+    # gather_mode is the compute-lean path), recorded as a known tradeoff.
     attn = flash_attention_with_lse if use_flash else mha_reference
     qf = qs.transpose(0, 2, 1, 3)  # [B, H, ls, D]
 
@@ -120,12 +165,15 @@ def _causal_gathered(qs, kg, vg, p, use_flash):
     for r in range(kg.shape[0]):
         out_r, lse_r = attn(qf, kg[r].transpose(0, 2, 1, 3),
                             vg[r].transpose(0, 2, 1, 3), causal=False)
+        if n_pad_blk is not None:
+            out_r, lse_r = _pad_correction(out_r, lse_r, n_pad_blk)
         lse_r = jnp.where(r < p, lse_r, NEG_LSE)
         out, lse = _merge_partials(out, lse, out_r, lse_r)
     return out, lse
 
 
-def _ring_segment(qs, ks, vs, axis_name, perm, rps, p, causal, use_flash):
+def _ring_segment(qs, ks, vs, axis_name, perm, rps, p, causal, use_flash,
+                  n_pad_blk=None):
     """Ring-rotated segment attention: K/V blocks hop around the segment
     group with ``lax.ppermute`` while each rank accumulates attention
     against the block in front of it, merging partials by logsumexp.
@@ -142,12 +190,16 @@ def _ring_segment(qs, ks, vs, axis_name, perm, rps, p, causal, use_flash):
     qf = qs.transpose(0, 2, 1, 3)
     out, lse = attn(qf, ks.transpose(0, 2, 1, 3), vs.transpose(0, 2, 1, 3),
                     causal=causal)
+    if n_pad_blk is not None and not causal:
+        out, lse = _pad_correction(out, lse, n_pad_blk)
     k_blk, v_blk = ks, vs
     for step in range(1, rps):
         k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
         out_i, lse_i = attn(qf, k_blk.transpose(0, 2, 1, 3),
                             v_blk.transpose(0, 2, 1, 3), causal=False)
+        if n_pad_blk is not None:
+            out_i, lse_i = _pad_correction(out_i, lse_i, n_pad_blk)
         if causal:
             src = (p - step) % rps
             lse_i = jnp.where(src < p, lse_i, NEG_LSE)
@@ -171,6 +223,17 @@ def _branch(q, k, v, sl, dr, causal, use_flash, axis_name,
 
     qs, ks, vs = segment_sparse(qp), segment_sparse(kp), segment_sparse(vp)
 
+    # zero-pad-key correction (see _pad_key_counts): [n_seg, H] →
+    # [B*n_seg, H, 1] aligned with the flattened (b outer, seg inner) batch
+    counts = _pad_key_counts(sl_local, dr, pad, n_seg, h)
+    if counts.any():
+        import numpy as _np
+
+        n_pad_blk = jnp.asarray(_np.tile(counts, (b, 1)),
+                                jnp.float32)[:, :, None]
+    else:
+        n_pad_blk = None
+
     if axis_name is not None and sl > l:
         # context parallelism: the segment spans the whole axis (or a
         # subgroup); gather K/V across it (ref gather_kv; unlike the
@@ -193,7 +256,8 @@ def _branch(q, k, v, sl, dr, causal, use_flash, axis_name,
             perm = [(g * rps + i, g * rps + (i + 1) % rps)
                     for g in range(world // rps) for i in range(rps)]
             out, lse = _ring_segment(qs, ks, vs, axis_name, perm, rps,
-                                     my % rps, causal, use_flash)
+                                     my % rps, causal, use_flash,
+                                     n_pad_blk=n_pad_blk)
         elif causal:
             kg = jax.lax.all_gather(ks, axis_name)  # [W, B*n, ls, H, D]
             vg = jax.lax.all_gather(vs, axis_name)
@@ -203,7 +267,8 @@ def _branch(q, k, v, sl, dr, causal, use_flash, axis_name,
                 kg = jnp.take(kg, idx, axis=0)
                 vg = jnp.take(vg, idx, axis=0)
             out, lse = _causal_gathered(
-                qs, kg, vg, my % ranks_per_segment, use_flash)
+                qs, kg, vg, my % ranks_per_segment, use_flash,
+                n_pad_blk=n_pad_blk)
         else:
             kg = jax.lax.all_gather(ks, axis_name)
             vg = jax.lax.all_gather(vs, axis_name)
@@ -218,6 +283,9 @@ def _branch(q, k, v, sl, dr, causal, use_flash, axis_name,
             qf = qs.transpose(0, 2, 1, 3)
             attn = flash_attention_with_lse if use_flash else mha_reference
             out, lse = attn(qf, kf, vf, causal=False)
+            if n_pad_blk is not None:  # every gathered block pads alike
+                out, lse = _pad_correction(out, lse,
+                                           ranks_per_segment * n_pad_blk)
     else:
         # flash kernel layout [B, H, L, D]
         qf = qs.transpose(0, 2, 1, 3)
@@ -227,9 +295,18 @@ def _branch(q, k, v, sl, dr, causal, use_flash, axis_name,
             out, lse = flash_attention_with_lse(qf, kf, vf, causal=causal)
         else:
             out, lse = mha_reference(qf, kf, vf, causal=causal)
+        # causal needs no correction: pad keys sit at strictly later sparse
+        # positions than every real query (see _pad_key_counts)
+        if n_pad_blk is not None and not causal:
+            out, lse = _pad_correction(out, lse, n_pad_blk)
     # back to [B*n, ls, H, D]
     out = out.transpose(0, 2, 1, 3)
-    dense, lse_dense = sparse_to_dense(out, lse, dr)  # [B*n, H, sl_local, D]
+    # sparse_to_dense scatters to ls*dr >= sl_local rows (ratio padding);
+    # trim the pad tail before the segment reshape (it assumed divisibility
+    # and crashed on e.g. sl_local=8, dr=3)
+    dense, lse_dense = sparse_to_dense(out, lse, dr)
+    dense = dense[:, :, :sl_local]
+    lse_dense = lse_dense[:, :, :sl_local]
     dense = dense.reshape(b, n_seg, h, sl_local, d).transpose(0, 2, 1, 3, 4)
     dense = dense.reshape(b, h, n_seg * sl_local, d)[:, :, :l]
     lse_full = lse_dense.reshape(b, n_seg, h, sl_local).transpose(0, 2, 1, 3)

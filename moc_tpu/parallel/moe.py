@@ -172,9 +172,11 @@ def moe_dispatch_combine(
     expert stack). With ``axis_name`` (inside shard_map over the expert
     axis), dispatch/combine ride ``lax.all_to_all``; without it, all experts
     are local. ``input_mask [S]`` (True = padding) removes pad tokens from
-    routing — they neither occupy expert capacity nor move the aux loss
-    (ref ``moe_layer.py`` threads ``input_padding_mask`` the same way; the
-    pad-invariance invariant requires it). Returns ``(y [S, D], aux_loss)``.
+    routing — they never occupy expert capacity. NOTE: the aux (balance)
+    loss still averages over the PADDED token axis, like the reference
+    (``routing.py:94-99`` divides by the full S) — pad count/content shifts
+    the aux value, which is why ``tests/test_parallel.py`` declines to
+    assert aux pad-invariance. Returns ``(y [S, D], aux_loss)``.
     """
     s, d = x.shape
     e = gate_logits.shape[-1]

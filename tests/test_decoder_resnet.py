@@ -192,7 +192,7 @@ class _StubDecoder:
     """Pass-through 'decoder' so generation tests can rig an exact Markov
     chain: the hidden state IS the one-hot of the last token."""
 
-    def init_cache(self, batch, max_len):
+    def init_cache(self, batch, max_len, dtype=None):
         return [(jnp.zeros((batch, 1)), jnp.zeros((batch, 1)))]
 
     def apply(self, params, x, memory, memory_mask, caches, idx):
@@ -253,3 +253,33 @@ def test_beam_size_one_equals_greedy():
                                   batch=b, seq_len=l, bos_id=1, eos_id=2,
                                   beam_size=1, pad_id=0))
     np.testing.assert_array_equal(g, bm)
+
+
+def test_top_p_matches_hf_warper():
+    """The nucleus filter reproduces HF TopPLogitsWarper (the warper the
+    reference's generate delegates to): keep the sorted HEAD whose
+    cumulative mass reaches top_p, INCLUDING the crossing token (review r3
+    — the previous 'cum <= 1-top_p' kept the complement)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    from transformers.generation.logits_process import TopPLogitsWarper
+
+    rng = np.random.default_rng(0)
+    for top_p in (0.1, 0.5, 0.9):
+        logits = rng.normal(size=(3, 50)).astype(np.float32) * 2
+        want = ~torch.isinf(
+            TopPLogitsWarper(top_p=top_p)(None, torch.from_numpy(logits))
+        ).numpy()
+        # replicate sample_generate's filter inline (it is a closure)
+        x = jnp.asarray(logits)
+        order = jnp.argsort(-x, axis=-1)
+        sorted_logits = jnp.take_along_axis(x, order, axis=-1)
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep_sorted = (cum - probs) < top_p
+        keep_sorted = keep_sorted.at[..., 0].set(True)
+        inv = jnp.argsort(order, axis=-1)
+        got = np.asarray(jnp.take_along_axis(keep_sorted, inv, axis=-1))
+        np.testing.assert_array_equal(got, want, err_msg=f"top_p={top_p}")

@@ -342,3 +342,61 @@ def test_encoder_moe_block_pad_invariance():
     np.testing.assert_allclose(np.asarray(outs[0][:, :12]),
                                np.asarray(outs[1][:, :12]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_dilated_pad_keys_excluded_non_divisible():
+    """Zero pad keys (segment tail + ratio padding) must not enter the
+    softmax denominators: non-divisible shapes match a dense per-head-group
+    oracle that excludes pads entirely (review r3 — previously the pads
+    diluted outputs AND the sl%dr!=0 reshape crashed outright)."""
+    from moc_tpu.parallel import DilatedConfig, dilated_attention
+
+    rng = np.random.default_rng(0)
+    b, l, h, d = 2, 20, 4, 8
+    q = rng.normal(size=(b, l, h, d)).astype(np.float32)
+    k = rng.normal(size=(b, l, h, d)).astype(np.float32)
+    v = rng.normal(size=(b, l, h, d)).astype(np.float32)
+    sl, dr = 8, 3  # 20 pads to 24 (seq), 8 pads to 9 (ratio)
+    cfg = DilatedConfig(segment_lengths=(sl,), dilated_ratios=(dr,),
+                        use_flash=False)
+    got = np.asarray(dilated_attention(jnp.asarray(q), jnp.asarray(k),
+                                       jnp.asarray(v), cfg))
+    h2 = -(-h // dr)
+    want = np.zeros((b, l, h * d), np.float32)
+    for bi in range(b):
+        for hh in range(h):
+            j = hh // h2
+            for lo in range(0, l, sl):
+                pos = [p for p in range(lo, min(lo + sl, l))
+                       if (p - lo) % dr == j]
+                if not pos:
+                    continue
+                s = (q[bi, pos, hh] @ k[bi, pos, hh].T) * (d ** -0.5)
+                p_ = np.exp(s - s.max(1, keepdims=True))
+                out = (p_ / p_.sum(1, keepdims=True)) @ v[bi, pos, hh]
+                want[bi, pos, hh * d:(hh + 1) * d] = out  # single branch
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_flash_with_lse_differentiable():
+    """flash_attention_with_lse carries gradients (custom_vjp with the
+    dense-reference backward) — the dilated/ring training path depends on
+    it (review r3: the raw pallas_call had no VJP and raised under grad)."""
+    from moc_tpu.ops.flash_attention import (flash_attention_with_lse,
+                                             mha_reference)
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(1, 2, 128, 16)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2, 128, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 2, 128, 16)).astype(np.float32))
+
+    def loss(fn):
+        def run(q):
+            o, l = fn(q, k, v, causal=True)
+            return jnp.sum(o * o) + jnp.sum(l)
+        return run
+
+    gf = jax.grad(loss(flash_attention_with_lse))(q)
+    gr = jax.grad(loss(mha_reference))(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=2e-4, atol=2e-5)
