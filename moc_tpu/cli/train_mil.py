@@ -105,12 +105,17 @@ def _train_vila(args, table, parts, data_dir, n_classes) -> dict:
 
     tokenizer = ConchTokenizer(args.tokenizer_file) if getattr(
         args, "tokenizer_file", None) else ConchTokenizer()
+    text_params = None
     if args.conch_checkpoint:
         from moc_tpu.zeroshot.convert import load_conch
 
         _, conch_params = load_conch(args.conch_checkpoint)
         table_np = np.asarray(
             conch_params["params"]["text"]["token_embedding"]["embedding"])
+        # the full pretrained text tower initializes ViLaTextEncoder (the
+        # reference wraps conch_model.text, model_ViLa_MIL.py:301-302) —
+        # only the token table feeds the prompt constants
+        text_params = conch_params["params"]["text"]
         text_cfg = TextConfig(output_dim=feat_dim)
     else:
         rng = np.random.default_rng(args.seed)
@@ -126,7 +131,8 @@ def _train_vila(args, table, parts, data_dir, n_classes) -> dict:
         lr=args.lr, reg=args.reg, max_epochs=args.max_epochs,
         early_stopping=args.early_stopping, seed=args.seed,
     )
-    result = train_vila_fold(splits, prompts, cfg, log=print)
+    result = train_vila_fold(splits, prompts, cfg, log=print,
+                             text_params=text_params)
 
     payload = {
         "val_auc": result.val_auc, "test_auc": result.test_auc,

@@ -147,14 +147,24 @@ def multiscale_image_features(apply_fn, images: jax.Array,
                               scales=(1, 2)) -> jax.Array:
     """MUSK ``ms_aug`` multiscale inference (ref ``utils.py:69-98``): resize
     to s×base, chessboard-split into s² base-size tiles, encode each, mean
-    over tiles per scale, concatenate scale features."""
+    over tiles per scale, concatenate scale features.
+
+    The upsample is torch-exact bicubic (``F.interpolate(mode='bicubic')``,
+    Keys a=−0.75 — the same separable matrix the MUSK pos-embed converter
+    uses; jax's built-in cubic is a=−0.5 and its bilinear diverges from
+    the reference tiles)."""
     b, base, _, c = images.shape
     feats = []
     for s in scales:
         if s == 1:
             tiles = images
         else:
-            big = jax.image.resize(images, (b, base * s, base * s, c), "bilinear")
+            from moc_tpu.zeroshot.convert_musk import _cubic_resize_matrix
+
+            m = jnp.asarray(_cubic_resize_matrix(base, base * s),
+                            images.dtype)  # [base*s, base]
+            big = jnp.einsum("rh,bhwc->brwc", m, images)
+            big = jnp.einsum("sw,brwc->brsc", m, big)
             tiles = split_chessboard(big, s)
         emb = apply_fn(tiles)  # [B*s², D]
         emb = emb.reshape(s * s, b, -1).mean(axis=0)

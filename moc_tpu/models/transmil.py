@@ -64,9 +64,10 @@ class NystromAttention(nn.Module):
     residual: bool = True
     residual_kernel: int = 33
     conv_impl: str = "conv"  # "conv" (fast forward) | "slices" (fast grad compile)
+    dropout: float = 0.0  # ref TransLayer builds NystromAttention(dropout=0.1)
 
     @nn.compact
-    def __call__(self, x, valid):
+    def __call__(self, x, valid, train: bool = False):
         n_orig, d = x.shape
         h = self.heads
         dh = d // h
@@ -146,19 +147,25 @@ class NystromAttention(nn.Module):
             out = out + conv.reshape(n, h, dh).transpose(1, 0, 2)
 
         out = out.transpose(1, 0, 2).reshape(n, d)[n - n_orig :]
-        return nn.Dense(d, name="to_out")(out)
+        out = nn.Dense(d, name="to_out")(out)
+        if self.dropout > 0.0:
+            # ref nystrom_attention: to_out = Sequential(Linear, Dropout)
+            out = nn.Dropout(self.dropout)(out, deterministic=not train)
+        return out
 
 
 class TransLayer(nn.Module):
     dim: int = 512
     conv_impl: str = "conv"
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, valid):
+    def __call__(self, x, valid, train: bool = False):
         normed = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return x + NystromAttention(self.dim, num_landmarks=self.dim // 2,
                                     conv_impl=self.conv_impl,
-                                    name="attn")(normed, valid)
+                                    dropout=self.dropout,
+                                    name="attn")(normed, valid, train)
 
 
 class _DepthwiseParams(nn.Module):
@@ -234,6 +241,10 @@ class TransMILConfig:
     # flat elementwise VJP — what the fused fold trainer compiles inside
     # vmap(scan(grad)) (identical values; equality tested).
     conv_impl: str = "conv"
+    # the reference hardcodes NystromAttention(dropout=0.1) in both
+    # TransLayers (model_mil.py:110-117); active only when the caller
+    # passes train=True with a "dropout" rng
+    attn_dropout: float = 0.1
 
 
 class TransMIL(nn.Module):
@@ -245,7 +256,17 @@ class TransMIL(nn.Module):
 
         N must make ``ceil(sqrt(N))²`` landmark-divisible; bucketed pads
         (powers of two ≥ 256) satisfy this.
-        """
+
+        DESIGN NOTE (static-shape deviation): the PPEG square grid and
+        wrap count derive from the PADDED length — the reference computes
+        them from the real patch count, but a data-dependent ``side`` is a
+        dynamic shape XLA cannot compile. Pad CONTENT never leaks (the
+        attention and convs are masked, wrap rows copy the leading REAL
+        rows), but two pad buckets give the same slide different conv
+        neighborhoods; within one bucket results are deterministic. This
+        is the price of a single compiled executable per bucket — the
+        torch-oracle parity tests feed both frameworks the same length,
+        where the formulations agree."""
         cfg = self.cfg
         n = feats.shape[0]
         h = nn.relu(nn.Dense(cfg.dim, name="fc1")(feats))
@@ -267,9 +288,11 @@ class TransMIL(nn.Module):
         x = jnp.concatenate([cls, h], axis=0)
         full_valid = jnp.concatenate([jnp.ones((1,), bool), valid_sq])
 
-        x = TransLayer(cfg.dim, cfg.conv_impl, name="layer1")(x, full_valid)
+        x = TransLayer(cfg.dim, cfg.conv_impl, cfg.attn_dropout,
+                       name="layer1")(x, full_valid, train)
         x = PPEG(cfg.dim, cfg.conv_impl, name="pos_layer")(x, side, side, full_valid)
-        x = TransLayer(cfg.dim, cfg.conv_impl, name="layer2")(x, full_valid)
+        x = TransLayer(cfg.dim, cfg.conv_impl, cfg.attn_dropout,
+                       name="layer2")(x, full_valid, train)
         pooled = nn.LayerNorm(epsilon=1e-5, name="norm")(x)[0]
         head = nn.Dense(cfg.n_classes, name="fc2")
         # patch-level logits skip the final norm and drop cls/wrap rows

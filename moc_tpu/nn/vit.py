@@ -69,5 +69,10 @@ def resample_pos_embed(pos_embed: jnp.ndarray, new_grid: int,
     old_grid = int(round(grid_part.shape[1] ** 0.5))
     d = grid_part.shape[-1]
     grid_part = grid_part.reshape(1, old_grid, old_grid, d)
-    grid_part = jax.image.resize(grid_part, (1, new_grid, new_grid, d), method)
+    # antialias=False: timm's resample_abs_pos_embed interpolates WITHOUT
+    # an antialiasing prefilter even when downsampling (F.interpolate
+    # default) — jax's default antialias=True would widen the kernel on
+    # any downsample and diverge from checkpoint-parity
+    grid_part = jax.image.resize(grid_part, (1, new_grid, new_grid, d),
+                                 method, antialias=False)
     return jnp.concatenate([prefix, grid_part.reshape(1, new_grid * new_grid, d)], axis=1)

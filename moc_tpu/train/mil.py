@@ -157,7 +157,12 @@ def build_model(cfg: MilTrainConfig, *, grad_friendly: bool = False):
             conv_impl="slices" if grad_friendly else "conv"))
 
         def forward(params, feats, valid, label, train=False, rng=None):
-            return model.apply(params, feats, valid)["logits"], jnp.float32(0.0)
+            # attention dropout (ref NystromAttention(dropout=0.1)) is
+            # active only in training steps that provide an rng
+            kwargs = ({"train": True, "rngs": {"dropout": rng}}
+                      if (train and rng is not None) else {})
+            return (model.apply(params, feats, valid, **kwargs)["logits"],
+                    jnp.float32(0.0))
 
         return model, forward, lambda rng, f, v: model.init(rng, f, v)
     if t == "mil":

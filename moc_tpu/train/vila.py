@@ -74,9 +74,18 @@ def train_vila_fold(
     cfg: VilaTrainConfig,
     *,
     log: Callable[[str], None] | None = None,
+    text_params=None,
 ) -> VilaFoldResult:
     """``splits`` maps train/val/test → lists of ``DualScaleBag``. Bags of
-    equal padded shapes share one compiled step."""
+    equal padded shapes share one compiled step.
+
+    ``text_params``: converted CONCH text-tower params (the
+    ``load_conch(...)["params"]["text"]`` subtree) grafted over the
+    randomly initialized ``text_encoder`` — the reference builds its
+    ``TextEncoder`` AROUND the pretrained conch text transformer
+    (``model_ViLa_MIL.py:301-302``) and fine-tunes it with everything
+    else; training the 12-layer tower from random init instead makes the
+    prompt features noise."""
     model = ViLaMIL(cfg.model)
     # the reference wraps EVERY fold-trained model's optimizer — ViLa
     # included — in CosineAnnealingLR(T_max=20) stepped per epoch
@@ -89,6 +98,22 @@ def train_vila_fold(
     first = splits["train"][0]
     params = model.init(jax.random.PRNGKey(cfg.seed), first.feats_s, first.mask_s,
                         first.feats_l, first.mask_l, prompts)
+    if text_params is not None:
+        te = dict(params["params"]["text_encoder"])
+        for key in ("positional_embedding", "transformer", "ln_final",
+                    "text_projection"):
+            if key not in text_params:
+                raise ValueError(f"text_params missing {key!r}")
+            te[key] = jax.tree.map(jnp.asarray, text_params[key])
+        p = dict(params["params"])
+        p["text_encoder"] = te
+        params = {**params, "params": p}
+        # structural check: the graft must not have changed any leaf shape
+        chex_ok = jax.eval_shape(
+            lambda p: model.apply(p, first.feats_s, first.mask_s,
+                                  first.feats_l, first.mask_l, prompts),
+            params)
+        del chex_ok
     opt_state = optimizer.init(params)
 
     @jax.jit

@@ -32,7 +32,12 @@ def _np(v) -> np.ndarray:
 
 
 def _dense(sd, prefix):
-    return {"kernel": _np(sd[f"{prefix}.weight"]).T, "bias": _np(sd[f"{prefix}.bias"])}
+    """torch Linear → flax Dense leaves; bias optional (MUSK heads are
+    bias-free). THE shared leaf converters — convert_musk imports these."""
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
 
 
 def _ln(sd, prefix):

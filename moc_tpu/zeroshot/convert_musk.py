@@ -27,22 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 
-
-def _np(v) -> np.ndarray:
-    if hasattr(v, "detach"):
-        v = v.detach().cpu().numpy()
-    return np.asarray(v, dtype=np.float32)
-
-
-def _dense(sd, prefix):
-    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
-    if f"{prefix}.bias" in sd:  # MUSK heads are bias-free (modeling.py:102-103)
-        out["bias"] = _np(sd[f"{prefix}.bias"])
-    return out
-
-
-def _ln(sd, prefix):
-    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+from moc_tpu.zeroshot.convert import _dense, _ln, _np
 
 
 def _multiway(sd, prefix, leaf_fn):

@@ -10,6 +10,8 @@ embedding from a user path — both stubbed. Skipped without
 
 import os
 import sys
+
+from tests._stub_spec import ensure_spec
 import types
 
 import numpy as np
@@ -41,6 +43,7 @@ def ref_models(monkeypatch_module=None):
         tv.transforms = types.ModuleType("torchvision.transforms")
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tv.transforms
+        ensure_spec("nystrom_attention", "torchvision", "torchvision.transforms")
     from models import model_mil
 
     from models import model_chief

@@ -74,6 +74,14 @@ def _install_stubs():
         tmm.registry = tmr
         for k, v in (("timm", tm), ("timm.models", tmm),
                      ("timm.models.layers", tml), ("timm.models.registry", tmr)):
+            # a bare ModuleType has __spec__ None, which breaks OTHER
+            # packages' importlib.util.find_spec probes later in the same
+            # pytest process (transformers' lazy loader raised
+            # "timm.__spec__ is None") — give every stub a real spec
+            if getattr(v, "__spec__", None) is None:
+                import importlib.machinery
+
+                v.__spec__ = importlib.machinery.ModuleSpec(k, None)
             sys.modules[k] = v
 
 

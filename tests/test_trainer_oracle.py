@@ -8,6 +8,8 @@ Skipped without ``/root/reference``.
 import os
 import sys
 
+from tests._stub_spec import ensure_spec
+
 import numpy as np
 import pytest
 
@@ -46,6 +48,7 @@ def ref_core():
                                                  None)
     sys.modules["datasets"] = ds
     sys.modules["datasets.dataset_generic"] = dg
+    ensure_spec("nystrom_attention", "datasets", "datasets.dataset_generic")
     if not hasattr(np, "Inf"):  # numpy 2 removed the alias the reference uses
         np.Inf = np.inf
     from utils import core_utils

@@ -10,6 +10,8 @@ Skipped without ``/root/reference``.
 
 import os
 import sys
+
+from tests._stub_spec import ensure_spec
 import types
 
 import numpy as np
@@ -58,6 +60,7 @@ def _install_conch_stubs():
     if not hasattr(tmm, "layers"):
         tmm.layers = types.ModuleType("timm.models.layers")
         sys.modules["timm.models.layers"] = tmm.layers
+        ensure_spec("timm", "timm.models", "timm.models.vision_transformer", "timm.models.layers")
     # other oracle suites (test_musk_oracle) may have installed a partial
     # timm.models.layers already — extend, never assume
     tl = tmm.layers
