@@ -9,6 +9,8 @@ them). Skipped without ``/root/reference``.
 
 import os
 import sys
+
+from tests._stub_spec import ensure_spec
 import types
 
 import numpy as np
@@ -37,6 +39,8 @@ def ref_ada():
     mc = types.ModuleType("models.model_conch")
     mc.conch_lora = None
     sys.modules.setdefault("models.model_conch", mc)
+    ensure_spec("openslide", "torchvision", "torchvision.transforms",
+                "models.model_conch")
     from models import model_adapters as ma
 
     return ma

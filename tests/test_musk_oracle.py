@@ -43,6 +43,9 @@ def _install_stubs():
         fs.nn = fsnn
         sys.modules["fairscale"] = fs
         sys.modules["fairscale.nn"] = fsnn
+        from tests._stub_spec import ensure_spec
+
+        ensure_spec("fairscale", "fairscale.nn")
     # EXTEND any existing timm stub (test_vila_oracle installs one without
     # drop_path; module execution order must not matter)
     if True:
