@@ -69,32 +69,6 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
-def _fused_bytes_estimate(episodes) -> int:
-    """Upper-bound bytes the stacked sweep would occupy (features dominate),
-    computed from ``EpisodeBags`` METADATA — before any cross-fold host copy
-    or device placement is made, so neither host RAM nor HBM spikes on a
-    dataset that is about to fall back to streaming."""
-
-    def shapes(ep):
-        def tot(chunks):
-            # the stackers drop bucketization filler rows (BagBatch.
-            # real_rows), so only real slides count toward the footprint
-            rows = sum(int(c.real_rows().sum()) for c in chunks)
-            n = max(c.features.shape[1] for c in chunks)
-            return max(rows, 1), n
-
-        return tot([ep.train]), tot(ep.val), tot(ep.test)
-
-    per_field = list(zip(*[shapes(ep) for ep in episodes]))
-    dim = episodes[0].train.features.shape[-1]
-    total = 0
-    for field in per_field:  # cross-fold padding raises every fold to the max
-        rows = max(r for r, _ in field)
-        n = max(n for _, n in field)
-        total += len(episodes) * rows * n * (dim * 4 + 1)  # feats f32 + mask
-    return int(total)
-
-
 def _episode_mesh(n_episodes: int):
     """Largest whole-divisor slice of the visible devices as a ``data`` mesh
     (episode-parallelism = the reference's process-per-GPU fan-out)."""
@@ -115,31 +89,40 @@ def run_fused_shot(args, shot, folds, *, loader, split_path, w, w_ext, cfg,
 
     The zero-shot floor is computed INSIDE the fused program (``with_zs``) —
     it is three extra vmapped pooling passes over bags already in HBM, so the
-    only host work per episode is bag IO, the one-pass stack and result
-    writing (the r2 CLI spent ~24x the device time streaming the floor
-    chunk-by-chunk — VERDICT r2 weak #1). Episodes load host-resident
-    (``device_put=False``); placement happens once in ``run_sweep`` after
-    the auto-mode HBM estimate has decided this path runs at all.
+    only host work per episode is bag IO, the pool pack and result writing
+    (the r2 CLI spent ~24x the device time streaming the floor chunk-by-chunk
+    — VERDICT r2 weak #1). Bags cross the host→device wire DEDUPLICATED:
+    folds share corpus slides (often the identical test set), so the union of
+    slides transfers once as a pool and episodes are assembled by on-device
+    gathers inside the program (``moc.sweep.PooledEpisodes`` — ~4.4× fewer
+    bytes at the bench operating point; the transfer was the fused CLI's
+    wall-clock on the ~50 MB/s axon tunnel, BENCH_NOTES "Round 3"). The pool
+    stays host-resident until the auto-mode HBM estimate has decided this
+    path runs at all.
     """
     import jax.numpy as jnp
 
-    from moc_tpu.data import EpisodeBags, read_split_csv
-    from moc_tpu.moc import run_sweep, stack_episode_bags, sweep_episode_results
+    from moc_tpu.data import read_split_csv
+    from moc_tpu.moc import (
+        pool_episode_bags,
+        pooled_bytes_estimate,
+        run_sweep_pooled,
+        sweep_episode_results,
+        unique_split_ids,
+    )
     from moc_tpu.moc.results import write_episode_result, write_zeroshot_result
 
     repeat_num = shot * n_classes
+    splits = [read_split_csv(split_path(shot, f)) for f in folds]
+    ids = unique_split_ids(splits)
     t0 = time.perf_counter()
-    episodes = [
-        EpisodeBags.load(loader, s.train, s.val, s.test, repeat_num=repeat_num,
-                         device_put=False)
-        for s in (read_split_csv(split_path(shot, f)) for f in folds)
-    ]
-    if args.mode == "auto" and _fused_bytes_estimate(episodes) > args.fused_hbm_gb * 2**30:
-        return None  # caller falls back to the streaming path
+    bags = loader.read_all(ids)
     t_io = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    stacked = stack_episode_bags(episodes)  # one-pass host stacking
+    pooled = pool_episode_bags(bags, ids, splits)  # host numpy
+    if args.mode == "auto" and pooled_bytes_estimate(pooled) > args.fused_hbm_gb * 2**30:
+        return None  # caller falls back to the streaming path
     t_stack = time.perf_counter() - t0
 
     mesh = _episode_mesh(len(folds))
@@ -148,16 +131,15 @@ def run_fused_shot(args, shot, folds, *, loader, split_path, w, w_ext, cfg,
         # place explicitly (and blocking) so the breakdown separates the
         # host->device transfer — the wall-clock driver on the axon tunnel
         # (~50 MB/s; BENCH_NOTES "Round 3") — from program execution;
-        # run_sweep's own device_put then sees committed arrays (no-op)
+        # run_sweep_pooled's own device_put then sees committed arrays (no-op)
         import jax
         import numpy as _np
 
-        stacked = jax.device_put(stacked)
-        for f in (stacked.train_feats, stacked.val_feats, stacked.test_feats):
-            # block_until_ready returns EARLY through the axon tunnel; only
-            # fetching result bytes synchronizes (verify SKILL.md gotcha), so
-            # pull one element per buffer to pin the transfer inside t_put
-            _np.asarray(f[(0,) * f.ndim])
+        pooled = jax.device_put(pooled)
+        # block_until_ready returns EARLY through the axon tunnel; only
+        # fetching result bytes synchronizes (verify SKILL.md gotcha), so
+        # pull one element to pin the transfer inside t_put
+        _np.asarray(pooled.pool_feats[(0,) * pooled.pool_feats.ndim])
     t_put = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -166,8 +148,8 @@ def run_fused_shot(args, shot, folds, *, loader, split_path, w, w_ext, cfg,
     # moc_train.sh), and cli.main_moc does the same; review r3 aligned
     # the sweep so the two entry points produce identical per-fold runs
     seeds = jnp.asarray([args.seed for _ in folds], jnp.int32)
-    result = run_sweep(stacked, w, w_ext, cfg, repeat_num=repeat_num,
-                       seeds=seeds, mesh=mesh, with_zs=args.check_zeroshot)
+    result = run_sweep_pooled(pooled, w, w_ext, cfg, repeat_num=repeat_num,
+                              seeds=seeds, mesh=mesh, with_zs=args.check_zeroshot)
     ep_results = sweep_episode_results(result)  # blocks on the device
     t_run = time.perf_counter() - t0
 
@@ -184,7 +166,7 @@ def run_fused_shot(args, shot, folds, *, loader, split_path, w, w_ext, cfg,
         print(f"shot {shot} fold {fold}: best_val={ep_result.best_val:.4f} "
               f"test={ep_result.test_at_best_val:.4f} (fused)")
     t_write = time.perf_counter() - t0
-    print(f"shot {shot} fused breakdown: io={t_io:.2f}s stack={t_stack:.2f}s "
+    print(f"shot {shot} fused breakdown: io={t_io:.2f}s pool={t_stack:.2f}s "
           f"device_put={t_put:.2f}s zs+train+eval={t_run:.2f}s "
           f"write={t_write:.2f}s ({len(folds)} episodes)", file=sys.stderr)
     return result

@@ -34,15 +34,23 @@ from moc_tpu.moc.episode import (
     zs_eval_batches,
 )
 from moc_tpu.moc.sweep import (
+    EpisodeIndex,
+    PooledEpisodes,
     StackedEpisode,
     SweepResult,
+    assemble_episode,
     episode_from_bags,
     make_sweep_fn,
     pad_and_stack_episodes,
+    pool_episode_bags,
+    pool_episode_splits,
+    pooled_bytes_estimate,
     run_sweep,
+    run_sweep_pooled,
     stack_episode_bags,
     stack_episodes,
     sweep_episode_results,
+    unique_split_ids,
 )
 
 __all__ = [
@@ -63,13 +71,21 @@ __all__ = [
     "make_episode_fns",
     "run_episode",
     "zs_eval_batches",
+    "EpisodeIndex",
+    "PooledEpisodes",
     "StackedEpisode",
     "SweepResult",
+    "assemble_episode",
     "episode_from_bags",
     "make_sweep_fn",
     "pad_and_stack_episodes",
+    "pool_episode_bags",
+    "pool_episode_splits",
+    "pooled_bytes_estimate",
     "run_sweep",
+    "run_sweep_pooled",
     "stack_episode_bags",
     "stack_episodes",
     "sweep_episode_results",
+    "unique_split_ids",
 ]

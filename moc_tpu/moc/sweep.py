@@ -425,6 +425,182 @@ def stack_episode_bags(episodes) -> StackedEpisode:
     return StackedEpisode(tf, tm, tl, vf, vm, vl, sf, sm, sl)
 
 
+@struct.dataclass
+class EpisodeIndex:
+    """Per-episode slide indices into a shared pool (all ``[E, rows]``).
+
+    ``*_labels`` carry the slide labels with ``-1`` marking filler rows
+    (splits shorter than the widest fold) — the same filler convention as
+    ``StackedEpisode``; ``*_idx`` of filler rows point at pool row 0 and are
+    neutralized by the all-``False`` mask the assembler derives from them.
+    """
+
+    train_idx: jax.Array
+    train_labels: jax.Array
+    val_idx: jax.Array
+    val_labels: jax.Array
+    test_idx: jax.Array
+    test_labels: jax.Array
+
+
+@struct.dataclass
+class PooledEpisodes:
+    """A fused sweep's bags, deduplicated: each UNIQUE slide appears once.
+
+    Folds of one sweep draw train/val/test from the same corpus — often the
+    identical test set — so stacking them as independent ``StackedEpisode``
+    rows transfers every shared slide once per fold (the host→device wall of
+    the fused CLI; BENCH_NOTES "Round 3"). Here the union of slides crosses
+    the wire once as ``pool_feats [U, N, D]`` and episodes are assembled ON
+    DEVICE by gathers inside the compiled sweep (``run_sweep_pooled``): at
+    the bench operating point (5 folds × 28 slides over a 32-slide corpus)
+    that is ~4.4× fewer bytes. Results are identical to the stacked path —
+    gathered rows are bit-equal and every downstream op is pad/mask-invariant
+    (tested).
+    """
+
+    pool_feats: jax.Array  # [U, N, D] float32
+    pool_mask: jax.Array  # [U, N] bool
+    index: EpisodeIndex
+
+
+def unique_split_ids(splits) -> list[str]:
+    """Union of slide ids across folds and splits, first-seen order."""
+    order: dict[str, None] = {}
+    for s in splits:
+        for ids in (s.train, s.val, s.test):
+            for sid in ids:
+                order.setdefault(sid, None)
+    return list(order)
+
+
+def pool_episode_bags(bags, ids, splits, *, buckets=None) -> PooledEpisodes:
+    """Pack pre-read unique ``bags`` (aligned with ``ids``) into a pool and
+    build each fold's index matrices. Host numpy throughout — placement
+    happens in ``run_sweep_pooled`` (or the caller pins the transfer)."""
+    from moc_tpu.data.batching import DEFAULT_BUCKETS, bucket_size, pack_bags
+
+    tr_sizes = {len(s.train) for s in splits}
+    if len(tr_sizes) != 1:
+        raise ValueError(
+            f"train split sizes differ across episodes ({sorted(tr_sizes)}); "
+            "fuse one shot at a time (repeat_num/order are shape-static)")
+    n_pad = bucket_size(max(b.n_patches for b in bags),
+                        buckets or DEFAULT_BUCKETS)
+    pool = pack_bags(bags, n_pad=n_pad, device_put=False)
+    pool_labels = np.asarray(pool.labels)
+    row = {sid: i for i, sid in enumerate(ids)}
+
+    def mat(get):
+        rows = max(max((len(get(s)) for s in splits), default=1), 1)
+        idx = np.zeros((len(splits), rows), np.int32)
+        lab = np.full((len(splits), rows), -1, np.int32)
+        for i, s in enumerate(splits):
+            for j, sid in enumerate(get(s)):
+                idx[i, j] = row[sid]
+                lab[i, j] = pool_labels[row[sid]]
+        return idx, lab
+
+    ti, tl = mat(lambda s: s.train)
+    vi, vl = mat(lambda s: s.val)
+    si, sl = mat(lambda s: s.test)
+    return PooledEpisodes(
+        pool_feats=np.asarray(pool.features, np.float32),
+        pool_mask=np.asarray(pool.mask),
+        index=EpisodeIndex(ti, tl, vi, vl, si, sl),
+    )
+
+
+def pool_episode_splits(loader, splits, *, buckets=None) -> PooledEpisodes:
+    """Read each unique slide of ``splits`` once and pool it (see
+    ``PooledEpisodes``). ``splits`` are ``read_split_csv``-style records
+    with ``train``/``val``/``test`` id lists."""
+    ids = unique_split_ids(splits)
+    return pool_episode_bags(loader.read_all(ids), ids, splits, buckets=buckets)
+
+
+def pooled_bytes_estimate(pooled: PooledEpisodes) -> int:
+    """Upper-bound HBM bytes of the pooled sweep: the pool itself plus the
+    gathered per-episode views the program materializes (features dominate)."""
+    u, n = pooled.pool_mask.shape
+    d = pooled.pool_feats.shape[-1]
+    ix = pooled.index
+    rows = sum(int(np.prod(np.asarray(x).shape))
+               for x in (ix.train_idx, ix.val_idx, ix.test_idx))
+    return int((rows + u) * n * (d * 4 + 1))
+
+
+def assemble_episode(pool_feats, pool_mask, ix: EpisodeIndex) -> StackedEpisode:
+    """Gather ONE episode's ``StackedEpisode`` out of the pool (on device,
+    traced inside the sweep program). Filler rows (label ``-1``) gather a
+    real slide's features but carry an all-``False`` mask, which every
+    downstream op treats exactly like the stacked path's zero rows."""
+
+    def split(idx, labels):
+        feats = jnp.take(pool_feats, idx, axis=0)
+        mask = jnp.take(pool_mask, idx, axis=0) & (labels >= 0)[:, None]
+        return feats, mask
+
+    tf, tm = split(ix.train_idx, ix.train_labels)
+    vf, vm = split(ix.val_idx, ix.val_labels)
+    sf, sm = split(ix.test_idx, ix.test_labels)
+    return StackedEpisode(tf, tm, ix.train_labels, vf, vm, ix.val_labels,
+                          sf, sm, ix.test_labels)
+
+
+def run_sweep_pooled(
+    pooled: PooledEpisodes,
+    w,
+    w_ext,
+    cfg: MOCConfig,
+    repeat_num: int,
+    seeds=None,
+    mesh: jax.sharding.Mesh | None = None,
+    episode_axis: str = "data",
+    with_zs: bool = False,
+) -> SweepResult:
+    """``run_sweep`` over a deduplicated slide pool: one compiled program
+    whose episode inputs are index matrices; the per-episode bags are
+    assembled by on-device gathers. Same results as the stacked path with
+    the union-of-slides transferred once (see ``PooledEpisodes``).
+
+    With ``mesh``, the pool is replicated and the index matrices (plus
+    seeds) are sharded over ``episode_axis`` — each device gathers only the
+    episodes it owns.
+    """
+    run_one = make_sweep_fn(cfg, repeat_num, with_zs=with_zs)
+    e = np.asarray(pooled.index.train_idx).shape[0]
+    if seeds is None:
+        seeds = jnp.arange(e, dtype=jnp.int32)
+
+    def run_pooled(pool_feats, pool_mask, ix, w, w_ext, seed):
+        return run_one(assemble_episode(pool_feats, pool_mask, ix), w, w_ext, seed)
+
+    fn = jax.jit(jax.vmap(run_pooled, in_axes=(None, None, 0, None, None, 0)))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        pool_feats = jax.device_put(jnp.asarray(pooled.pool_feats), rep)
+        pool_mask = jax.device_put(jnp.asarray(pooled.pool_mask), rep)
+        index = jax.tree.map(
+            lambda x: jax.device_put(
+                jnp.asarray(x),
+                NamedSharding(mesh, P(*([episode_axis] + [None] * (np.asarray(x).ndim - 1)))),
+            ),
+            pooled.index,
+        )
+        w = jax.device_put(jnp.asarray(w), rep)
+        w_ext = jax.device_put(jnp.asarray(w_ext), rep)
+        seeds = jax.device_put(seeds, NamedSharding(mesh, P(episode_axis)))
+    else:
+        # commit once so repeated sweep calls do not re-transfer
+        pool_feats = jax.device_put(pooled.pool_feats)
+        pool_mask = jax.device_put(pooled.pool_mask)
+        index = jax.device_put(pooled.index)
+    return fn(pool_feats, pool_mask, index, jnp.asarray(w), jnp.asarray(w_ext), seeds)
+
+
 def sweep_episode_results(
     result: SweepResult, zs: list[dict] | None = None
 ) -> list[EpisodeResult]:

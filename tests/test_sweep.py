@@ -206,6 +206,123 @@ def test_stackers_trim_filler_fuzz():
                 np.testing.assert_array_equal(got, want)
 
 
+def _pooled_setup(corpus):
+    table = SlideTable.from_csv(corpus["csv_path"], corpus["label_dict"])
+    loader = BagLoader(table, corpus["data_dir"], cache=True)
+    splits = [read_split_csv(corpus["split_paths"][(2, f)]) for f in range(2)]
+    return loader, splits
+
+
+def test_pool_episode_splits_dedupe(sweep_setup):
+    """The pool holds each unique slide ONCE; index rows gather exactly that
+    slide's padded bag; labels ride the index matrices."""
+    from moc_tpu.moc import pool_episode_splits, unique_split_ids
+
+    corpus, _, _ = sweep_setup
+    loader, splits = _pooled_setup(corpus)
+    ids = unique_split_ids(splits)
+    total_rows = sum(len(s.train) + len(s.val) + len(s.test) for s in splits)
+    assert len(ids) < total_rows  # folds share corpus slides -> pool shrinks
+    pooled = pool_episode_splits(loader, splits)
+    assert pooled.pool_feats.shape[0] == len(ids)
+    for i, s in enumerate(splits):
+        for split_name, idx, lab in (
+            ("train", pooled.index.train_idx, pooled.index.train_labels),
+            ("val", pooled.index.val_idx, pooled.index.val_labels),
+            ("test", pooled.index.test_idx, pooled.index.test_labels),
+        ):
+            for j, sid in enumerate(getattr(s, split_name)):
+                bag = loader.read(sid)
+                feats = np.asarray(pooled.pool_feats[int(idx[i, j])])
+                np.testing.assert_array_equal(feats[: bag.n_patches], bag.features)
+                assert not feats[bag.n_patches:].any()
+                assert int(lab[i, j]) == bag.label
+
+
+def test_pool_episode_bags_ragged_filler():
+    """Folds with unequal val/test sizes pad with label -1 rows (the
+    StackedEpisode filler convention) and refuse mixed train sizes."""
+    from moc_tpu.data.bags import Bag
+    from moc_tpu.moc import pool_episode_bags
+
+    rng = np.random.default_rng(3)
+    ids = [f"s{i}" for i in range(6)]
+    bags = [Bag(slide_id=sid, features=rng.normal(size=(10 + i, 8)).astype(np.float32),
+                label=i % 2) for i, sid in enumerate(ids)]
+
+    class S:
+        def __init__(self, train, val, test):
+            self.train, self.val, self.test = train, val, test
+
+    splits = [S(["s0", "s1"], ["s2", "s3"], ["s4"]),
+              S(["s1", "s2"], ["s3"], ["s4", "s5"])]
+    pooled = pool_episode_bags(bags, ids, splits)
+    ix = pooled.index
+    assert ix.val_labels.shape == (2, 2) and ix.test_labels.shape == (2, 2)
+    assert int(ix.val_labels[1, 1]) == -1  # fold 1 has one val slide
+    assert int(ix.test_labels[0, 1]) == -1
+    # shared slide s1 resolves to the same pool row in both folds
+    assert int(ix.train_idx[0, 1]) == int(ix.train_idx[1, 0]) == 1
+    with pytest.raises(ValueError, match="one shot at a time"):
+        pool_episode_bags(bags, ids, [splits[0], S(["s0"], ["s2"], ["s4"])])
+
+
+@pytest.mark.slow
+def test_pooled_matches_stacked(sweep_setup):
+    """run_sweep_pooled (deduped transfer + on-device gather assembly) must
+    reproduce the stacked sweep: same best-val/test metrics, epochs, params,
+    and in-program zero-shot floor."""
+    from moc_tpu.moc import pool_episode_splits, run_sweep_pooled
+
+    corpus, stacked, _ = sweep_setup
+    loader, splits = _pooled_setup(corpus)
+    pooled = pool_episode_splits(loader, splits)
+    cfg = MOCConfig(n_classes=2, n_ext_classes=6, topj=24, topk=10,
+                    num_epochs=3, feature_dim=64)
+    import jax.numpy as jnp
+
+    seeds = jnp.asarray([0, 1], jnp.int32)
+    a = run_sweep(stacked, corpus["weights"], corpus["weights_ext"], cfg,
+                  repeat_num=4, seeds=seeds, with_zs=True)
+    b = run_sweep_pooled(pooled, corpus["weights"], corpus["weights_ext"], cfg,
+                         repeat_num=4, seeds=seeds, with_zs=True)
+    np.testing.assert_array_equal(np.asarray(a.best_epoch), np.asarray(b.best_epoch))
+    for name in ("best_val_auc", "test_auc_at_best", "test_acc_at_best", "zs"):
+        np.testing.assert_allclose(np.asarray(getattr(a, name)),
+                                   np.asarray(getattr(b, name)),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                                rtol=1e-5, atol=1e-6),
+        a.best_params, b.best_params,
+    )
+
+
+@pytest.mark.slow
+def test_pooled_on_mesh(sweep_setup):
+    """Pooled sweep episode-sharded over 2 devices == single-device (pool
+    replicated, index matrices sharded)."""
+    from moc_tpu.moc import pool_episode_splits, run_sweep_pooled
+
+    corpus, _, _ = sweep_setup
+    loader, splits = _pooled_setup(corpus)
+    pooled = pool_episode_splits(loader, splits)
+    cfg = MOCConfig(n_classes=2, n_ext_classes=6, topj=24, topk=10,
+                    num_epochs=2, feature_dim=64)
+    devices = np.array(jax.devices()[:2])
+    mesh = jax.sharding.Mesh(devices, ("data",))
+    sharded = run_sweep_pooled(pooled, corpus["weights"], corpus["weights_ext"],
+                               cfg, repeat_num=4, mesh=mesh, with_zs=True)
+    single = run_sweep_pooled(pooled, corpus["weights"], corpus["weights_ext"],
+                              cfg, repeat_num=4, with_zs=True)
+    np.testing.assert_array_equal(np.asarray(sharded.best_epoch),
+                                  np.asarray(single.best_epoch))
+    for name in ("best_val_auc", "test_auc_at_best", "zs"):
+        np.testing.assert_allclose(np.asarray(getattr(sharded, name)),
+                                   np.asarray(getattr(single, name)),
+                                   rtol=1e-4, err_msg=name)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("kw", [
     {"discard": ("bottomk",)},
