@@ -220,29 +220,28 @@ def _run_fused_grid(args, shot, folds) -> list[dict]:
     import jax.numpy as jnp
     import numpy as np
 
-    from moc_tpu.data import BagLoader, EpisodeBags
-    from moc_tpu.moc.sweep import stack_episode_bags
+    from moc_tpu.data import BagLoader
+    from moc_tpu.moc.sweep import pool_episode_bags, unique_split_ids
     from moc_tpu.train import MilTrainConfig
-    from moc_tpu.train.mil_fused import run_mil_folds_fused
+    from moc_tpu.train.mil_fused import run_mil_folds_fused_pooled
     from moc_tpu.utils.checkpoint import save_params
 
-    episodes = []
+    splits = []
     n_classes = None
     loader = None
     for fold in folds:
         table, data_dir, split, n_classes = _resolve_dataset(args, shot, fold)
         if loader is None:
-            # table/data_dir are fold-invariant; ONE cached loader means
-            # bags shared across folds (typically the whole test cohort)
-            # are read from disk once, not once per fold
+            # table/data_dir are fold-invariant: ONE cached loader
             loader = BagLoader(table, data_dir, cache=True)
-        # host-resident load (device_put=False): the fused path restacks on
-        # host and transfers once inside run_mil_folds_fused — per-fold HBM
-        # commits would stack up to folds x eval_device_budget_gb before
-        # training and round-trip every byte device->host->device
-        episodes.append(EpisodeBags.load(loader, split.train, split.val,
-                                         split.test, device_put=False))
-    stacked = stack_episode_bags(episodes)
+        splits.append(split)
+    # deduplicated transfer: folds share corpus slides (typically the whole
+    # test cohort), so each unique slide is read and shipped ONCE as a pool
+    # and the per-fold bags are gathered on device inside the compiled grid
+    # (moc.sweep.PooledEpisodes; DESIGN.md §9b) — host-resident until the
+    # trainer places it
+    ids = unique_split_ids(splits)
+    pooled = pool_episode_bags(loader.read_all(ids), ids, splits)
 
     cfg = MilTrainConfig(
         model_type=args.model_type, model_size=args.model_size,
@@ -251,11 +250,11 @@ def _run_fused_grid(args, shot, folds) -> list[dict]:
         bag_weight=args.bag_weight, lr=args.lr, reg=args.reg, opt=args.opt,
         max_epochs=args.max_epochs, early_stopping=args.early_stopping,
         weighted_sample=args.weighted_sample,
-        steps_per_epoch=int(np.asarray(stacked.train_feats).shape[1]),
+        steps_per_epoch=int(np.asarray(pooled.index.train_idx).shape[1]),
         seed=args.seed,
     )
-    result = run_mil_folds_fused(
-        stacked, cfg, seeds=jnp.asarray(list(folds), jnp.int32))
+    result = run_mil_folds_fused_pooled(
+        pooled, cfg, seeds=jnp.asarray(list(folds), jnp.int32))
 
     import jax
 

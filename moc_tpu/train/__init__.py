@@ -25,7 +25,12 @@ from moc_tpu.train.mil import (
     weighted_order,
 )
 from moc_tpu.train.losses import bag_loss_fn, cross_entropy, smooth_top1_svm
-from moc_tpu.train.mil_fused import FusedFoldResult, make_mil_fold_fn, run_mil_folds_fused
+from moc_tpu.train.mil_fused import (
+    FusedFoldResult,
+    make_mil_fold_fn,
+    run_mil_folds_fused,
+    run_mil_folds_fused_pooled,
+)
 from moc_tpu.train.vila import (
     VilaFoldResult,
     VilaTrainConfig,
@@ -44,6 +49,7 @@ __all__ = [
     "FusedFoldResult",
     "make_mil_fold_fn",
     "run_mil_folds_fused",
+    "run_mil_folds_fused_pooled",
     "PretrainConfig",
     "encoder_param_shardings",
     "make_pretrain_state",

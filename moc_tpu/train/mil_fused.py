@@ -212,3 +212,48 @@ def run_mil_folds_fused(
     else:
         episodes = jax.device_put(episodes)
     return jax.jit(fn)(episodes, seeds)
+
+
+def run_mil_folds_fused_pooled(
+    pooled,
+    cfg: MilTrainConfig,
+    seeds=None,
+    mesh: jax.sharding.Mesh | None = None,
+    episode_axis: str = "data",
+) -> FusedFoldResult:
+    """``run_mil_folds_fused`` over a deduplicated slide pool
+    (``moc.sweep.PooledEpisodes``): folds of one grid share corpus slides
+    (typically the whole test cohort), so the union of slides transfers
+    once and each fold's bags are assembled by on-device gathers inside
+    the compiled program — the same transfer dedupe as the MOC pooled
+    sweep (DESIGN.md §9b). Results match the stacked path (tested)."""
+    from moc_tpu.moc.sweep import assemble_episode
+
+    run_one = make_mil_fold_fn(cfg)
+    f = np.asarray(pooled.index.train_idx).shape[0]
+    if seeds is None:
+        seeds = jnp.arange(f, dtype=jnp.int32)
+
+    def run_pooled(pool_feats, pool_mask, ix, seed):
+        return run_one(assemble_episode(pool_feats, pool_mask, ix), seed)
+
+    fn = jax.jit(jax.vmap(run_pooled, in_axes=(None, None, 0, 0)))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        pool_feats = jax.device_put(jnp.asarray(pooled.pool_feats), rep)
+        pool_mask = jax.device_put(jnp.asarray(pooled.pool_mask), rep)
+        index = jax.tree.map(
+            lambda x: jax.device_put(
+                jnp.asarray(x),
+                NamedSharding(mesh, P(*([episode_axis] + [None] * (np.ndim(x) - 1)))),
+            ),
+            pooled.index,
+        )
+        seeds = jax.device_put(seeds, NamedSharding(mesh, P(episode_axis)))
+    else:
+        pool_feats = jax.device_put(pooled.pool_feats)
+        pool_mask = jax.device_put(pooled.pool_mask)
+        index = jax.device_put(pooled.index)
+    return fn(pool_feats, pool_mask, index, seeds)

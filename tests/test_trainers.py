@@ -428,6 +428,64 @@ def test_mil_folds_fused_learn(mil_fused_setup, model_type, val_floor, test_floo
 
 
 @pytest.mark.slow
+def test_mil_folds_fused_pooled_matches_stacked():
+    """The deduplicated-pool MIL grid (the train_mil --fused CLI path) must
+    reproduce the stacked grid: same metrics, stop epochs, and params."""
+    from moc_tpu.data.bags import Bag
+    from moc_tpu.data.batching import pack_bags
+    from moc_tpu.moc.sweep import pool_episode_bags, stack_episode_bags
+    from moc_tpu.train import MilTrainConfig
+    from moc_tpu.train.mil_fused import (
+        run_mil_folds_fused,
+        run_mil_folds_fused_pooled,
+    )
+
+    rng = np.random.default_rng(5)
+    ids = [f"s{i}" for i in range(10)]
+    centers = rng.normal(size=(2, 32))
+    bags = [
+        Bag(slide_id=sid,
+            features=(centers[i % 2] + 0.5 * rng.normal(
+                size=(int(rng.integers(40, 90)), 32))).astype(np.float32),
+            label=i % 2)
+        for i, sid in enumerate(ids)
+    ]
+    by_id = {b.slide_id: b for b in bags}
+
+    class S:
+        def __init__(self, train, val, test):
+            self.train, self.val, self.test = train, val, test
+
+    splits = [S(ids[:4], ids[4:6], ids[6:9]),
+              S(ids[2:6], ids[6:8], ids[7:10])]  # folds share slides
+
+    class Ep:
+        def __init__(self, s):
+            self.train = pack_bags([by_id[i] for i in s.train], device_put=False)
+            self.val = [pack_bags([by_id[i] for i in s.val], device_put=False)]
+            self.test = [pack_bags([by_id[i] for i in s.test], device_put=False)]
+
+    stacked = stack_episode_bags([Ep(s) for s in splits])
+    pooled = pool_episode_bags(bags, ids, splits)
+
+    cfg = MilTrainConfig(model_type="clam_sb", model_size="small", n_classes=2,
+                         lr=5e-4, max_epochs=4, steps_per_epoch=4, seed=1,
+                         weighted_sample=True)
+    a = run_mil_folds_fused(stacked, cfg)
+    b = run_mil_folds_fused_pooled(pooled, cfg)
+    np.testing.assert_array_equal(np.asarray(a.stop_epoch), np.asarray(b.stop_epoch))
+    for name in ("val_auc", "val_acc", "test_auc", "test_acc", "test_bacc"):
+        np.testing.assert_allclose(np.asarray(getattr(a, name)),
+                                   np.asarray(getattr(b, name)),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                                rtol=1e-5, atol=1e-6),
+        a.best_params, b.best_params,
+    )
+
+
+@pytest.mark.slow
 def test_mil_folds_fused_on_mesh_matches(mil_fused_setup):
     from moc_tpu.train import MilTrainConfig
     from moc_tpu.train.mil_fused import run_mil_folds_fused
