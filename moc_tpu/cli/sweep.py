@@ -83,7 +83,40 @@ def _episode_mesh(n_episodes: int):
     return jax.sharding.Mesh(np.array(devices[:n]), ("data",))
 
 
-def run_fused_shot(args, shot, folds, *, loader, split_path, w, w_ext, cfg,
+class _PoolContext:
+    """One CLI invocation's slide pool, shared across shots.
+
+    Every shot's splits draw the same corpus, so the union of slides over
+    ALL requested (shot, fold) pairs is read and packed once on the host
+    and committed to the device once — later shots reuse the committed
+    arrays and only ship their (tiny) index matrices (the default
+    ``--shots 1 2 4 8`` protocol otherwise re-transfers the pool 4×).
+    """
+
+    def __init__(self, feats, mask, row, labels):
+        self.feats, self.mask = feats, mask
+        self.row, self.labels = row, labels
+        self._dev = None
+
+    def device(self):
+        """Committed (pool_feats, pool_mask, transfer_seconds); the
+        transfer happens on the FIRST call only."""
+        import jax
+        import numpy as _np
+
+        t0 = time.perf_counter()
+        if self._dev is None:
+            f = jax.device_put(self.feats)
+            m = jax.device_put(self.mask)
+            # block_until_ready returns EARLY through the axon tunnel; only
+            # fetching result bytes synchronizes (verify SKILL.md gotcha), so
+            # pull one element to pin the transfer inside the timing
+            _np.asarray(f[(0,) * f.ndim])
+            self._dev = (f, m)
+        return (*self._dev, time.perf_counter() - t0)
+
+
+def run_fused_shot(args, shot, folds, *, splits, pool_ctx, w, w_ext, cfg,
                    n_classes, shot_dir):
     """All requested folds of one shot as a single compiled sweep.
 
@@ -91,56 +124,40 @@ def run_fused_shot(args, shot, folds, *, loader, split_path, w, w_ext, cfg,
     it is three extra vmapped pooling passes over bags already in HBM, so the
     only host work per episode is bag IO, the pool pack and result writing
     (the r2 CLI spent ~24x the device time streaming the floor chunk-by-chunk
-    — VERDICT r2 weak #1). Bags cross the host→device wire DEDUPLICATED:
-    folds share corpus slides (often the identical test set), so the union of
-    slides transfers once as a pool and episodes are assembled by on-device
-    gathers inside the program (``moc.sweep.PooledEpisodes`` — ~4.4× fewer
-    bytes at the bench operating point; the transfer was the fused CLI's
-    wall-clock on the ~50 MB/s axon tunnel, BENCH_NOTES "Round 3"). The pool
-    stays host-resident until the auto-mode HBM estimate has decided this
-    path runs at all.
+    — VERDICT r2 weak #1). Bags cross the host→device wire DEDUPLICATED and
+    ONCE PER INVOCATION: folds and shots share corpus slides (often the
+    identical test set), so the union of slides transfers once as a pool
+    (``_PoolContext``) and episodes are assembled by on-device gathers
+    inside the program (``moc.sweep.PooledEpisodes`` — ~4.4× fewer bytes at
+    the bench operating point; the transfer was the fused CLI's wall-clock
+    on the ~50 MB/s axon tunnel, BENCH_NOTES "Round 3"). The pool stays
+    host-resident until the auto-mode HBM estimate has decided this path
+    runs at all.
     """
     import jax.numpy as jnp
 
-    from moc_tpu.data import read_split_csv
     from moc_tpu.moc import (
-        pool_episode_bags,
+        PooledEpisodes,
+        episode_index,
         pooled_bytes_estimate,
         run_sweep_pooled,
         sweep_episode_results,
-        unique_split_ids,
     )
     from moc_tpu.moc.results import write_episode_result, write_zeroshot_result
 
     repeat_num = shot * n_classes
-    splits = [read_split_csv(split_path(shot, f)) for f in folds]
-    ids = unique_split_ids(splits)
     t0 = time.perf_counter()
-    bags = loader.read_all(ids)
-    t_io = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    pooled = pool_episode_bags(bags, ids, splits)  # host numpy
+    index = episode_index(splits, pool_ctx.row, pool_ctx.labels)
+    pooled = PooledEpisodes(pool_ctx.feats, pool_ctx.mask, index)
     if args.mode == "auto" and pooled_bytes_estimate(pooled) > args.fused_hbm_gb * 2**30:
         return None  # caller falls back to the streaming path
     t_stack = time.perf_counter() - t0
 
     mesh = _episode_mesh(len(folds))
-    t0 = time.perf_counter()
-    if mesh is None:
-        # place explicitly (and blocking) so the breakdown separates the
-        # host->device transfer — the wall-clock driver on the axon tunnel
-        # (~50 MB/s; BENCH_NOTES "Round 3") — from program execution;
-        # run_sweep_pooled's own device_put then sees committed arrays (no-op)
-        import jax
-        import numpy as _np
-
-        pooled = jax.device_put(pooled)
-        # block_until_ready returns EARLY through the axon tunnel; only
-        # fetching result bytes synchronizes (verify SKILL.md gotcha), so
-        # pull one element to pin the transfer inside t_put
-        _np.asarray(pooled.pool_feats[(0,) * pooled.pool_feats.ndim])
-    t_put = time.perf_counter() - t0
+    # commit the shared pool (first shot pays the transfer; later shots and
+    # the mesh path reuse the committed arrays — device-side replication)
+    feats_dev, mask_dev, t_put = pool_ctx.device()
+    pooled = PooledEpisodes(feats_dev, mask_dev, index)
 
     t0 = time.perf_counter()
     # every fold trains from the SAME seed — the reference runs each fold
@@ -166,9 +183,10 @@ def run_fused_shot(args, shot, folds, *, loader, split_path, w, w_ext, cfg,
         print(f"shot {shot} fold {fold}: best_val={ep_result.best_val:.4f} "
               f"test={ep_result.test_at_best_val:.4f} (fused)")
     t_write = time.perf_counter() - t0
-    print(f"shot {shot} fused breakdown: io={t_io:.2f}s pool={t_stack:.2f}s "
+    print(f"shot {shot} fused breakdown: index={t_stack:.2f}s "
           f"device_put={t_put:.2f}s zs+train+eval={t_run:.2f}s "
-          f"write={t_write:.2f}s ({len(folds)} episodes)", file=sys.stderr)
+          f"write={t_write:.2f}s ({len(folds)} episodes; pool io/pack are "
+          f"per-invocation, printed once)", file=sys.stderr)
     return result
 
 
@@ -210,6 +228,7 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     n_run = 0
+    todo: dict[int, list[int]] = {}
     for shot in args.shots:
         shot_dir = os.path.join(args.result_dir, f"{shot}_shot")
         folds = [
@@ -218,14 +237,42 @@ def main(argv=None) -> int:
         ]
         for skipped in set(args.folds) - set(folds):
             print(f"shot {shot} fold {skipped}: done, skipping (--resume)")
-        if not folds:
-            continue
+        if folds:
+            todo[shot] = folds
+
+    pool_ctx = None
+    shot_splits: dict[int, list] = {}
+    if args.mode in ("auto", "fused") and todo:
+        # one slide pool for the whole invocation: the union of slides over
+        # every requested (shot, fold), read and packed once (fold- AND
+        # shot-level dedupe; see _PoolContext)
+        from moc_tpu.moc import pack_slide_pool, unique_split_ids
+
+        shot_splits = {
+            shot: [read_split_csv(split_path(shot, f)) for f in folds]
+            for shot, folds in todo.items()
+        }
+        all_splits = [s for ss in shot_splits.values() for s in ss]
+        ids = unique_split_ids(all_splits)
+        t_read = time.perf_counter()
+        bags = loader.read_all(ids)
+        t_read = time.perf_counter() - t_read
+        t_pack = time.perf_counter()
+        pool_ctx = _PoolContext(*pack_slide_pool(bags, ids))
+        t_pack = time.perf_counter() - t_pack
+        print(f"slide pool: {len(ids)} unique slides "
+              f"({pool_ctx.feats.nbytes / 2**20:.0f} MB) io={t_read:.2f}s "
+              f"pack={t_pack:.2f}s", file=sys.stderr)
+
+    for shot, folds in todo.items():
+        shot_dir = os.path.join(args.result_dir, f"{shot}_shot")
         n_run += len(folds)
 
         if args.mode in ("auto", "fused"):
-            fused = run_fused_shot(args, shot, folds, loader=loader,
-                                   split_path=split_path, w=w, w_ext=w_ext,
-                                   cfg=cfg, n_classes=n_classes, shot_dir=shot_dir)
+            fused = run_fused_shot(args, shot, folds,
+                                   splits=shot_splits[shot], pool_ctx=pool_ctx,
+                                   w=w, w_ext=w_ext, cfg=cfg,
+                                   n_classes=n_classes, shot_dir=shot_dir)
             if fused is not None:
                 continue
             print(f"shot {shot}: stacked episodes exceed --fused_hbm_gb "

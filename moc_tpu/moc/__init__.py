@@ -40,7 +40,9 @@ from moc_tpu.moc.sweep import (
     SweepResult,
     assemble_episode,
     episode_from_bags,
+    episode_index,
     make_sweep_fn,
+    pack_slide_pool,
     pad_and_stack_episodes,
     pool_episode_bags,
     pool_episode_splits,
@@ -77,7 +79,9 @@ __all__ = [
     "SweepResult",
     "assemble_episode",
     "episode_from_bags",
+    "episode_index",
     "make_sweep_fn",
+    "pack_slide_pool",
     "pad_and_stack_episodes",
     "pool_episode_bags",
     "pool_episode_splits",

@@ -474,22 +474,16 @@ def unique_split_ids(splits) -> list[str]:
     return list(order)
 
 
-def pool_episode_bags(bags, ids, splits, *, buckets=None) -> PooledEpisodes:
-    """Pack pre-read unique ``bags`` (aligned with ``ids``) into a pool and
-    build each fold's index matrices. Host numpy throughout — placement
-    happens in ``run_sweep_pooled`` (or the caller pins the transfer)."""
-    from moc_tpu.data.batching import DEFAULT_BUCKETS, bucket_size, pack_bags
-
+def episode_index(splits, row: dict, pool_labels) -> EpisodeIndex:
+    """Index matrices of one fused sweep's folds against an existing pool
+    (``row``: slide_id → pool row). Separate from the pool build so one
+    pool (packed and transferred once) can serve several sweeps — e.g.
+    every shot of a CLI invocation, whose splits draw the same corpus."""
     tr_sizes = {len(s.train) for s in splits}
     if len(tr_sizes) != 1:
         raise ValueError(
             f"train split sizes differ across episodes ({sorted(tr_sizes)}); "
             "fuse one shot at a time (repeat_num/order are shape-static)")
-    n_pad = bucket_size(max(b.n_patches for b in bags),
-                        buckets or DEFAULT_BUCKETS)
-    pool = pack_bags(bags, n_pad=n_pad, device_put=False)
-    pool_labels = np.asarray(pool.labels)
-    row = {sid: i for i, sid in enumerate(ids)}
 
     def mat(get):
         rows = max(max((len(get(s)) for s in splits), default=1), 1)
@@ -504,10 +498,34 @@ def pool_episode_bags(bags, ids, splits, *, buckets=None) -> PooledEpisodes:
     ti, tl = mat(lambda s: s.train)
     vi, vl = mat(lambda s: s.val)
     si, sl = mat(lambda s: s.test)
+    return EpisodeIndex(ti, tl, vi, vl, si, sl)
+
+
+def pack_slide_pool(bags, ids, *, buckets=None):
+    """Pack pre-read unique ``bags`` (aligned with ``ids``) into a pool:
+    ``(pool_feats [U, N, D], pool_mask [U, N], row: id → pool row,
+    pool_labels [U])``, host numpy. One pool can serve several fused
+    sweeps via ``episode_index``."""
+    from moc_tpu.data.batching import DEFAULT_BUCKETS, bucket_size, pack_bags
+
+    n_pad = bucket_size(max(b.n_patches for b in bags),
+                        buckets or DEFAULT_BUCKETS)
+    pool = pack_bags(bags, n_pad=n_pad, device_put=False)
+    row = {sid: i for i, sid in enumerate(ids)}
+    return (np.asarray(pool.features, np.float32), np.asarray(pool.mask),
+            row, np.asarray(pool.labels))
+
+
+def pool_episode_bags(bags, ids, splits, *, buckets=None) -> PooledEpisodes:
+    """Pack pre-read unique ``bags`` (aligned with ``ids``) into a pool and
+    build each fold's index matrices. Host numpy throughout — placement
+    happens in ``run_sweep_pooled`` (or the caller pins the transfer)."""
+    pool_feats, pool_mask, row, pool_labels = pack_slide_pool(
+        bags, ids, buckets=buckets)
     return PooledEpisodes(
-        pool_feats=np.asarray(pool.features, np.float32),
-        pool_mask=np.asarray(pool.mask),
-        index=EpisodeIndex(ti, tl, vi, vl, si, sl),
+        pool_feats=pool_feats,
+        pool_mask=pool_mask,
+        index=episode_index(splits, row, pool_labels),
     )
 
 
