@@ -100,18 +100,22 @@ class _PoolContext:
 
     def device(self):
         """Committed (pool_feats, pool_mask, transfer_seconds); the
-        transfer happens on the FIRST call only."""
-        import jax
+        transfer happens on the FIRST call only — and not at all when an
+        earlier invocation in this process already shipped an identical
+        pool (``utils.device_cache``: repeated sweeps/draws over one
+        corpus reuse the device-resident buffers, content-fingerprinted)."""
         import numpy as _np
+
+        from moc_tpu.utils.device_cache import device_put_cached
 
         t0 = time.perf_counter()
         if self._dev is None:
-            f = jax.device_put(self.feats)
-            m = jax.device_put(self.mask)
-            # block_until_ready returns EARLY through the axon tunnel; only
-            # fetching result bytes synchronizes (verify SKILL.md gotcha), so
-            # pull one element to pin the transfer inside the timing
-            _np.asarray(f[(0,) * f.ndim])
+            (f, m), hit = device_put_cached(self.feats, self.mask)
+            if not hit:
+                # block_until_ready returns EARLY through the axon tunnel;
+                # only fetching result bytes synchronizes (verify SKILL.md
+                # gotcha), so pull one element to pin the transfer's timing
+                _np.asarray(f[(0,) * f.ndim])
             self._dev = (f, m)
         return (*self._dev, time.perf_counter() - t0)
 

@@ -257,3 +257,47 @@ def test_scalar_logger_and_average_meter(tmp_path):
     assert not off.enabled
     off.add_scalar("x", 1.0, 0)
     off.close()
+
+
+def test_device_put_cached_semantics(monkeypatch):
+    """Content-fingerprinted device cache: identical bytes reuse the live
+    buffers, any mutation or salt change misses, deletion misses cleanly,
+    and MOC_TPU_DEVICE_CACHE=0 disables reuse entirely."""
+    import numpy as np
+
+    from moc_tpu.utils.device_cache import clear_device_cache, device_put_cached
+
+    clear_device_cache()
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    m = np.ones((3,), bool)
+    (da, dm), hit = device_put_cached(a, m)
+    assert not hit
+    (da2, dm2), hit2 = device_put_cached(a.copy(), m.copy())
+    assert hit2 and da2 is da and dm2 is dm
+
+    # same bytes, different salt -> miss (placement tag semantics)
+    (_, _), hit3 = device_put_cached(a, m, extra=b"mesh")
+    assert not hit3
+
+    # mutated content -> miss (and evicts: one-entry HBM bound)
+    b = a.copy()
+    b[0, 0] += 1
+    (_, _), hit4 = device_put_cached(b, m)
+    assert not hit4
+
+    # deleted device buffers -> clean miss, fresh put
+    clear_device_cache()
+    (da5, dm5), _ = device_put_cached(a, m)
+    da5.delete()
+    (da6, _), hit6 = device_put_cached(a, m)
+    assert not hit6 and not da6.is_deleted()
+    np.testing.assert_array_equal(np.asarray(da6), a)
+
+    # env kill-switch: never caches, never hits
+    clear_device_cache()
+    monkeypatch.setenv("MOC_TPU_DEVICE_CACHE", "0")
+    (_, _), h1 = device_put_cached(a, m)
+    (_, _), h2 = device_put_cached(a, m)
+    assert not h1 and not h2
+    monkeypatch.delenv("MOC_TPU_DEVICE_CACHE")
+    clear_device_cache()
