@@ -306,3 +306,39 @@ def test_extract_features_debug_pipeline(tmp_path):
     assert rc == 0
     after = {s: os.path.getmtime(out / "h5_files" / f"{s}.h5") for s in counts}
     assert before == after
+
+
+@pytest.mark.slow
+def test_sweep_cli_device_pool_cache_reuse(tmp_path, monkeypatch):
+    """Two in-process fused-sweep invocations over the same corpus: the
+    second must HIT the device-resident pool cache (utils.device_cache) —
+    no re-transfer — and write bit-equal result files. Serving loops and
+    bench draws rely on this."""
+    import moc_tpu.utils.device_cache as dc
+    from moc_tpu.cli import sweep as sweep_cli
+
+    calls = {"hit": 0, "miss": 0}
+    real = dc.device_put_cached
+
+    def counting(*arrays, extra=b""):
+        out, hit = real(*arrays, extra=extra)
+        calls["hit" if hit else "miss"] += 1
+        return out, hit
+
+    # the CLI resolves the symbol at call time through the module
+    monkeypatch.setattr(dc, "device_put_cached", counting)
+    dc.clear_device_cache()
+    base = ["--dataset", "synthetic", "--shots", "1", "--folds", "0",
+            "--topj", "32", "--topk", "10", "--num_epochs", "2",
+            "--mode", "fused", "--platform", "cpu"]
+    dirs = [str(tmp_path / "a"), str(tmp_path / "b")]
+    for d in dirs:
+        assert sweep_cli.main(base + ["--result_dir", d]) == 0
+    assert calls == {"miss": 1, "hit": 1}, calls
+
+    a = json.load(open(os.path.join(dirs[0], "1_shot", "best_results_shot_1_fold_0.json")))
+    b = json.load(open(os.path.join(dirs[1], "1_shot", "best_results_shot_1_fold_0.json")))
+    for k in a:
+        if k != "best_model_path":
+            assert a[k] == b[k], (k, a[k], b[k])
+    dc.clear_device_cache()
