@@ -355,6 +355,57 @@ def moc_slide_logits(
     return ops.topj_pooling(fused, sel.valid, cfg.topk)
 
 
+@struct.dataclass
+class EvalPack:
+    """Epoch-invariant eval precomputation for one slide.
+
+    With ``rng=None`` (every eval), the selection union and all four
+    classifier views depend only on the frozen zero-shot weights — the
+    trained senet enters the forward ONLY through the per-row weighting.
+    The reference recomputes the whole pipeline per slide per epoch
+    (``slide_process`` inside ``evaluation``, ``main_moc.py:462-520``);
+    precomputing it once per episode removes the selection searches and the
+    scoring matmuls from the epoch loop and shrinks every remaining eval op
+    from bag rows ``N`` to union capacity ``S``.
+
+    Attributes:
+      feats: ``[S, D]`` selected patch features (invalid rows zeroed).
+      valid: ``[S]`` which capacity slots hold real selections.
+      views: ``[4, S, C]`` the four classifier views of the selected rows.
+    """
+
+    feats: jax.Array
+    valid: jax.Array
+    views: jax.Array
+
+
+def precompute_eval_pack(
+    feats: jax.Array,
+    valid: jax.Array,
+    w: jax.Array,
+    w_ext: jax.Array,
+    cfg: MOCConfig,
+) -> EvalPack:
+    """Selection + views of one slide, hoisted out of the epoch loop.
+
+    The exact tiers (incl. ``score_dtype="bfloat16"``, whose f32 re-score
+    lives in ``slide_process``) pack the compacted union; the ``dense`` tier
+    has no selection, so its pack is the full bag with dense views."""
+    if cfg.dense:
+        views, _, _, _ = _dense_views_weights(None, {}, feats, w, w_ext, cfg)
+        return EvalPack(feats=feats, valid=valid, views=views)
+    sel = slide_process(feats, valid, w, w_ext, cfg, None)
+    return EvalPack(feats=sel.feats, valid=sel.valid, views=sel.views)
+
+
+def moc_logits_packed(senet_apply, params, pack: EvalPack, cfg: MOCConfig) -> jax.Array:
+    """Pooled slide logits from a precomputed ``EvalPack`` — the per-epoch
+    remainder of the eval forward: senet weighting, view fusion, pooling."""
+    weights = senet_apply(params, pack.feats)  # [S, 4]
+    fused = fuse_views(weights, pack.views, cfg.include_flags())
+    return ops.topj_pooling(fused, pack.valid, cfg.topk)
+
+
 def moc_slide_logits_dense(
     senet_apply,
     params,

@@ -31,7 +31,13 @@ from flax import struct
 from moc_tpu import ops
 from moc_tpu.metrics.auc import auc_from_probs
 from moc_tpu.metrics.classification import softmax_probs
-from moc_tpu.moc.core import MOCConfig, moc_slide_logits, moc_slide_logits_dense
+from moc_tpu.moc.core import (
+    MOCConfig,
+    moc_logits_packed,
+    moc_slide_logits,
+    moc_slide_logits_dense,
+    precompute_eval_pack,
+)
 from moc_tpu.moc.episode import (
     EpisodeResult,
     episode_init_key,
@@ -82,14 +88,12 @@ class SweepResult:
     zs: jax.Array | None = None
 
 
-def _eval_split(model, params, feats, mask, labels, w, w_ext, cfg: MOCConfig):
-    """Pooled logits → (auc, acc) on device, ignoring filler rows."""
-
-    def per_slide(f, m):
-        fn = moc_slide_logits_dense if cfg.dense else moc_slide_logits
-        return fn(model.apply, params, f, m, w, w_ext, cfg, None)
-
-    logits = jax.vmap(per_slide)(feats, mask)  # [M, C]
+def _eval_split_packed(model, params, pack, labels, cfg: MOCConfig):
+    """(auc, acc) of one eval split from precomputed ``EvalPack``s — the
+    per-epoch remainder after selection/views are hoisted (see
+    ``core.precompute_eval_pack``). Ignores filler rows (label ``-1``)."""
+    logits = jax.vmap(
+        lambda p: moc_logits_packed(model.apply, params, p, cfg))(pack)  # [M, C]
     valid = labels >= 0
     probs = softmax_probs(logits, cfg.temperature)
     auc = auc_from_probs(probs, labels, valid)
@@ -154,11 +158,19 @@ def make_sweep_fn(cfg: MOCConfig, repeat_num: int, with_zs: bool = False):
         order = jnp.arange(repeat_num, dtype=jnp.int32) % b  # unshuffled, ref main_moc.py:291
         # key derivation shared with the streaming run_episode so the two
         # paths train bit-identically (tests assert this)
-        params = model.init(episode_init_key(seed), jnp.zeros((1, cfg.feature_dim)))
-        opt_state = optimizer.init(params)
+        params0 = model.init(episode_init_key(seed), jnp.zeros((1, cfg.feature_dim)))
+        opt_state = optimizer.init(params0)
+
+        # Hoist the epoch-invariant eval work (selection union + views) out
+        # of the epoch loop: with rng=None it depends only on the frozen
+        # zero-shot weights, so recomputing it per epoch (as the reference
+        # does, ``main_moc.py:462-520``) is 25x redundant work.
+        pack = lambda f, m: precompute_eval_pack(f, m, w, w_ext, cfg)
+        val_pack = jax.vmap(pack)(episode.val_feats, episode.val_mask)
+        test_pack = jax.vmap(pack)(episode.test_feats, episode.test_mask)
 
         def epoch_body(carry, epoch):
-            params, opt_state, best, best_params = carry
+            params, opt_state = carry
             ek = epoch_key(seed, epoch)
 
             def slide_body(inner, i):
@@ -180,34 +192,42 @@ def make_sweep_fn(cfg: MOCConfig, repeat_num: int, with_zs: bool = False):
             (params, opt_state), _ = jax.lax.scan(
                 slide_body, (params, opt_state), jnp.arange(repeat_num)
             )
+            return (params, opt_state), params
 
-            val_auc, _ = _eval_split(model, params, episode.val_feats, episode.val_mask,
-                                     episode.val_labels, w, w_ext, cfg)
-            test_auc, test_acc = _eval_split(model, params, episode.test_feats,
-                                             episode.test_mask, episode.test_labels,
-                                             w, w_ext, cfg)
-            best_val, best_test, best_acc, best_epoch = best
-            improved = val_auc > best_val
-            best = (
-                jnp.where(improved, val_auc, best_val),
-                jnp.where(improved, test_auc, best_test),
-                jnp.where(improved, test_acc, best_acc),
-                jnp.where(improved, epoch, best_epoch),
-            )
-            best_params = jax.tree.map(
-                lambda new, old: jnp.where(improved, new, old), params, best_params
-            )
-            return (params, opt_state, best, best_params), None
+        # The epoch scan emits the params TRAJECTORY; all (epoch x slide)
+        # evals then run as ONE batched computation instead of 25 sequential
+        # per-epoch eval blocks — the senet weighting over every epoch's
+        # params becomes a single large matmul (far better MXU utilization).
+        (_, _), traj = jax.lax.scan(
+            epoch_body, (params0, opt_state), jnp.arange(cfg.num_epochs)
+        )
 
-        init_best = (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0), jnp.int32(0))
-        (_, _, best, best_params), _ = jax.lax.scan(
-            epoch_body, (params, opt_state, init_best, params), jnp.arange(cfg.num_epochs)
+        def eval_at(params):
+            val_auc, _ = _eval_split_packed(model, params, val_pack,
+                                            episode.val_labels, cfg)
+            test_auc, test_acc = _eval_split_packed(model, params, test_pack,
+                                                    episode.test_labels, cfg)
+            return val_auc, test_auc, test_acc
+
+        val_aucs, test_aucs, test_accs = jax.vmap(eval_at)(traj)  # [epochs]
+
+        # Best-val selection, post hoc. The reference's running strict ``>``
+        # against an initial best of 0.0 (``main_moc.py:617-627``) selects
+        # the FIRST epoch attaining the global max val AUC — which is what
+        # argmax returns — unless no epoch beats 0.0, in which case nothing
+        # is ever selected and the zeros/init-params stand.
+        key_vals = jnp.where(jnp.isnan(val_aucs), -jnp.inf, val_aucs)
+        best_epoch = jnp.argmax(key_vals)
+        improved = key_vals[best_epoch] > 0.0
+        zero = jnp.float32(0.0)
+        best_params = jax.tree.map(
+            lambda t, p0: jnp.where(improved, t[best_epoch], p0), traj, params0
         )
         return SweepResult(
-            best_val_auc=best[0],
-            test_auc_at_best=best[1],
-            test_acc_at_best=best[2],
-            best_epoch=best[3],
+            best_val_auc=jnp.where(improved, val_aucs[best_epoch], zero),
+            test_auc_at_best=jnp.where(improved, test_aucs[best_epoch], zero),
+            test_acc_at_best=jnp.where(improved, test_accs[best_epoch], zero),
+            best_epoch=jnp.where(improved, best_epoch, 0).astype(jnp.int32),
             best_params=best_params,
             zs=zs,
         )
