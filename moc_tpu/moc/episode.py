@@ -15,6 +15,7 @@ decay added to the gradient *before* the Adam moments (``main_moc.py:316``).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Sequence
 
 import jax
@@ -99,11 +100,15 @@ def init_senet(rng: jax.Array, cfg: MOCConfig):
     return model, params
 
 
+@functools.lru_cache(maxsize=8)
 def make_episode_fns(cfg: MOCConfig):
     """Build the jitted (train_epoch, eval_batch, zs_batch) triple.
 
     All three take the weight matrices as arguments so one compiled program
-    serves every fold/shot episode of a dataset.
+    serves every fold/shot episode of a dataset. Memoized on the (frozen,
+    hashable) config: ``run_episode`` is called once per fold, and a fresh
+    jit identity per fold would re-trace all three programs every episode
+    (the persistent XLA cache only skips the compile, not tracing).
     """
     model = SENet(in_dim=cfg.feature_dim, out_dim=4)
     optimizer = make_optimizer(cfg)

@@ -22,6 +22,8 @@ arbitrarily large eval splits.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -235,6 +237,34 @@ def make_sweep_fn(cfg: MOCConfig, repeat_num: int, with_zs: bool = False):
     return run
 
 
+@functools.lru_cache(maxsize=8)
+def _stacked_sweep_jit(cfg: MOCConfig, repeat_num: int, with_zs: bool):
+    """Jitted episode-vmapped sweep program, memoized on its STATIC config.
+
+    ``run_sweep``/``run_sweep_pooled`` used to rebuild ``jax.jit(jax.vmap(
+    make_sweep_fn(...)))`` per call — a fresh jit identity every time, so
+    every CLI invocation re-traced and re-lowered the full 25-epoch program
+    (~2.5 s traced on the bench protocol; the persistent XLA cache only
+    skips the *compile*). Memoizing on the hashable (cfg, repeat_num,
+    with_zs) triple makes repeated sweeps in one process pure
+    dispatch+execute; jit's own cache still keys on input avals/shardings,
+    so mesh vs single-device callers coexist on one entry."""
+    run_one = make_sweep_fn(cfg, repeat_num, with_zs=with_zs)
+    return jax.jit(jax.vmap(run_one, in_axes=(0, None, None, 0)))
+
+
+@functools.lru_cache(maxsize=8)
+def _pooled_sweep_jit(cfg: MOCConfig, repeat_num: int, with_zs: bool):
+    """Pooled-variant of ``_stacked_sweep_jit`` (episodes assembled by
+    on-device gathers from a shared slide pool)."""
+    run_one = make_sweep_fn(cfg, repeat_num, with_zs=with_zs)
+
+    def run_pooled(pool_feats, pool_mask, ix, w, w_ext, seed):
+        return run_one(assemble_episode(pool_feats, pool_mask, ix), w, w_ext, seed)
+
+    return jax.jit(jax.vmap(run_pooled, in_axes=(None, None, 0, None, None, 0)))
+
+
 def run_sweep(
     episodes: StackedEpisode,
     w,
@@ -253,11 +283,10 @@ def run_sweep(
     ``with_zs`` adds the zero-shot floor to the same program (see
     ``make_sweep_fn``).
     """
-    run_one = make_sweep_fn(cfg, repeat_num, with_zs=with_zs)
+    fn = _stacked_sweep_jit(cfg, repeat_num, with_zs)
     e = episodes.train_feats.shape[0]
     if seeds is None:
         seeds = jnp.arange(e, dtype=jnp.int32)
-    fn = jax.vmap(run_one, in_axes=(0, None, None, 0))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -270,12 +299,10 @@ def run_sweep(
         w = jax.device_put(jnp.asarray(w), rep)
         w_ext = jax.device_put(jnp.asarray(w_ext), rep)
         seeds = jax.device_put(seeds, ep_sharding)
-        fn = jax.jit(fn)
     else:
         # episodes may arrive as host numpy (see episode_from_bags); commit
         # them once so repeated sweep calls do not re-transfer
         episodes = jax.device_put(episodes)
-        fn = jax.jit(fn)
     return fn(episodes, jnp.asarray(w), jnp.asarray(w_ext), seeds)
 
 
@@ -606,15 +633,10 @@ def run_sweep_pooled(
     seeds) are sharded over ``episode_axis`` — each device gathers only the
     episodes it owns.
     """
-    run_one = make_sweep_fn(cfg, repeat_num, with_zs=with_zs)
+    fn = _pooled_sweep_jit(cfg, repeat_num, with_zs)
     e = np.asarray(pooled.index.train_idx).shape[0]
     if seeds is None:
         seeds = jnp.arange(e, dtype=jnp.int32)
-
-    def run_pooled(pool_feats, pool_mask, ix, w, w_ext, seed):
-        return run_one(assemble_episode(pool_feats, pool_mask, ix), w, w_ext, seed)
-
-    fn = jax.jit(jax.vmap(run_pooled, in_axes=(None, None, 0, None, None, 0)))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
