@@ -83,6 +83,31 @@ def _episode_mesh(n_episodes: int):
     return jax.sharding.Mesh(np.array(devices[:n]), ("data",))
 
 
+# One-entry cross-invocation pool cache: repeated sweeps over an unchanged
+# corpus (serving drills, bench draws, grid re-runs in one process) skip the
+# bag re-read and re-pack entirely. Keyed on the resolved bag FILES
+# (path, mtime_ns, size) plus ids/labels, so any on-disk change misses; the
+# cached arrays are frozen (read-only), which also makes them eligible for
+# the device cache's digest memo — a fully-warm draw does no hashing and no
+# host->device transfer.
+_HOST_POOL_CACHE: dict = {}
+
+
+def _pool_cache_key(data_dir, ids, table):
+    sig = []
+    for sid in ids:
+        for sub, ext in (("h5_files", ".h5"), ("pt_files", ".pt")):
+            p = os.path.join(data_dir, sub, f"{sid}{ext}")
+            if os.path.exists(p):
+                st = os.stat(p)
+                sig.append((p, st.st_mtime_ns, st.st_size))
+                break
+        else:
+            return None  # unresolved layout: don't cache
+    labels = tuple(table.label_of(s) for s in ids)
+    return (data_dir, tuple(ids), labels, tuple(sig))
+
+
 class _PoolContext:
     """One CLI invocation's slide pool, shared across shots.
 
@@ -94,6 +119,12 @@ class _PoolContext:
     """
 
     def __init__(self, feats, mask, row, labels):
+        # freeze the pool: read-only arrays are eligible for the device
+        # cache's digest memo (``utils.device_cache._array_digest``), so
+        # repeated draws skip the ~0.45 s/256 MB content re-hash too
+        for a in (feats, mask):
+            if hasattr(a, "flags"):
+                a.flags.writeable = False
         self.feats, self.mask = feats, mask
         self.row, self.labels = row, labels
         self._dev = None
@@ -258,15 +289,27 @@ def main(argv=None) -> int:
         }
         all_splits = [s for ss in shot_splits.values() for s in ss]
         ids = unique_split_ids(all_splits)
-        t_read = time.perf_counter()
-        bags = loader.read_all(ids)
-        t_read = time.perf_counter() - t_read
-        t_pack = time.perf_counter()
-        pool_ctx = _PoolContext(*pack_slide_pool(bags, ids))
-        t_pack = time.perf_counter() - t_pack
-        print(f"slide pool: {len(ids)} unique slides "
-              f"({pool_ctx.feats.nbytes / 2**20:.0f} MB) io={t_read:.2f}s "
-              f"pack={t_pack:.2f}s", file=sys.stderr)
+        pool_key = _pool_cache_key(data_dir, ids, table)
+        cached_pool = _HOST_POOL_CACHE.get(pool_key) if pool_key else None
+        if cached_pool is not None:
+            pool_ctx = _PoolContext(*cached_pool)
+            print(f"slide pool: {len(ids)} unique slides "
+                  f"({pool_ctx.feats.nbytes / 2**20:.0f} MB) reused "
+                  f"(host pool cache)", file=sys.stderr)
+        if cached_pool is None:
+            t_read = time.perf_counter()
+            bags = loader.read_all(ids)
+            t_read = time.perf_counter() - t_read
+            t_pack = time.perf_counter()
+            pool_ctx = _PoolContext(*pack_slide_pool(bags, ids))
+            t_pack = time.perf_counter() - t_pack
+            print(f"slide pool: {len(ids)} unique slides "
+                  f"({pool_ctx.feats.nbytes / 2**20:.0f} MB) io={t_read:.2f}s "
+                  f"pack={t_pack:.2f}s", file=sys.stderr)
+            if pool_key is not None:
+                _HOST_POOL_CACHE.clear()  # one entry bounds host RAM
+                _HOST_POOL_CACHE[pool_key] = (pool_ctx.feats, pool_ctx.mask,
+                                              pool_ctx.row, pool_ctx.labels)
 
     for shot, folds in todo.items():
         shot_dir = os.path.join(args.result_dir, f"{shot}_shot")

@@ -20,18 +20,42 @@ from __future__ import annotations
 
 import hashlib
 import os
+import weakref
 
 import numpy as np
 
 _cache: dict[bytes, tuple] = {}
+# id(arr) -> (weakref, digest): re-hashing an unchanged pool every draw costs
+# ~0.45 s per 256 MB on this host's single core. Digests are memoized ONLY
+# for arrays marked read-only (``flags.writeable == False`` — mutating one
+# raises, so the content backing a memoized digest cannot change); the
+# weakref guards id() reuse after garbage collection.
+_digest_memo: dict[int, tuple] = {}
+
+
+def _array_digest(a: np.ndarray) -> bytes:
+    a = np.ascontiguousarray(a)
+    memo_ok = isinstance(a, np.ndarray) and not a.flags.writeable
+    if memo_ok:
+        ent = _digest_memo.get(id(a))
+        if ent is not None and ent[0]() is a:
+            return ent[1]
+    h = hashlib.blake2b(digest_size=16)
+    h.update(repr((a.shape, a.dtype.str)).encode())
+    h.update(memoryview(a).cast("B"))
+    d = h.digest()
+    if memo_ok:
+        if len(_digest_memo) > 64:  # prune dead refs / bound the map
+            for k in [k for k, (r, _) in _digest_memo.items() if r() is None]:
+                del _digest_memo[k]
+        _digest_memo[id(a)] = (weakref.ref(a), d)
+    return d
 
 
 def _fingerprint(arrays, extra: bytes) -> bytes:
     h = hashlib.blake2b(extra, digest_size=16)
     for a in arrays:
-        a = np.ascontiguousarray(a)
-        h.update(repr((a.shape, a.dtype.str)).encode())
-        h.update(memoryview(a).cast("B"))
+        h.update(_array_digest(a))
     return h.digest()
 
 

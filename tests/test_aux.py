@@ -301,3 +301,32 @@ def test_device_put_cached_semantics(monkeypatch):
     assert not h1 and not h2
     monkeypatch.delenv("MOC_TPU_DEVICE_CACHE")
     clear_device_cache()
+
+
+def test_digest_memo_readonly_only():
+    """The fingerprint digest memo applies ONLY to read-only arrays (mutating
+    one raises, so the memoized digest cannot go stale); writable arrays are
+    re-hashed every call, and distinct read-only content gets a distinct
+    digest."""
+    import numpy as np
+
+    from moc_tpu.utils import device_cache as dc
+
+    a = np.arange(1024, dtype=np.float32)
+    a.flags.writeable = False
+    d1 = dc._array_digest(a)
+    assert id(a) in dc._digest_memo
+    assert dc._array_digest(a) == d1  # memo hit, same digest
+
+    b = np.arange(1024, dtype=np.float32)  # writable: never memoized
+    db = dc._array_digest(b)
+    assert db == d1  # same content hashes equal regardless of memo
+    assert id(b) not in dc._digest_memo
+
+    c = np.arange(1024, dtype=np.float32)
+    c[0] = 7.0
+    c.flags.writeable = False
+    assert dc._array_digest(c) != d1
+
+    with np.testing.assert_raises(ValueError):
+        a[0] = 1.0  # the invariant the memo relies on

@@ -1,5 +1,6 @@
 """CLI + config + checkpoint tests (subprocess smoke runs on synthetic data)."""
 
+import glob
 import json
 import os
 import subprocess
@@ -342,3 +343,44 @@ def test_sweep_cli_device_pool_cache_reuse(tmp_path, monkeypatch):
         if k != "best_model_path":
             assert a[k] == b[k], (k, a[k], b[k])
     dc.clear_device_cache()
+
+
+@pytest.mark.slow
+def test_sweep_cli_host_pool_cache(tmp_path, monkeypatch):
+    """Cross-invocation host pool cache: a second sweep over the unchanged
+    corpus skips the bag re-read/re-pack entirely (file-stat keyed), writes
+    equal results, and any on-disk change (mtime bump) invalidates it."""
+    from moc_tpu.cli import sweep as sweep_cli
+    from moc_tpu.data.loader import BagLoader
+
+    sweep_cli._HOST_POOL_CACHE.clear()
+    d = str(tmp_path / "r")
+    res = os.path.join(d, "1_shot", "best_results_shot_1_fold_0.json")
+    base = ["--dataset", "synthetic", "--shots", "1", "--folds", "0",
+            "--topj", "32", "--topk", "10", "--num_epochs", "2",
+            "--mode", "fused", "--platform", "cpu", "--result_dir", d]
+    assert sweep_cli.main(base) == 0
+    first = json.load(open(res))
+
+    reads = {"n": 0}
+    real = BagLoader.read_all
+
+    def counting(self, ids=None):
+        reads["n"] += 1
+        return real(self, ids)
+
+    monkeypatch.setattr(BagLoader, "read_all", counting)
+    assert sweep_cli.main(base) == 0  # same files: cache hit, zero reads
+    assert reads["n"] == 0, reads
+    second = json.load(open(res))
+    for k in first:
+        assert first[k] == second[k], (k, first[k], second[k])
+
+    # bump one bag file's mtime: the stat key changes, the pool re-reads
+    corpus = os.path.join(d, "synthetic_corpus")
+    h5s = sorted(glob.glob(os.path.join(corpus, "features", "h5_files", "*.h5")))
+    assert h5s
+    os.utime(h5s[0], ns=(1, 1))
+    assert sweep_cli.main(base) == 0
+    assert reads["n"] == 1, reads
+    sweep_cli._HOST_POOL_CACHE.clear()
