@@ -292,7 +292,8 @@ def bench_sweep_cli(budget: float = 900.0) -> dict:
             # capped below the caller's daemon-thread budget so completed
             # numbers are never thrown away by the timeout in main()
             while (not draws
-                   or time.perf_counter() - t_stage < min(420.0, 0.6 * budget)):
+                   or (len(draws) < 40
+                       and time.perf_counter() - t_stage < min(420.0, 0.6 * budget))):
                 t0 = time.perf_counter()
                 sweep_cli.main(args)
                 draws.append(round(time.perf_counter() - t0, 1))
