@@ -184,7 +184,8 @@ def run_fused_shot(args, shot, folds, *, splits, pool_ctx, w, w_ext, cfg,
     t0 = time.perf_counter()
     index = episode_index(splits, pool_ctx.row, pool_ctx.labels)
     pooled = PooledEpisodes(pool_ctx.feats, pool_ctx.mask, index)
-    if args.mode == "auto" and pooled_bytes_estimate(pooled) > args.fused_hbm_gb * 2**30:
+    if args.mode == "auto" and (pooled_bytes_estimate(pooled, cfg)
+                                > args.fused_hbm_gb * 2**30):
         return None  # caller falls back to the streaming path
     t_stack = time.perf_counter() - t0
 

@@ -171,6 +171,14 @@ def make_sweep_fn(cfg: MOCConfig, repeat_num: int, with_zs: bool = False):
         val_pack = jax.vmap(pack)(episode.val_feats, episode.val_mask)
         test_pack = jax.vmap(pack)(episode.test_feats, episode.test_mask)
 
+        # NOT hoisted: the per-visit training selection is also
+        # params-independent (frozen weights + known drop keys), but
+        # batching each epoch's repeat_num selections into one vmapped pass
+        # and scanning Adam over the packs measured NO wall-clock change on
+        # v5e at the bench protocol (0.51-0.54 vs 0.45-0.48 s per 5-episode
+        # program) while adding a [repeat, cap, D] HBM transient and ~30 s
+        # of compile — the sequential scan is not selection-bound. See
+        # BENCH_NOTES "Round 3 (session 2)".
         def epoch_body(carry, epoch):
             params, opt_state = carry
             ek = epoch_key(seed, epoch)
@@ -584,15 +592,29 @@ def pool_episode_splits(loader, splits, *, buckets=None) -> PooledEpisodes:
     return pool_episode_bags(loader.read_all(ids), ids, splits, buckets=buckets)
 
 
-def pooled_bytes_estimate(pooled: PooledEpisodes) -> int:
+def pooled_bytes_estimate(pooled: PooledEpisodes,
+                          cfg: MOCConfig | None = None) -> int:
     """Upper-bound HBM bytes of the pooled sweep: the pool itself plus the
-    gathered per-episode views the program materializes (features dominate)."""
+    gathered per-episode views the program materializes (features dominate).
+
+    With ``cfg``, also counts the epoch-invariant eval packs —
+    ``[M_eval, cap, D]`` selected features + ``[M_eval, 4, cap, C]`` views —
+    which live alongside the assembled episodes for the whole program
+    (see ``make_sweep_fn``/``precompute_eval_pack``)."""
     u, n = pooled.pool_mask.shape
     d = pooled.pool_feats.shape[-1]
     ix = pooled.index
     rows = sum(int(np.prod(np.asarray(x).shape))
                for x in (ix.train_idx, ix.val_idx, ix.test_idx))
-    return int((rows + u) * n * (d * 4 + 1))
+    total = (rows + u) * n * (d * 4 + 1)
+    if cfg is not None:
+        from moc_tpu.moc.core import selection_capacity_for
+
+        cap = selection_capacity_for(cfg.topj, cfg.n_classes, n)
+        eval_rows = sum(int(np.prod(np.asarray(x).shape))
+                        for x in (ix.val_idx, ix.test_idx))
+        total += eval_rows * cap * (d + 4 * cfg.n_classes + 1) * 4
+    return int(total)
 
 
 def assemble_episode(pool_feats, pool_mask, ix: EpisodeIndex) -> StackedEpisode:
