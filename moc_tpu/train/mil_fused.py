@@ -33,6 +33,8 @@ Faithfulness notes vs ``train_fold``:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -186,6 +188,28 @@ def make_mil_fold_fn(cfg: MilTrainConfig):
     return run
 
 
+@functools.lru_cache(maxsize=8)
+def _stacked_fold_jit(cfg: MilTrainConfig):
+    """Jitted fold-vmapped MIL trainer, memoized on the frozen config —
+    repeated grid/serving calls in one process re-dispatch instead of
+    re-tracing (same reasoning as ``moc.sweep._stacked_sweep_jit``)."""
+    return jax.jit(jax.vmap(make_mil_fold_fn(cfg), in_axes=(0, 0)))
+
+
+@functools.lru_cache(maxsize=8)
+def _pooled_fold_jit(cfg: MilTrainConfig):
+    """Pooled variant of ``_stacked_fold_jit`` (on-device episode gathers
+    from a shared slide pool)."""
+    from moc_tpu.moc.sweep import assemble_episode
+
+    run_one = make_mil_fold_fn(cfg)
+
+    def run_pooled(pool_feats, pool_mask, ix, seed):
+        return run_one(assemble_episode(pool_feats, pool_mask, ix), seed)
+
+    return jax.jit(jax.vmap(run_pooled, in_axes=(None, None, 0, 0)))
+
+
 def run_mil_folds_fused(
     episodes: StackedEpisode,
     cfg: MilTrainConfig,
@@ -195,11 +219,10 @@ def run_mil_folds_fused(
 ) -> FusedFoldResult:
     """Run ``F`` stacked folds (leading axis) as one compiled program,
     optionally sharded over the mesh ``data`` axis."""
-    run_one = make_mil_fold_fn(cfg)
+    fn = _stacked_fold_jit(cfg)
     f = np.asarray(episodes.train_feats).shape[0]
     if seeds is None:
         seeds = jnp.arange(f, dtype=jnp.int32)
-    fn = jax.vmap(run_one, in_axes=(0, 0))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -211,7 +234,7 @@ def run_mil_folds_fused(
         seeds = jax.device_put(seeds, NamedSharding(mesh, P(episode_axis)))
     else:
         episodes = jax.device_put(episodes)
-    return jax.jit(fn)(episodes, seeds)
+    return fn(episodes, seeds)
 
 
 def run_mil_folds_fused_pooled(
@@ -227,17 +250,10 @@ def run_mil_folds_fused_pooled(
     once and each fold's bags are assembled by on-device gathers inside
     the compiled program — the same transfer dedupe as the MOC pooled
     sweep (DESIGN.md §9b). Results match the stacked path (tested)."""
-    from moc_tpu.moc.sweep import assemble_episode
-
-    run_one = make_mil_fold_fn(cfg)
+    fn = _pooled_fold_jit(cfg)
     f = np.asarray(pooled.index.train_idx).shape[0]
     if seeds is None:
         seeds = jnp.arange(f, dtype=jnp.int32)
-
-    def run_pooled(pool_feats, pool_mask, ix, seed):
-        return run_one(assemble_episode(pool_feats, pool_mask, ix), seed)
-
-    fn = jax.jit(jax.vmap(run_pooled, in_axes=(None, None, 0, 0)))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
