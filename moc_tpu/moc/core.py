@@ -340,13 +340,20 @@ def moc_slide_logits(
     formulation for inference (``rng is None``) and the compact-then-process
     path for training steps under the default ``"auto"`` — both produce the
     same values (tested), they differ only in speed per mode. bfloat16
-    scoring always takes the gather path (its exactness guarantee depends
-    on the f32 re-score of the gathered rows, ``slide_process``).
+    SCORING of f32-resident features always takes the gather path (its
+    exactness guarantee depends on the f32 re-score of the gathered rows,
+    ``slide_process``) — but bf16-RESIDENT features (the opt-in
+    ``storage_dtype`` serving tier: stored/transferred at half width) stay
+    on the masked path: there is no wider original to re-score, so the
+    masked formulation is as exact as the gather one given the quantized
+    inputs (measured 1.41× on v5e at 16k patches — the eval wall is the
+    HBM read of the features).
     """
     use_masked = cfg.exact_impl == "masked" or (
         cfg.exact_impl == "auto" and rng is None
     )
-    if use_masked and cfg.score_dtype == "float32":
+    if use_masked and (cfg.score_dtype == "float32"
+                       or feats.dtype == jnp.bfloat16):
         return moc_slide_logits_masked(senet_apply, params, feats, valid,
                                        w, w_ext, cfg, rng)
     sel = slide_process(feats, valid, w, w_ext, cfg, rng)

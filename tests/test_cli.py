@@ -236,6 +236,23 @@ def test_predict_cli(tmp_path):
     got_mil = pd.read_csv(out_mil)
     assert len(got_mil) == 10 and {"prob_0", "prob_1"} <= set(got_mil.columns)
 
+    # bf16-resident serving tier: same slides, quantized features — the
+    # hard predictions must match the f32 run on this well-separated corpus
+    # and the probabilities stay close (inputs are quantized, not the math)
+    out_bf16 = str(tmp_path / "pred_bf16.csv")
+    rc = predict_main(["--platform", "cpu", "--dataset", "nsclc",
+                       "--model", model_path, "--feature_dir", corpus["data_dir"],
+                       "--csv", csv_path, "--weights_npz", str(tmp_path / "w.npz"),
+                       "--weights_ext_npz", str(tmp_path / "we.npz"),
+                       "--topj", "32", "--storage_dtype", "bfloat16",
+                       "--score_dtype", "bfloat16", "--out", out_bf16])
+    assert rc == 0
+    got_bf16 = pd.read_csv(out_bf16).set_index("slide_id")
+    ref = got.set_index("slide_id").loc[got_bf16.index]
+    assert (got_bf16["pred"] == ref["pred"]).all()
+    np.testing.assert_allclose(got_bf16[["prob_0", "prob_1"]],
+                               ref[["prob_0", "prob_1"]], atol=0.05)
+
     # unlabeled cohort: same CSV minus the label column -> no metrics, no crash
     frame.drop(columns=["label"]).to_csv(csv_path, index=False)
     out2 = str(tmp_path / "pred2.csv")

@@ -407,6 +407,49 @@ def test_moc_slide_logits_routes_masked_by_default():
     np.testing.assert_array_equal(np.asarray(via_dispatch), np.asarray(direct))
 
 
+def test_bf16_resident_feats_route_masked_and_match_gather():
+    """bf16-RESIDENT features (the --storage_dtype serving tier) stay on the
+    masked path — there is no wider original to re-score, so masked equals
+    the gather formulation given the SAME quantized inputs — and the values
+    track the f32 forward within quantization tolerance."""
+    from moc_tpu.moc import init_senet, moc_slide_logits_masked
+
+    rng = np.random.default_rng(21)
+    d, c, ce = 32, 2, 6
+    feats, valid = _rand_bag(rng, 256, 200, d)
+    f32, v = jnp.asarray(feats), jnp.asarray(valid)
+    f16 = f32.astype(jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(d, c)).astype(np.float32))
+    w_ext = jnp.asarray(rng.normal(size=(d, ce)).astype(np.float32))
+    cfg16 = MOCConfig(n_classes=c, n_ext_classes=ce, feature_dim=d, topj=16,
+                      topk=8, score_dtype="bfloat16")
+    _, params = init_senet(jax.random.PRNGKey(0), cfg16)
+    apply = SENet(in_dim=d, out_dim=4).apply
+
+    # auto + bf16 feats dispatches to masked (bf16 SCORING of f32 feats
+    # would have gone to gather — asserted by the routing test above)
+    via_dispatch = moc_slide_logits(apply, params, f16, v, w, w_ext, cfg16, None)
+    direct = moc_slide_logits_masked(apply, params, f16, v, w, w_ext, cfg16, None)
+    np.testing.assert_array_equal(np.asarray(via_dispatch), np.asarray(direct))
+
+    # same quantized inputs through the gather formulation: close (the two
+    # paths reduce at different shapes; bf16 intermediates widen the ulp)
+    gather = moc_slide_logits(
+        apply, params, f16, v, w, w_ext,
+        MOCConfig(n_classes=c, n_ext_classes=ce, feature_dim=d, topj=16,
+                  topk=8, score_dtype="bfloat16", exact_impl="gather"), None)
+    np.testing.assert_allclose(np.asarray(via_dispatch), np.asarray(gather),
+                               rtol=3e-2, atol=3e-2)
+
+    # and the tier tracks the exact f32 forward within quantization noise
+    exact = moc_slide_logits(
+        apply, params, f32, v, w, w_ext,
+        MOCConfig(n_classes=c, n_ext_classes=ce, feature_dim=d, topj=16,
+                  topk=8), None)
+    np.testing.assert_allclose(np.asarray(via_dispatch), np.asarray(exact),
+                               rtol=5e-2, atol=5e-2)
+
+
 def test_ablation_masked_matches_gather():
     """The masked ablation forward equals the gather formulation for every
     fusion mode."""
