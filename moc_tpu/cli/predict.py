@@ -92,33 +92,16 @@ def _load_weights(args, preset):
     return _build_weights(ns, preset)
 
 
-def main(argv=None) -> int:
-    args = get_args(argv)
-    setup_runtime(args)
-
+def build_predictor(args, preset):
+    """``(batch_logits, make_template, temperature)`` for the configured
+    model kind — the forward shared by ``cli.predict`` (batch scoring) and
+    ``cli.serve`` (long-running daemon). ``batch_logits(params, BagBatch)``
+    returns ``[B, C]`` logits; ``make_template(first_bag)`` a parameter
+    template for ``load_params``."""
     import jax
-    import numpy as np
-    import pandas as pd
-
-    from moc_tpu.config import PRESETS
-    from moc_tpu.data import BagLoader, SlideTable
-    from moc_tpu.data.batching import bucketize, pack_bags
-    from moc_tpu.metrics import roc_auc_host, softmax_probs
-    from moc_tpu.moc import MOCConfig, init_senet, make_episode_fns
-    from moc_tpu.utils.checkpoint import load_params
-
-    preset = PRESETS[args.dataset]
-    csv_path = args.csv or preset.csv_path("/nonexistent")  # vendored fallback
-    frame = pd.read_csv(csv_path, dtype=str)
-    labeled = "label" in frame.columns and frame["label"].isin(preset.label_dict).all()
-    if labeled:
-        table = SlideTable.from_frame(frame, preset.label_dict)
-    else:
-        frame = frame.copy()
-        frame["label"] = "?"
-        table = SlideTable.from_frame(frame, {"?": -1})
-
     import jax.numpy as jnp
+
+    from moc_tpu.moc import MOCConfig, init_senet, make_episode_fns
 
     if args.model_kind == "mil":
         # baseline MIL head: logits come straight from the trained model
@@ -155,6 +138,68 @@ def main(argv=None) -> int:
         def make_template(first_bag):
             return init_senet(jax.random.PRNGKey(0), cfg)[1]
 
+    return batch_logits, make_template, temperature
+
+
+def score_bags(jit_logits, params, bags, *, batch_size, n_classes,
+               temperature, dtype, with_labels=False):
+    """Bucketize + pad + score a list of bags → per-slide result rows
+    (shared by ``cli.predict`` and ``cli.serve``)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from moc_tpu.data.batching import bucketize, pack_bags
+    from moc_tpu.metrics import softmax_probs
+
+    rows = []
+    for n_pad, group in sorted(bucketize(bags).items()):
+        for i in range(0, len(group), batch_size):
+            chunk = group[i : i + batch_size]
+            real = len(chunk)
+            while len(chunk) < batch_size:
+                chunk = chunk + [dataclasses.replace(chunk[0], label=-1)]
+            batch = pack_bags(chunk, n_pad=n_pad, dtype=dtype)
+            logits = np.asarray(jit_logits(params, batch))
+            probs = np.asarray(softmax_probs(jnp.asarray(logits), temperature))
+            for b in range(real):
+                row = {"slide_id": chunk[b].slide_id,
+                       "pred": int(np.argmax(logits[b]))}
+                if with_labels:
+                    row["label"] = int(chunk[b].label)
+                for c in range(n_classes):
+                    row[f"prob_{c}"] = float(probs[b, c])
+                rows.append(row)
+    return rows
+
+
+def main(argv=None) -> int:
+    args = get_args(argv)
+    setup_runtime(args)
+
+    import jax
+    import numpy as np
+    import pandas as pd
+
+    from moc_tpu.config import PRESETS
+    from moc_tpu.data import BagLoader, SlideTable
+    from moc_tpu.metrics import roc_auc_host
+    from moc_tpu.utils.checkpoint import load_params
+
+    preset = PRESETS[args.dataset]
+    csv_path = args.csv or preset.csv_path("/nonexistent")  # vendored fallback
+    frame = pd.read_csv(csv_path, dtype=str)
+    labeled = "label" in frame.columns and frame["label"].isin(preset.label_dict).all()
+    if labeled:
+        table = SlideTable.from_frame(frame, preset.label_dict)
+    else:
+        frame = frame.copy()
+        frame["label"] = "?"
+        table = SlideTable.from_frame(frame, {"?": -1})
+
+    import jax.numpy as jnp
+
+    batch_logits, make_template, temperature = build_predictor(args, preset)
+
     if not len(table):
         raise SystemExit("the slide CSV parsed to zero rows — check its "
                          "slide_id/label columns and the label dict")
@@ -173,27 +218,12 @@ def main(argv=None) -> int:
             f"slide_id column (expected <slide_id>.h5/.pt files)")
     params = load_params(args.model, make_template(bags[0]))
 
-    rows = []
     jit_logits = jax.jit(batch_logits)
     bag_dtype = (jnp.bfloat16 if args.storage_dtype == "bfloat16"
                  else jnp.float32)
-    for n_pad, group in sorted(bucketize(bags).items()):
-        for i in range(0, len(group), args.batch_size):
-            chunk = group[i : i + args.batch_size]
-            real = len(chunk)
-            while len(chunk) < args.batch_size:
-                chunk = chunk + [dataclasses.replace(chunk[0], label=-1)]
-            batch = pack_bags(chunk, n_pad=n_pad, dtype=bag_dtype)
-            logits = np.asarray(jit_logits(params, batch))
-            probs = np.asarray(softmax_probs(jnp.asarray(logits), temperature))
-            for b in range(real):
-                row = {"slide_id": chunk[b].slide_id,
-                       "pred": int(np.argmax(logits[b]))}
-                if labeled:
-                    row["label"] = int(chunk[b].label)
-                for c in range(preset.n_classes):
-                    row[f"prob_{c}"] = float(probs[b, c])
-                rows.append(row)
+    rows = score_bags(jit_logits, params, bags, batch_size=args.batch_size,
+                      n_classes=preset.n_classes, temperature=temperature,
+                      dtype=bag_dtype, with_labels=labeled)
 
     out = pd.DataFrame(rows)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

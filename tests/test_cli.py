@@ -327,6 +327,75 @@ def test_extract_features_debug_pipeline(tmp_path):
 
 
 @pytest.mark.slow
+def test_serve_cli(tmp_path):
+    """Serving daemon: watch mode drains a backlog into the CSV once
+    (restart-idempotent), picks up late-arriving bags, and the stdin
+    protocol answers per line — errors reported inline, not fatal."""
+    import pandas as pd
+
+    from moc_tpu.cli import serve
+    from moc_tpu.data import make_synthetic_corpus
+    from moc_tpu.data.synthetic import SyntheticWSIConfig
+    from moc_tpu.moc import MOCConfig, init_senet
+    from moc_tpu.utils.checkpoint import save_params
+
+    root = tmp_path / "corpus"
+    cfg_data = SyntheticWSIConfig(slides_per_class=4, min_patches=120,
+                                  max_patches=300, dim=64, seed=5, signal=0.9)
+    corpus = make_synthetic_corpus(str(root), cfg_data, shots=(1,), n_folds=1,
+                                   val_per_class=1, test_per_class=1)
+    np.savez(tmp_path / "w.npz", weights=corpus["weights"])
+    np.savez(tmp_path / "we.npz", weights=corpus["weights_ext"])
+    cfg = MOCConfig(n_classes=2, n_ext_classes=6, feature_dim=64)
+    _, params = init_senet(jax.random.PRNGKey(0), cfg)
+    model_path = str(tmp_path / "model.msgpack")
+    save_params(model_path, params)
+
+    out = str(tmp_path / "served.csv")
+    base = ["--platform", "cpu", "--dataset", "nsclc", "--model", model_path,
+            "--weights_npz", str(tmp_path / "w.npz"),
+            "--weights_ext_npz", str(tmp_path / "we.npz"),
+            "--topj", "32", "--out", out,
+            "--watch_dir", corpus["data_dir"], "--once"]
+    assert serve.main(base) == 0
+    got = pd.read_csv(out)
+    assert len(got) == 8  # 4/class
+    assert {"slide_id", "pred", "prob_0", "prob_1"} <= set(got.columns)
+
+    # restart over the same dir: nothing new, no duplicate rows
+    assert serve.main(base) == 0
+    assert len(pd.read_csv(out)) == 8
+
+    # a bag that arrives later is picked up on the next drain
+    h5s = sorted(glob.glob(os.path.join(corpus["data_dir"], "h5_files", "*.h5")))
+    import shutil
+
+    new_bag = os.path.join(corpus["data_dir"], "h5_files", "late_slide.h5")
+    shutil.copy(h5s[0], new_bag)
+    assert serve.main(base) == 0
+    got = pd.read_csv(out)
+    assert len(got) == 9 and "late_slide" in set(got["slide_id"])
+    # the copy must score identically to its source
+    src = os.path.splitext(os.path.basename(h5s[0]))[0]
+    a = got[got.slide_id == src].iloc[0]
+    b = got[got.slide_id == "late_slide"].iloc[0]
+    assert a["pred"] == b["pred"]
+    np.testing.assert_allclose(a[["prob_0", "prob_1"]].astype(float),
+                               b[["prob_0", "prob_1"]].astype(float), atol=1e-5)
+
+    # stdin protocol: one JSON-able dict per line; bad lines stay non-fatal
+    args = serve.get_args(base[:-3] + ["--from_stdin",
+                                       "--feature_dir", corpus["data_dir"]])
+    serve.setup_runtime(args)
+    server = serve.Server(args)
+    lines = [h5s[0], src, "missing_slide", ""]
+    results = list(serve.serve_stream(server, lines, corpus["data_dir"]))
+    assert len(results) == 3  # blank line skipped
+    assert results[0]["pred"] == results[1]["pred"] == int(a["pred"])
+    assert "error" in results[2]
+
+
+@pytest.mark.slow
 def test_sweep_cli_device_pool_cache_reuse(tmp_path, monkeypatch):
     """Two in-process fused-sweep invocations over the same corpus: the
     second must HIT the device-resident pool cache (utils.device_cache) —
