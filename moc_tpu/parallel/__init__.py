@@ -18,6 +18,7 @@ from moc_tpu.parallel.mesh import (
     AXIS_EXPERT,
     AXIS_SEQ,
     AXIS_TENSOR,
+    make_hybrid_mesh,
     make_mesh,
     shard_spec,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "AXIS_EXPERT",
     "AXIS_SEQ",
     "AXIS_TENSOR",
+    "make_hybrid_mesh",
     "make_mesh",
     "shard_spec",
     "dilated_attention",

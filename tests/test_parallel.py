@@ -30,6 +30,55 @@ def test_make_mesh_fill():
     assert mesh.shape["data"] == len(jax.devices()) // 2
 
 
+def test_hybrid_mesh_ici_axes_stay_in_slice():
+    # simulate 2 DCN slices of 4 devices each on the virtual 8-CPU mesh:
+    # walking any ICI axis must never change the (contiguous-group) slice id
+    devs = jax.devices()
+    from moc_tpu.parallel import make_hybrid_mesh
+
+    hm = make_hybrid_mesh({"data": 2, "tensor": 2, "expert": 2},
+                          dcn_axes=("data",), num_slices=2)
+    assert hm.axis_names == ("data", "tensor", "expert")
+    slice_of = {d: i // 4 for i, d in enumerate(devs)}
+    arr = hm.devices  # [data=2, tensor=2, expert=2]
+    # fixing the data coordinate pins the slice
+    for di in range(2):
+        ids = {slice_of[d] for d in arr[di].ravel()}
+        assert len(ids) == 1, f"ICI block {di} spans slices {ids}"
+    # the two data coordinates live on different slices
+    assert slice_of[arr[0, 0, 0]] != slice_of[arr[1, 0, 0]]
+
+
+def test_hybrid_mesh_fill_and_errors():
+    from moc_tpu.parallel import make_hybrid_mesh
+
+    hm = make_hybrid_mesh({"data": 2, "tensor": -1}, num_slices=2)
+    assert hm.shape["tensor"] == len(jax.devices()) // 2
+    with pytest.raises(ValueError, match="unknown mesh axes"):
+        make_hybrid_mesh({"pipe": 2}, num_slices=2)
+    with pytest.raises(ValueError, match="missing from axis_sizes"):
+        make_hybrid_mesh({"tensor": 2}, dcn_axes=("data",), num_slices=2)
+    with pytest.raises(ValueError, match="multiply to"):
+        # dcn axis sized 4 but only 2 slices
+        make_hybrid_mesh({"data": 4, "tensor": 2}, num_slices=2)
+    with pytest.raises(ValueError, match="do not split"):
+        make_hybrid_mesh({"data": 3, "tensor": -1}, num_slices=3)
+
+
+def test_hybrid_mesh_runs_sharded_psum():
+    from moc_tpu.parallel import make_hybrid_mesh
+
+    hm = make_hybrid_mesh({"data": 2, "tensor": 4}, num_slices=2)
+    x = jnp.arange(8.0).reshape(2, 4)
+    y = jax.jit(
+        shard_map(lambda a: jax.lax.psum(a, "tensor"),
+                  mesh=hm, in_specs=P("data", "tensor"),
+                  out_specs=P("data", None)),
+    )(x)
+    np.testing.assert_allclose(np.asarray(y)[:, 0],
+                               np.asarray(x).sum(axis=1))
+
+
 def test_dense_sparse_roundtrip():
     rng = np.random.default_rng(0)
     b, l, h, d = 2, 16, 4, 8
