@@ -52,13 +52,14 @@ def get_args(argv=None):
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--storage_dtype", default="float32",
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "int8"],
                    help="on-device dtype of the feature bags (serving tier): "
                         "bfloat16 halves HBM residency, host->device bytes, "
                         "and the eval wall's dominant feature read (measured "
-                        "1.41x on v5e at 16k patches). Quantizes the inputs "
-                        "— same approximation class as --score_dtype "
-                        "bfloat16; pair the two for best effect")
+                        "1.41x on v5e at 16k patches); int8 quarters them "
+                        "and scores W8A8 on the MXU's native int8 path "
+                        "(per-row dynamic scales). Quantizes the inputs — "
+                        "same approximation class as --score_dtype bfloat16")
     # weight matrices: cached .npz pair, or built from a CONCH checkpoint
     p.add_argument("--weights_npz", default=None)
     p.add_argument("--weights_ext_npz", default=None)
@@ -69,6 +70,23 @@ def get_args(argv=None):
                    help="capture a jax.profiler trace for the run")
     add_perf_flags(p)
     return p.parse_args(argv)
+
+
+def _storage_dtype(args):
+    """Resolve --storage_dtype, rejecting tiers the model kind can't score.
+
+    MIL heads consume raw feature rows (attention nets, Nystrom towers) with
+    no scaled-matmul formulation — int8 bags would need a full dequantized
+    copy, defeating the tier; bf16/f32 flow through them natively.
+    """
+    import jax.numpy as jnp
+
+    if args.storage_dtype == "int8":
+        if getattr(args, "model_kind", "moc") == "mil":
+            raise SystemExit("--storage_dtype int8 is a MOC serving tier; "
+                             "MIL heads take float bags (use bfloat16)")
+        return jnp.int8
+    return jnp.bfloat16 if args.storage_dtype == "bfloat16" else jnp.float32
 
 
 def _load_weights(args, preset):
@@ -219,8 +237,7 @@ def main(argv=None) -> int:
     params = load_params(args.model, make_template(bags[0]))
 
     jit_logits = jax.jit(batch_logits)
-    bag_dtype = (jnp.bfloat16 if args.storage_dtype == "bfloat16"
-                 else jnp.float32)
+    bag_dtype = _storage_dtype(args)
     rows = score_bags(jit_logits, params, bags, batch_size=args.batch_size,
                       n_classes=preset.n_classes, temperature=temperature,
                       dtype=bag_dtype, with_labels=labeled)

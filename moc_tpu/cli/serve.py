@@ -64,8 +64,10 @@ def get_args(argv=None):
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--storage_dtype", default="float32",
-                   choices=["float32", "bfloat16"],
-                   help="on-device bag dtype (see cli.predict)")
+                   choices=["float32", "bfloat16", "int8"],
+                   help="on-device bag dtype (see cli.predict; int8 also "
+                        "quarters the per-request transfer — the latency "
+                        "wall on tunnel/DCN-attached hosts)")
     p.add_argument("--weights_npz", default=None)
     p.add_argument("--weights_ext_npz", default=None)
     p.add_argument("--conch_checkpoint", default=None)
@@ -104,19 +106,17 @@ class Server:
 
     def __init__(self, args):
         import jax
-        import jax.numpy as jnp
 
-        from moc_tpu.cli.predict import build_predictor
+        from moc_tpu.cli.predict import _storage_dtype, build_predictor
         from moc_tpu.config import PRESETS
 
         self.args = args
         self.preset = PRESETS[args.dataset]
+        self.dtype = _storage_dtype(args)  # validate the tier before compile
         batch_logits, self._make_template, self.temperature = build_predictor(
             args, self.preset)
         self._jit_logits = jax.jit(batch_logits)
         self._params = None  # loaded lazily: the MIL template needs a bag
-        self.dtype = (jnp.bfloat16 if args.storage_dtype == "bfloat16"
-                      else jnp.float32)
 
     def _ensure_params(self, first_bag):
         if self._params is None:

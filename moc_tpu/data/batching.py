@@ -35,6 +35,9 @@ class BagBatch:
       labels:    ``[B]`` int32 slide labels (-1 when unknown).
       n_patches: ``[B]`` int32 true patch counts.
       coords:    ``[B, N, 2]`` int32 patch coordinates or None.
+      scales:    ``[B, N]`` f32 per-row dequantization scales when
+                 ``features`` is the int8-resident serving tier
+                 (``features ~= q * scales[..., None]``), else None.
     """
 
     features: jax.Array
@@ -42,6 +45,7 @@ class BagBatch:
     labels: jax.Array
     n_patches: jax.Array
     coords: jax.Array | None = None
+    scales: jax.Array | None = None
 
     @property
     def batch_size(self) -> int:
@@ -125,6 +129,13 @@ def pack_bags(
     from moc_tpu.data.native import pack_bags_native
 
     features, mask = pack_bags_native([b.features for b in bags], n_pad)
+    scales = None
+    if np.dtype(dtype) == np.int8:
+        # int8-resident serving tier: per-row symmetric quantization at pack
+        # time (pad rows are all-zero -> scale 0 -> dequant exactly 0)
+        from moc_tpu.ops.quant import quantize_rows_host
+
+        features, scales = quantize_rows_host(features)
     coords_list = []
     if with_coords:
         for b in bags:
@@ -155,6 +166,7 @@ def pack_bags(
         return BagBatch(
             features=features.astype(np.dtype(dtype), copy=False),
             mask=mask, labels=labels, n_patches=n_patches, coords=coords,
+            scales=scales,
         )
     return jax.device_put(BagBatch(
         features=jnp.asarray(features, dtype),
@@ -162,6 +174,7 @@ def pack_bags(
         labels=jnp.asarray(labels),
         n_patches=jnp.asarray(n_patches),
         coords=jnp.asarray(coords) if coords is not None else None,
+        scales=jnp.asarray(scales) if scales is not None else None,
     ))
 
 

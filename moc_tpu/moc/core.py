@@ -245,11 +245,17 @@ def ablation_slide_logits(
     return ops.topj_pooling(fused, sel.valid, cfg.topk)
 
 
-def _dense_views_weights(senet_apply, params, feats, w, w_ext, cfg: MOCConfig):
+def _dense_views_weights(senet_apply, params, feats, w, w_ext, cfg: MOCConfig,
+                         scales=None):
     """One-pass dense computation of every classifier view and the senet
     weights for ALL rows: the scoring matmuls and the senet's first layer
     share a single read of the ``[N, D]`` features (which dominate HBM
     traffic; separately they would stream the tensor twice).
+
+    ``scales`` (``[N]`` f32) marks the int8-resident serving tier: ``feats``
+    are per-row-quantized int8 and the fused matmul runs W8A8 on the MXU
+    (``ops.quant.int8_row_matmul`` — int32 accumulation, scales applied to
+    the small ``[N, C+...]`` result, never to the ``[N, D]`` operand).
 
     Returns ``(views [4, N, C], weights [N, 4], logits [N, C],
     logits_ext [N, C_ext])``.
@@ -261,7 +267,11 @@ def _dense_views_weights(senet_apply, params, feats, w, w_ext, cfg: MOCConfig):
     if fused_senet:
         cols.append(senet_p["Dense_0"]["kernel"])
     w_cat = jnp.concatenate(cols, axis=1)
-    if cfg.score_dtype == "bfloat16":
+    if scales is not None:
+        from moc_tpu.ops.quant import int8_row_matmul
+
+        out_all = int8_row_matmul(feats, scales, w_cat)
+    elif cfg.score_dtype == "bfloat16":
         out_all = (feats.astype(jnp.bfloat16) @ w_cat.astype(jnp.bfloat16)
                    ).astype(jnp.float32)
     else:
@@ -275,7 +285,12 @@ def _dense_views_weights(senet_apply, params, feats, w, w_ext, cfg: MOCConfig):
         weights = jax.nn.sigmoid(hidden @ senet_p["Dense_1"]["kernel"]
                                  + senet_p["Dense_1"]["bias"])  # [N, 4]
     elif senet_apply is not None:
-        weights = senet_apply(params, feats)  # [N, 4]
+        if scales is not None:
+            from moc_tpu.ops.quant import dequantize_rows
+
+            weights = senet_apply(params, dequantize_rows(feats, scales))
+        else:
+            weights = senet_apply(params, feats)  # [N, 4]
     else:  # senet-free caller (ablation fixed fusion)
         weights = None
     return views, weights, logits, logits_ext
@@ -290,6 +305,7 @@ def moc_slide_logits_masked(
     w_ext: jax.Array,
     cfg: MOCConfig,
     rng: jax.Array | None = None,
+    scales: jax.Array | None = None,
 ) -> jax.Array:
     """Exact MOC forward without gather/compaction (the default exact path).
 
@@ -312,7 +328,7 @@ def moc_slide_logits_masked(
         keep = jax.random.bernoulli(rng, 1.0 - cfg.drop_prob, (n,))
         valid = valid & keep
     views, weights, logits, logits_ext = _dense_views_weights(
-        senet_apply, params, feats, w, w_ext, cfg)
+        senet_apply, params, feats, w, w_ext, cfg, scales=scales)
     if cfg.approx_topk or cfg.select_method == "sort":
         union = ops.union_selection(logits, logits_ext, valid, cfg.topj,
                                     cfg.n_classes, cfg.discard, cfg.approx_topk)
@@ -333,6 +349,7 @@ def moc_slide_logits(
     w_ext: jax.Array,
     cfg: MOCConfig,
     rng: jax.Array | None = None,
+    scales: jax.Array | None = None,
 ) -> jax.Array:
     """Full MOC forward for one slide: pooled slide logits ``[C]``.
 
@@ -349,6 +366,17 @@ def moc_slide_logits(
     inputs (measured 1.41× on v5e at 16k patches — the eval wall is the
     HBM read of the features).
     """
+    if scales is not None:
+        # int8-resident serving tier: masked-only (there is no wider original
+        # to gather-and-re-score, and the W8A8 matmul IS the point); the
+        # gather/training formulation would have to materialize dequantized
+        # rows, re-paying the bytes the tier exists to avoid.
+        if rng is not None:
+            raise ValueError(
+                "int8-resident features are a serving tier: training "
+                "(rng != None) needs f32/bf16 bags")
+        return moc_slide_logits_masked(senet_apply, params, feats, valid,
+                                       w, w_ext, cfg, rng, scales=scales)
     use_masked = cfg.exact_impl == "masked" or (
         cfg.exact_impl == "auto" and rng is None
     )
@@ -422,6 +450,7 @@ def moc_slide_logits_dense(
     w_ext: jax.Array,
     cfg: MOCConfig,
     rng: jax.Array | None = None,
+    scales: jax.Array | None = None,
 ) -> jax.Array:
     """Selection-free MOC forward (the TPU "dense" fast path).
 
@@ -435,6 +464,6 @@ def moc_slide_logits_dense(
         keep = jax.random.bernoulli(rng, 1.0 - cfg.drop_prob, (n,))
         valid = valid & keep
     views, weights, _, _ = _dense_views_weights(
-        senet_apply, params, feats, w, w_ext, cfg)
+        senet_apply, params, feats, w, w_ext, cfg, scales=scales)
     fused = fuse_views(weights, views, cfg.include_flags())
     return ops.topj_pooling(fused, valid, cfg.topk)

@@ -141,7 +141,17 @@ def make_episode_fns(cfg: MOCConfig):
 
     @jax.jit
     def eval_batch(params, batch: BagBatch, w, w_ext):
-        """Pooled slide logits ``[B, C]`` for a padded eval chunk (no mask RNG)."""
+        """Pooled slide logits ``[B, C]`` for a padded eval chunk (no mask RNG).
+        Handles the int8-resident tier transparently (``batch.scales`` —
+        structure-level branch, so each tier compiles its own program)."""
+
+        if batch.scales is not None:
+            def per_slide_q(feats, valid, scale):
+                return slide_fn(model.apply, params, feats, valid, w, w_ext,
+                                cfg, None, scales=scale)
+
+            return jax.vmap(per_slide_q)(batch.features, batch.mask,
+                                         batch.scales)
 
         def per_slide(feats, valid):
             return slide_fn(model.apply, params, feats, valid, w, w_ext, cfg, None)
@@ -156,9 +166,23 @@ def make_episode_fns(cfg: MOCConfig):
         ``feats @ w_ext`` with ``n_fg = n_classes`` (the reference routes
         ``final_logits_ext`` with ``coords_list=args.n_classes``)."""
         pool_fn = ops.POOLING_REGISTRY[cfg.zs_pooling]
+        fg = cfg.zs_pooling in ops.FOREGROUND_POOLINGS
+
+        if batch.scales is not None:  # int8-resident tier (W8A8 matmul)
+            from moc_tpu.ops.quant import int8_row_matmul
+
+            def per_slide_q(feats, valid, scale):
+                if fg:
+                    return pool_fn(int8_row_matmul(feats, scale, w), valid,
+                                   cfg.topk)
+                return pool_fn(int8_row_matmul(feats, scale, w_ext), valid,
+                               cfg.topk, n_fg=cfg.n_classes)
+
+            return jax.vmap(per_slide_q)(batch.features, batch.mask,
+                                         batch.scales)
 
         def per_slide(feats, valid):
-            if cfg.zs_pooling in ops.FOREGROUND_POOLINGS:
+            if fg:
                 return pool_fn(feats @ w, valid, cfg.topk)
             return pool_fn(feats @ w_ext, valid, cfg.topk, n_fg=cfg.n_classes)
 

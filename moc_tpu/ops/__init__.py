@@ -30,6 +30,12 @@ from moc_tpu.ops.pooling import (
     FOREGROUND_POOLINGS,
     POOLING_REGISTRY,
 )
+from moc_tpu.ops.quant import (
+    dequantize_rows,
+    int8_row_matmul,
+    quantize_columns,
+    quantize_rows_host,
+)
 from moc_tpu.ops.selection import (
     select_topj,
     select_delta_softmax,
@@ -60,6 +66,10 @@ __all__ = [
     "topj_bottomk_irrel_delta_diff_pooling",
     "FOREGROUND_POOLINGS",
     "POOLING_REGISTRY",
+    "dequantize_rows",
+    "int8_row_matmul",
+    "quantize_columns",
+    "quantize_rows_host",
     "select_topj",
     "select_delta_softmax",
     "select_delta_diff",

@@ -253,6 +253,30 @@ def test_predict_cli(tmp_path):
     np.testing.assert_allclose(got_bf16[["prob_0", "prob_1"]],
                                ref[["prob_0", "prob_1"]], atol=0.05)
 
+    # int8-resident serving tier (W8A8 dynamic quant): same contract
+    out_int8 = str(tmp_path / "pred_int8.csv")
+    rc = predict_main(["--platform", "cpu", "--dataset", "nsclc",
+                       "--model", model_path, "--feature_dir", corpus["data_dir"],
+                       "--csv", csv_path, "--weights_npz", str(tmp_path / "w.npz"),
+                       "--weights_ext_npz", str(tmp_path / "we.npz"),
+                       "--topj", "32", "--storage_dtype", "int8",
+                       "--out", out_int8])
+    assert rc == 0
+    got_int8 = pd.read_csv(out_int8).set_index("slide_id")
+    ref8 = got.set_index("slide_id").loc[got_int8.index]
+    assert (got_int8["pred"] == ref8["pred"]).all()
+    np.testing.assert_allclose(got_int8[["prob_0", "prob_1"]],
+                               ref8[["prob_0", "prob_1"]], atol=0.05)
+
+    # ...but a MIL head rejects the int8 tier loudly (no float formulation)
+    with pytest.raises(SystemExit):
+        predict_main(["--platform", "cpu", "--dataset", "nsclc",
+                      "--model", mil_path, "--model_kind", "mil",
+                      "--model_type", "abmil", "--model_size", "small",
+                      "--feature_dir", corpus["data_dir"], "--csv", csv_path,
+                      "--storage_dtype", "int8",
+                      "--out", str(tmp_path / "nope.csv")])
+
     # unlabeled cohort: same CSV minus the label column -> no metrics, no crash
     frame.drop(columns=["label"]).to_csv(csv_path, index=False)
     out2 = str(tmp_path / "pred2.csv")
