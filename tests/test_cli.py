@@ -418,6 +418,19 @@ def test_serve_cli(tmp_path):
     assert results[0]["pred"] == results[1]["pred"] == int(a["pred"])
     assert "error" in results[2]
 
+    # the int8-resident tier serves the same predictions on this
+    # well-separated corpus (quantized inputs, exact int32 accumulation)
+    args8 = serve.get_args(base[:-3] + ["--from_stdin", "--storage_dtype",
+                                        "int8", "--feature_dir",
+                                        corpus["data_dir"]])
+    serve.setup_runtime(args8)
+    server8 = serve.Server(args8)
+    r8 = list(serve.serve_stream(server8, [h5s[0]], corpus["data_dir"]))
+    assert r8[0]["pred"] == int(a["pred"])
+    np.testing.assert_allclose(
+        [r8[0]["prob_0"], r8[0]["prob_1"]],
+        a[["prob_0", "prob_1"]].astype(float), atol=0.05)
+
 
 @pytest.mark.slow
 def test_sweep_cli_device_pool_cache_reuse(tmp_path, monkeypatch):
