@@ -103,7 +103,45 @@ def bench_jax() -> float:
                     iters=ITERS, repeats=8, reduce="median")
     sps = BATCH / t
     log(f"jax: {t * 1e3:.2f} ms/batch of {BATCH} -> {sps:.1f} slides/s")
+    _HEADLINE_CTX.update(eval_batch=eval_batch, params=params, w=w, w_ext=w_ext,
+                         feats=feats, mask=mask, t_f32=t)
     return sps
+
+
+_HEADLINE_CTX: dict = {}
+
+
+def bench_tiers() -> dict:
+    """Quantized-feature serving tiers at the headline operating point:
+    ms/batch for bf16- and int8-resident bags (same program family as the
+    headline's f32 masked path; see ``cli.predict --storage_dtype``).
+    Reuses the headline stage's arrays and timing."""
+    import jax.numpy as jnp
+
+    from moc_tpu.data.batching import BagBatch
+    from moc_tpu.ops import quantize_rows_host
+    from moc_tpu.utils import device_time
+
+    ctx = _HEADLINE_CTX
+    eval_batch, params, w, w_ext = (ctx["eval_batch"], ctx["params"],
+                                    ctx["w"], ctx["w_ext"])
+    base = dict(labels=jnp.zeros((BATCH,), jnp.int32),
+                n_patches=jnp.full((BATCH,), N_PATCHES, jnp.int32),
+                mask=jnp.asarray(ctx["mask"]))
+    q, s = quantize_rows_host(ctx["feats"])
+    arms = {
+        "bf16": BagBatch(features=jnp.asarray(ctx["feats"], jnp.bfloat16), **base),
+        "int8": BagBatch(features=jnp.asarray(q), scales=jnp.asarray(s), **base),
+    }
+    out = {"f32_ms": round(ctx["t_f32"] * 1e3, 3)}
+    for name, batch in arms.items():
+        t = device_time(lambda b: eval_batch(params, b, w, w_ext), batch,
+                        iters=ITERS, repeats=4, reduce="median")
+        out[f"{name}_ms"] = round(t * 1e3, 3)
+        out[f"{name}_x"] = round(ctx["t_f32"] / t, 2)
+        log(f"tier {name}: {t * 1e3:.3f} ms/batch-{BATCH} "
+            f"({ctx['t_f32'] / t:.2f}x vs f32)")
+    return out
 
 
 def _reference_modules():
@@ -360,6 +398,14 @@ def main() -> None:
         "platform": _PLATFORM,
         "sweep": None,
     }
+
+    # Serving-tier stage: bf16/int8-resident speedups at the headline point
+    # (cheap — the arrays and f32 timing are reused from the headline stage)
+    if os.environ.get("MOC_BENCH_TIERS", "1") != "0":
+        try:
+            payload["serving_tiers"] = bench_tiers()
+        except Exception as e:  # secondary metric must not kill the headline
+            log(f"tier bench failed: {e}")
 
     # Sweep stage: ALWAYS attempted (the north-star metric), but under its
     # own budget — a daemon thread is the only way to abandon a compile
