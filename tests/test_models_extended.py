@@ -103,8 +103,8 @@ def test_moe_adapter_balance_loss():
     assert pooled.shape == (3,)
     # reference semantics (SwitchGate.forward): the Switch-Transformer loss
     # is computed on the top-1-MASKED gate scores — restate it in numpy
-    f = np.asarray(feats) / np.linalg.norm(np.asarray(feats), axis=-1,
-                                           keepdims=True)
+    norm = np.linalg.norm(np.asarray(feats), axis=-1, keepdims=True)
+    f = np.asarray(feats) / np.maximum(norm, 1e-12)  # pad rows: norm 0
     gk = np.asarray(p["params"]["gate"]["kernel"])
     logits = f @ gk
     probs = np.exp(logits - logits.max(-1, keepdims=True))
