@@ -71,6 +71,10 @@ def _load() -> ctypes.CDLL | None:
                 gp.argtypes = [ctypes.POINTER(pp), i64p, i64p, i64p,
                                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                                pp, ctypes.c_int]
+                qz = lib.quantize_rows_i8
+                qz.restype = None
+                qz.argtypes = [pp, ctypes.c_int64, ctypes.c_int64,
+                               ctypes.POINTER(ctypes.c_int8), pp, ctypes.c_int]
                 _lib = lib
         return _lib or None
 
@@ -122,6 +126,30 @@ def pack_bags_native(
         n_threads,
     )
     return out, mask.astype(bool)
+
+
+def quantize_rows_i8(x: np.ndarray, n_threads: int = 8
+                     ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native per-row symmetric int8 quantization of ``[..., N, D]`` f32
+    features → ``(q int8, scales f32[..., N])``; None when the native lib is
+    unavailable or the input isn't contiguous f32 (caller uses numpy).
+    Bit-identical to the numpy formulation (half-to-even rounding; tested).
+    """
+    lib = _load()
+    if lib is None or x.dtype != np.float32 or not x.flags.c_contiguous \
+            or x.ndim < 2:
+        return None
+    dim = x.shape[-1]
+    rows = int(np.prod(x.shape[:-1], dtype=np.int64))
+    q = np.empty(x.shape, np.int8)
+    scales = np.empty(x.shape[:-1], np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.quantize_rows_i8(
+        x.ctypes.data_as(fp), rows, dim,
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        scales.ctypes.data_as(fp), n_threads,
+    )
+    return q, scales
 
 
 def gather_pack_f32(srcs: Sequence[np.ndarray], ncols: Sequence[int],

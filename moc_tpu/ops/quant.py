@@ -37,10 +37,22 @@ def quantize_rows_host(features: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     approximating ``features``. All-zero rows (bag padding) get scale 0 so
     their dequantized value stays exactly 0.
     """
-    f = np.asarray(features, np.float32)
+    f = np.ascontiguousarray(np.asarray(features, np.float32))
+    if f.ndim >= 2:
+        # native single-pass kernel (bit-identical; the numpy formulation
+        # below streams the tensor ~4x through temporaries — on the serving
+        # path the quant step is ~25% of per-request latency)
+        from moc_tpu.data.native import quantize_rows_i8
+
+        native = quantize_rows_i8(f)
+        if native is not None:
+            return native
     absmax = np.max(np.abs(f), axis=-1)
-    scales = (absmax / 127.0).astype(np.float32)
-    inv = np.where(scales > 0, 1.0 / np.where(scales > 0, scales, 1.0), 0.0)
+    scales = absmax.astype(np.float32) / np.float32(127.0)
+    # all-f32 arithmetic so this fallback rounds bit-identically to the
+    # native kernel (an f64 inverse would shift half-to-even ties)
+    inv = np.float32(1.0) / np.where(scales > 0, scales, np.float32(1.0))
+    inv = np.where(scales > 0, inv.astype(np.float32), np.float32(0.0))
     q = np.clip(np.rint(f * inv[..., None]), -127, 127).astype(np.int8)
     return q, scales
 

@@ -9,6 +9,7 @@
 //
 // Build: see moc_tpu/data/native.py (g++ -O3 -shared -fPIC -pthread).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -111,6 +112,45 @@ void gather_pack_f32(const float** srcs, const int64_t* rows,
                   (size_t)cn * dim * sizeof(float));
       std::memset(row_out + (size_t)cn * dim, 0,
                   (size_t)(n_pad - cn) * dim * sizeof(float));
+    }
+  });
+}
+
+// Per-row symmetric int8 quantization (the --storage_dtype int8 serving
+// tier's host step): scales[r] = absmax(x[r])/127, q = clip(rint(x/scale)).
+// Fused absmax+quantize per row — each row stays in cache between the two
+// passes, where the numpy formulation streams the whole tensor ~4 times
+// through temporaries. rint matches numpy's half-to-even (nearbyintf under
+// the default FE_TONEAREST mode). All-zero rows get scale 0 / q 0 so the
+// dequantized value is exactly 0 (bag padding).
+void quantize_rows_i8(const float* x, int64_t n_rows, int64_t dim, int8_t* q,
+                      float* scales, int n_threads) {
+  // chunk rows so thread-spawn cost amortizes over many small rows
+  int64_t chunk = 64;
+  int64_t n_chunks = (n_rows + chunk - 1) / chunk;
+  parallel_for((int)n_chunks, n_threads, [&](int c) {
+    int64_t lo = (int64_t)c * chunk;
+    int64_t hi = lo + chunk < n_rows ? lo + chunk : n_rows;
+    for (int64_t r = lo; r < hi; ++r) {
+      const float* row = x + (size_t)r * dim;
+      float amax = 0.0f;
+      for (int64_t j = 0; j < dim; ++j) {
+        float a = row[j] < 0 ? -row[j] : row[j];
+        if (a > amax) amax = a;
+      }
+      float scale = amax / 127.0f;
+      scales[r] = scale;
+      int8_t* out = q + (size_t)r * dim;
+      if (scale == 0.0f) {
+        std::memset(out, 0, (size_t)dim);
+        continue;
+      }
+      float inv = 1.0f / scale;
+      for (int64_t j = 0; j < dim; ++j) {
+        float v = nearbyintf(row[j] * inv);
+        v = v < -127.0f ? -127.0f : (v > 127.0f ? 127.0f : v);
+        out[j] = (int8_t)v;
+      }
     }
   });
 }

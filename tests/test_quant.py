@@ -66,6 +66,43 @@ def test_int8_row_matmul_matches_numpy_reference():
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
+def test_native_quantizer_matches_numpy():
+    """The C++ single-pass quantizer is bit-identical to the all-f32 numpy
+    formulation (same rounding mode, same f32 arithmetic), incl. zero rows
+    and adversarial near-tie values."""
+    from moc_tpu.data.native import native_available, quantize_rows_i8
+
+    if not native_available():
+        pytest.skip("native lib unavailable (no compiler)")
+    rng = np.random.default_rng(7)
+    f = rng.normal(size=(96, 64)).astype(np.float32) * rng.uniform(
+        1e-3, 1e3, size=(96, 1)).astype(np.float32)
+    f[10] = 0.0
+    # adversarial: values that land exactly on quantization-grid midpoints
+    f[11] = np.linspace(-1, 1, 64, dtype=np.float32)
+    f[11, 0] = 1.0  # absmax 1 -> scale 1/127; many near-.5 products
+    native = quantize_rows_i8(np.ascontiguousarray(f))
+    assert native is not None
+    q_n, s_n = native
+
+    # numpy fallback (force it by bypassing the dispatch)
+    absmax = np.max(np.abs(f), axis=-1)
+    scales = absmax.astype(np.float32) / np.float32(127.0)
+    inv = np.float32(1.0) / np.where(scales > 0, scales, np.float32(1.0))
+    inv = np.where(scales > 0, inv.astype(np.float32), np.float32(0.0))
+    q = np.clip(np.rint(f * inv[..., None]), -127, 127).astype(np.int8)
+
+    np.testing.assert_array_equal(s_n, scales)
+    np.testing.assert_array_equal(q_n, q)
+
+    # 3D (batched) inputs flatten to rows
+    f3 = rng.normal(size=(3, 17, 32)).astype(np.float32)
+    q3, s3 = quantize_rows_i8(np.ascontiguousarray(f3))
+    q2, s2 = quantize_rows_i8(np.ascontiguousarray(f3.reshape(-1, 32)))
+    np.testing.assert_array_equal(q3.reshape(-1, 32), q2)
+    np.testing.assert_array_equal(s3.ravel(), s2)
+
+
 def test_dequantize_rows():
     rng = np.random.default_rng(2)
     f = rng.normal(size=(16, 8)).astype(np.float32)
