@@ -51,6 +51,11 @@ def get_args(argv=None):
     p.add_argument("--topj", type=int, default=400)
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each scoring batch over ALL visible devices "
+                        "(mesh 'data' axis) — cohort-scale throughput on a "
+                        "pod; batch_size is rounded up to a device-count "
+                        "multiple. The reference scores on one GPU only")
     p.add_argument("--storage_dtype", default="float32",
                    choices=["float32", "bfloat16", "int8"],
                    help="on-device dtype of the feature bags (serving tier): "
@@ -110,16 +115,37 @@ def _load_weights(args, preset):
     return _build_weights(ns, preset)
 
 
-def build_predictor(args, preset):
+def _serving_mesh():
+    """All visible devices as a 1-axis ``data`` mesh (batch sharding)."""
+    import numpy as np
+
+    import jax
+
+    devices = jax.devices()
+    if len(devices) <= 1:
+        return None
+    return jax.sharding.Mesh(np.array(devices), ("data",))
+
+
+def build_predictor(args, preset, mesh=None):
     """``(batch_logits, make_template, temperature)`` for the configured
     model kind — the forward shared by ``cli.predict`` (batch scoring) and
     ``cli.serve`` (long-running daemon). ``batch_logits(params, BagBatch)``
     returns ``[B, C]`` logits; ``make_template(first_bag)`` a parameter
-    template for ``load_params``."""
+    template for ``load_params``. With ``mesh``, the closed-over weight
+    matrices are replicated over it (batch inputs arrive sharded on the
+    ``data`` axis — see ``score_bags``)."""
     import jax
     import jax.numpy as jnp
 
     from moc_tpu.moc import MOCConfig, init_senet, make_episode_fns
+
+    def _replicate(x):
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.device_put(x, NamedSharding(mesh, PartitionSpec()))
 
     if args.model_kind == "mil":
         # baseline MIL head: logits come straight from the trained model
@@ -147,7 +173,7 @@ def build_predictor(args, preset):
                         topj=args.topj, topk=args.topk, feature_dim=w.shape[0],
                         **perf_cfg_kwargs(args))
         _, eval_batch, _ = make_episode_fns(cfg)
-        wj, wej = jnp.asarray(w), jnp.asarray(w_ext)
+        wj, wej = _replicate(jnp.asarray(w)), _replicate(jnp.asarray(w_ext))
         temperature = cfg.temperature
 
         def batch_logits(params, batch):
@@ -160,14 +186,32 @@ def build_predictor(args, preset):
 
 
 def score_bags(jit_logits, params, bags, *, batch_size, n_classes,
-               temperature, dtype, with_labels=False):
+               temperature, dtype, with_labels=False, mesh=None):
     """Bucketize + pad + score a list of bags → per-slide result rows
-    (shared by ``cli.predict`` and ``cli.serve``)."""
+    (shared by ``cli.predict`` and ``cli.serve``). With ``mesh``, each
+    padded batch is sharded over the ``data`` axis so every device scores
+    ``batch_size / n_devices`` slides (``batch_size`` must divide; the CLI
+    rounds it up)."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
     from moc_tpu.data.batching import bucketize, pack_bags
     from moc_tpu.metrics import softmax_probs
+
+    if mesh is not None and batch_size % mesh.size:
+        raise ValueError(f"batch_size {batch_size} does not divide over the "
+                         f"{mesh.size}-device data mesh")
+
+    def place(batch):
+        if mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.tree.map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh, P(*(["data"] + [None] * (x.ndim - 1))))),
+            batch)
 
     rows = []
     for n_pad, group in sorted(bucketize(bags).items()):
@@ -176,7 +220,8 @@ def score_bags(jit_logits, params, bags, *, batch_size, n_classes,
             real = len(chunk)
             while len(chunk) < batch_size:
                 chunk = chunk + [dataclasses.replace(chunk[0], label=-1)]
-            batch = pack_bags(chunk, n_pad=n_pad, dtype=dtype)
+            batch = place(pack_bags(chunk, n_pad=n_pad, dtype=dtype,
+                                    device_put=mesh is None))
             logits = np.asarray(jit_logits(params, batch))
             probs = np.asarray(softmax_probs(jnp.asarray(logits), temperature))
             for b in range(real):
@@ -216,7 +261,14 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
-    batch_logits, make_template, temperature = build_predictor(args, preset)
+    mesh = _serving_mesh() if args.data_parallel else None
+    batch_size = args.batch_size
+    if mesh is not None and batch_size % mesh.size:
+        batch_size = -(-batch_size // mesh.size) * mesh.size
+        print(f"data-parallel over {mesh.size} devices: batch_size rounded "
+              f"up to {batch_size}", file=sys.stderr)
+    batch_logits, make_template, temperature = build_predictor(args, preset,
+                                                               mesh=mesh)
 
     if not len(table):
         raise SystemExit("the slide CSV parsed to zero rows — check its "
@@ -235,12 +287,16 @@ def main(argv=None) -> int:
             f"{args.feature_dir!r} — check --feature_dir matches the CSV's "
             f"slide_id column (expected <slide_id>.h5/.pt files)")
     params = load_params(args.model, make_template(bags[0]))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        params = jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
 
     jit_logits = jax.jit(batch_logits)
     bag_dtype = _storage_dtype(args)
-    rows = score_bags(jit_logits, params, bags, batch_size=args.batch_size,
+    rows = score_bags(jit_logits, params, bags, batch_size=batch_size,
                       n_classes=preset.n_classes, temperature=temperature,
-                      dtype=bag_dtype, with_labels=labeled)
+                      dtype=bag_dtype, with_labels=labeled, mesh=mesh)
 
     out = pd.DataFrame(rows)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

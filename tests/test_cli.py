@@ -277,6 +277,23 @@ def test_predict_cli(tmp_path):
                       "--storage_dtype", "int8",
                       "--out", str(tmp_path / "nope.csv")])
 
+    # --data_parallel shards each batch over the 8-device CPU mesh; results
+    # must be identical to the single-device run (batch_size 6 exercises the
+    # round-up to 8; 10 slides exercise the filler-padded final batch)
+    out_dp = str(tmp_path / "pred_dp.csv")
+    rc = predict_main(["--platform", "cpu", "--dataset", "nsclc",
+                       "--model", model_path, "--feature_dir", corpus["data_dir"],
+                       "--csv", csv_path, "--weights_npz", str(tmp_path / "w.npz"),
+                       "--weights_ext_npz", str(tmp_path / "we.npz"),
+                       "--topj", "32", "--batch_size", "6", "--data_parallel",
+                       "--out", out_dp])
+    assert rc == 0
+    got_dp = pd.read_csv(out_dp).set_index("slide_id").sort_index()
+    ref_dp = got.set_index("slide_id").sort_index()
+    assert (got_dp["pred"] == ref_dp["pred"]).all()
+    np.testing.assert_allclose(got_dp[["prob_0", "prob_1"]],
+                               ref_dp[["prob_0", "prob_1"]], atol=1e-5)
+
     # unlabeled cohort: same CSV minus the label column -> no metrics, no crash
     frame.drop(columns=["label"]).to_csv(csv_path, index=False)
     out2 = str(tmp_path / "pred2.csv")
