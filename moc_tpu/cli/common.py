@@ -37,6 +37,21 @@ def setup_runtime(args: argparse.Namespace) -> None:
         atexit.register(jax.profiler.stop_trace)
 
 
+def serving_mesh():
+    """All visible devices as a 1-axis ``data`` mesh, or ``None`` on a
+    single device. The serving CLIs (``predict``, ``extract_features``)
+    use it for pure batch sharding: params replicated, inputs split on
+    ``data``, results elementwise-identical to the single-device run."""
+    import numpy as np
+
+    import jax
+
+    devices = jax.devices()
+    if len(devices) <= 1:
+        return None
+    return jax.sharding.Mesh(np.array(devices), ("data",))
+
+
 def add_perf_flags(p: argparse.ArgumentParser) -> None:
     g = p.add_argument_group("performance tiers")
     g.add_argument("--dense", action="store_true",

@@ -42,6 +42,12 @@ def get_args(argv=None):
     p.add_argument("--checkpoint", default=None,
                    help="CONCH/MUSK release checkpoint path")
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each image batch over ALL visible devices "
+                        "(tower params replicated) — the extraction step is "
+                        "the production pipeline's FLOPs bulk (a ViT over "
+                        "millions of patches); batch_size is rounded up to "
+                        "a device-count multiple")
     p.add_argument("--image_size", type=int, default=None,
                    help="default: 448 (conch) / 384 (musk) / 64 (debug)")
     p.add_argument("--normalize_embeddings",
@@ -67,14 +73,27 @@ def _default_image_size(backbone: str) -> int:
 
 
 def build_encoder(backbone: str, checkpoint: str | None, image_size: int,
-                  normalize: bool, bf16: bool, feature_dim: int = 512):
+                  normalize: bool, bf16: bool, feature_dim: int = 512,
+                  mesh=None):
     """``encode(images [B, S, S, 3] f32) -> np [B, D]`` on the accelerator.
 
     ``debug`` is a deterministic checkpoint-free random projection of the
     pixels — the full CLI pipeline without model weights (tests, dry runs).
+
+    With ``mesh`` (a 1-axis ``data`` mesh from ``cli.common.serving_mesh``),
+    tower params are replicated and each image batch is split on ``data`` —
+    pure batch sharding, elementwise-identical embeddings; ``B`` must be a
+    device-count multiple (the CLI rounds ``--batch_size`` up).
     """
     import jax
     import jax.numpy as jnp
+
+    def _replicate(params):
+        if mesh is None:
+            return params
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
 
     def _cast(params):
         """bf16 serving cast: params AND images must both drop to bfloat16 —
@@ -92,7 +111,7 @@ def build_encoder(backbone: str, checkpoint: str | None, image_size: int,
         from moc_tpu.zeroshot import load_conch
 
         model, params = load_conch(checkpoint, image_size=image_size)
-        params = _cast(params)
+        params = _replicate(_cast(params))
 
         @jax.jit
         def fn(images):
@@ -109,7 +128,7 @@ def build_encoder(backbone: str, checkpoint: str | None, image_size: int,
         from moc_tpu.zeroshot.convert_musk import load_musk
 
         model, params = load_musk(checkpoint, MuskConfig(image_size=image_size))
-        params = _cast(params)
+        params = _replicate(_cast(params))
 
         @jax.jit
         def fn(images):
@@ -131,7 +150,21 @@ def build_encoder(backbone: str, checkpoint: str | None, image_size: int,
                 emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True).clip(1e-12)
             return emb
 
-    return lambda images: np.asarray(fn(np.asarray(images, np.float32)))
+    if mesh is None:
+        return lambda images: np.asarray(fn(np.asarray(images, np.float32)))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sharding = NamedSharding(mesh, P("data", None, None, None))
+
+    def encode(images):
+        images = np.asarray(images, np.float32)
+        if images.shape[0] % mesh.size:
+            raise ValueError(f"batch {images.shape[0]} does not divide over "
+                             f"the {mesh.size}-device data mesh")
+        return np.asarray(fn(jax.device_put(images, batch_sharding)))
+
+    return encode
 
 
 def extract_slide(reader, encode, out_path: str, batch_size: int) -> int:
@@ -180,9 +213,14 @@ def extract_slide(reader, encode, out_path: str, batch_size: int) -> int:
 
 def main(argv=None) -> int:
     args = get_args(argv)
-    from moc_tpu.cli.common import setup_runtime
+    from moc_tpu.cli.common import serving_mesh, setup_runtime
 
     setup_runtime(args)
+    mesh = serving_mesh() if args.data_parallel else None
+    if mesh is not None and args.batch_size % mesh.size:
+        args.batch_size = -(-args.batch_size // mesh.size) * mesh.size
+        print(f"data-parallel over {mesh.size} devices: batch_size rounded "
+              f"up to {args.batch_size}", file=sys.stderr)
 
     from moc_tpu.data.patches import CoordPatchReader, PatchBagReader, list_bags
 
@@ -195,7 +233,7 @@ def main(argv=None) -> int:
     image_size = args.image_size or _default_image_size(args.backbone)
     transform = "musk" if args.backbone == "musk" else "clip"
     encode = build_encoder(args.backbone, args.checkpoint, image_size,
-                           args.normalize_embeddings, args.bf16)
+                           args.normalize_embeddings, args.bf16, mesh=mesh)
     out_h5 = os.path.join(args.out_dir, "h5_files")
     os.makedirs(out_h5, exist_ok=True)
 

@@ -26,7 +26,8 @@ import dataclasses
 import os
 import sys
 
-from moc_tpu.cli.common import add_perf_flags, perf_cfg_kwargs, setup_runtime
+from moc_tpu.cli.common import (add_perf_flags, perf_cfg_kwargs,
+                                serving_mesh, setup_runtime)
 
 
 def get_args(argv=None):
@@ -113,18 +114,6 @@ def _load_weights(args, preset):
         load_weight=True,
     )
     return _build_weights(ns, preset)
-
-
-def _serving_mesh():
-    """All visible devices as a 1-axis ``data`` mesh (batch sharding)."""
-    import numpy as np
-
-    import jax
-
-    devices = jax.devices()
-    if len(devices) <= 1:
-        return None
-    return jax.sharding.Mesh(np.array(devices), ("data",))
 
 
 def build_predictor(args, preset, mesh=None):
@@ -261,7 +250,7 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
-    mesh = _serving_mesh() if args.data_parallel else None
+    mesh = serving_mesh() if args.data_parallel else None
     batch_size = args.batch_size
     if mesh is not None and batch_size % mesh.size:
         batch_size = -(-batch_size // mesh.size) * mesh.size

@@ -366,6 +366,21 @@ def test_extract_features_debug_pipeline(tmp_path):
     after = {s: os.path.getmtime(out / "h5_files" / f"{s}.h5") for s in counts}
     assert before == after
 
+    # --data_parallel shards each image batch over the 8-device CPU mesh;
+    # embeddings must be identical to the single-device run (batch_size 60
+    # exercises the round-up to a device-count multiple)
+    out_dp = tmp_path / "features_dp"
+    rc = ef.main(["--patch_dir", str(tmp_path / "patches"),
+                  "--out_dir", str(out_dp), "--backbone", "debug",
+                  "--batch_size", "60", "--data_parallel",
+                  "--platform", "cpu"])
+    assert rc == 0
+    for slide in counts:
+        ref = read_bag_h5(str(out / "h5_files" / f"{slide}.h5"))
+        got = read_bag_h5(str(out_dp / "h5_files" / f"{slide}.h5"))
+        np.testing.assert_allclose(got.features, ref.features, atol=1e-6)
+        np.testing.assert_array_equal(got.coords, ref.coords)
+
 
 @pytest.mark.slow
 def test_serve_cli(tmp_path):
