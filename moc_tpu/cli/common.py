@@ -21,6 +21,12 @@ def setup_runtime(args: argparse.Namespace) -> None:
     invocation (stopped at interpreter exit via atexit); open the dir in
     TensorBoard/XProf for the device timeline with collective attribution
     (``utils.profiling``, SURVEY §5.1)."""
+    # multi-process pods: join the global runtime BEFORE any backend use.
+    # Env-driven (MOC_TPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID); a no-op
+    # in the ordinary single-process case.
+    from moc_tpu.parallel.runtime import initialize_runtime
+
+    initialize_runtime()
     if getattr(args, "platform", None):
         import jax
 

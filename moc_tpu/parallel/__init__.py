@@ -26,6 +26,12 @@ from moc_tpu.parallel.dilated import dilated_attention, DilatedConfig
 from moc_tpu.parallel.moe import MoEConfig, MoELayer, top1_gate, top2_gate, moe_dispatch_combine
 from moc_tpu.parallel.pipeline import pipeline_apply
 from moc_tpu.parallel.ring import ring_attention
+from moc_tpu.parallel.runtime import (
+    barrier,
+    broadcast_from_leader,
+    host_local_to_global,
+    initialize_runtime,
+)
 
 __all__ = [
     "AXIS_DATA",
@@ -42,6 +48,10 @@ __all__ = [
     "top1_gate",
     "top2_gate",
     "moe_dispatch_combine",
+    "barrier",
+    "broadcast_from_leader",
+    "host_local_to_global",
+    "initialize_runtime",
     "pipeline_apply",
     "ring_attention",
 ]
