@@ -34,9 +34,10 @@ def get_args(argv=None):
     p = argparse.ArgumentParser(description="MOC slide prediction")
     p.add_argument("--dataset", default="nsclc",
                    choices=["nsclc", "rcc", "ebrains12", "ebrains30"])
-    p.add_argument("--model", required=True,
+    p.add_argument("--model", default=None,
                    help="msgpack checkpoint: a MOC senet (best_model_*) or a "
-                        "trained MIL head (with --model_kind mil)")
+                        "trained MIL head (with --model_kind mil); not "
+                        "needed with --from_program")
     p.add_argument("--model_kind", default="moc", choices=["moc", "mil"],
                    help="moc = senet + zero-shot weight matrices; mil = a "
                         "baseline MIL head from train_mil (no weights needed)")
@@ -66,6 +67,20 @@ def get_args(argv=None):
                         "and scores W8A8 on the MXU's native int8 path "
                         "(per-row dynamic scales). Quantizes the inputs — "
                         "same approximation class as --score_dtype bfloat16")
+    p.add_argument("--export_program", default=None, metavar="PATH",
+                   help="export the scoring program (params + weight "
+                        "matrices baked in) as a jax.export StableHLO "
+                        "artifact and exit — deploy/serve it with "
+                        "--from_program / cli.serve --from_program, no "
+                        "model code or checkpoints needed (utils.export)")
+    p.add_argument("--export_min_pad", type=int, default=1024,
+                   help="padded-patch floor baked into the exported "
+                        "program's symbolic shape (one artifact serves "
+                        "every bucket size >= this)")
+    p.add_argument("--from_program", default=None, metavar="PATH",
+                   help="score from an exported program artifact instead "
+                        "of --model + weights (batch_size/dtype/temperature "
+                        "come from the artifact)")
     # weight matrices: cached .npz pair, or built from a CONCH checkpoint
     p.add_argument("--weights_npz", default=None)
     p.add_argument("--weights_ext_npz", default=None)
@@ -175,12 +190,14 @@ def build_predictor(args, preset, mesh=None):
 
 
 def score_bags(jit_logits, params, bags, *, batch_size, n_classes,
-               temperature, dtype, with_labels=False, mesh=None):
+               temperature, dtype, with_labels=False, mesh=None,
+               min_pad=0):
     """Bucketize + pad + score a list of bags → per-slide result rows
     (shared by ``cli.predict`` and ``cli.serve``). With ``mesh``, each
     padded batch is sharded over the ``data`` axis so every device scores
     ``batch_size / n_devices`` slides (``batch_size`` must divide; the CLI
-    rounds it up)."""
+    rounds it up). ``min_pad`` raises every bucket's padded length to at
+    least that (exported programs bake in a symbolic-shape floor)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -204,6 +221,7 @@ def score_bags(jit_logits, params, bags, *, batch_size, n_classes,
 
     rows = []
     for n_pad, group in sorted(bucketize(bags).items()):
+        n_pad = max(n_pad, min_pad)
         for i in range(0, len(group), batch_size):
             chunk = group[i : i + batch_size]
             real = len(chunk)
@@ -250,14 +268,39 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
-    mesh = serving_mesh() if args.data_parallel else None
-    batch_size = args.batch_size
-    if mesh is not None and batch_size % mesh.size:
-        batch_size = -(-batch_size // mesh.size) * mesh.size
-        print(f"data-parallel over {mesh.size} devices: batch_size rounded "
-              f"up to {batch_size}", file=sys.stderr)
-    batch_logits, make_template, temperature = build_predictor(args, preset,
-                                                               mesh=mesh)
+    program = None
+    if args.from_program:
+        if args.data_parallel:
+            raise SystemExit("--from_program artifacts are compiled "
+                             "single-device; drop --data_parallel (export "
+                             "is cheap — score live for mesh serving)")
+        from moc_tpu.utils.export import load_serving_program
+
+        program = load_serving_program(args.from_program)
+        if program.meta["n_classes"] != preset.n_classes:
+            raise SystemExit(
+                f"program was exported for {program.meta['n_classes']} "
+                f"classes (dataset {program.meta.get('dataset')!r}); "
+                f"--dataset {args.dataset} has {preset.n_classes}")
+        mesh = None
+        batch_size = program.meta["batch_size"]
+        temperature = program.meta["temperature"]
+        batch_logits, make_template = program.batch_logits, None
+        if args.batch_size != batch_size:
+            print(f"batch_size {batch_size} is baked into the program; "
+                  f"ignoring --batch_size {args.batch_size}", file=sys.stderr)
+    else:
+        if not args.model:
+            raise SystemExit("--model is required (or score from an "
+                             "artifact with --from_program)")
+        mesh = serving_mesh() if args.data_parallel else None
+        batch_size = args.batch_size
+        if mesh is not None and batch_size % mesh.size:
+            batch_size = -(-batch_size // mesh.size) * mesh.size
+            print(f"data-parallel over {mesh.size} devices: batch_size "
+                  f"rounded up to {batch_size}", file=sys.stderr)
+        batch_logits, make_template, temperature = build_predictor(
+            args, preset, mesh=mesh)
 
     if not len(table):
         raise SystemExit("the slide CSV parsed to zero rows — check its "
@@ -275,17 +318,54 @@ def main(argv=None) -> int:
             f"no feature bags found for {len(table)} slide ids under "
             f"{args.feature_dir!r} — check --feature_dir matches the CSV's "
             f"slide_id column (expected <slide_id>.h5/.pt files)")
-    params = load_params(args.model, make_template(bags[0]))
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
+    if program is not None:
+        params, jit_logits = None, batch_logits  # already compiled+baked
+        bag_dtype = jnp.dtype(program.meta["dtype"])
+        if args.storage_dtype not in ("float32", bag_dtype.name):
+            raise SystemExit(f"program was exported at storage dtype "
+                             f"{bag_dtype.name}; --storage_dtype "
+                             f"{args.storage_dtype} cannot apply")
+        min_pad = program.meta["min_pad"]
+    else:
+        params = load_params(args.model, make_template(bags[0]))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
 
-        params = jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
+            params = jax.device_put(params,
+                                    NamedSharding(mesh, PartitionSpec()))
+        jit_logits = jax.jit(batch_logits)
+        bag_dtype = _storage_dtype(args)
+        min_pad = 0
 
-    jit_logits = jax.jit(batch_logits)
-    bag_dtype = _storage_dtype(args)
+    if args.export_program:
+        from moc_tpu.utils.export import save_serving_program
+
+        if program is not None:
+            raise SystemExit("--export_program needs the live model, not "
+                             "--from_program")
+        if mesh is not None:
+            raise SystemExit("export is single-device; drop --data_parallel")
+        try:
+            meta = save_serving_program(
+                args.export_program, batch_logits, params,
+                batch_size=batch_size,
+                feature_dim=bags[0].features.shape[1],
+                min_pad=args.export_min_pad, dtype=bag_dtype,
+                meta=dict(temperature=temperature,
+                          n_classes=preset.n_classes, dataset=args.dataset,
+                          model_kind=args.model_kind, topj=args.topj,
+                          topk=args.topk))
+        except ValueError as e:
+            raise SystemExit(str(e)) from e
+        print(f"exported serving program → {args.export_program} "
+              f"(batch {meta['batch_size']}, n >= {meta['min_pad']}, "
+              f"{meta['dtype']}, platforms {meta['platforms']})")
+        return 0
+
     rows = score_bags(jit_logits, params, bags, batch_size=batch_size,
                       n_classes=preset.n_classes, temperature=temperature,
-                      dtype=bag_dtype, with_labels=labeled, mesh=mesh)
+                      dtype=bag_dtype, with_labels=labeled, mesh=mesh,
+                      min_pad=min_pad)
 
     out = pd.DataFrame(rows)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

@@ -41,9 +41,15 @@ def get_args(argv=None):
     p = argparse.ArgumentParser(description="MOC slide prediction daemon")
     p.add_argument("--dataset", default="nsclc",
                    choices=["nsclc", "rcc", "ebrains12", "ebrains30"])
-    p.add_argument("--model", required=True,
+    p.add_argument("--model", default=None,
                    help="msgpack checkpoint: a MOC senet (best_model_*) or a "
-                        "trained MIL head (with --model_kind mil)")
+                        "trained MIL head (with --model_kind mil); not "
+                        "needed with --from_program")
+    p.add_argument("--from_program", default=None, metavar="PATH",
+                   help="serve an exported jax.export artifact "
+                        "(cli.predict --export_program) instead of "
+                        "--model + weights — no model code, weights, or "
+                        "trace/compile at startup")
     p.add_argument("--model_kind", default="moc", choices=["moc", "mil"])
     p.add_argument("--model_type", default="clam_sb")
     p.add_argument("--model_size", default="conch")
@@ -107,11 +113,36 @@ class Server:
     def __init__(self, args):
         import jax
 
-        from moc_tpu.cli.predict import _storage_dtype, build_predictor
         from moc_tpu.config import PRESETS
 
         self.args = args
         self.preset = PRESETS[args.dataset]
+        self._min_pad = 0
+        self._program = None
+        if args.from_program:
+            import jax.numpy as jnp
+
+            from moc_tpu.utils.export import load_serving_program
+
+            self._program = load_serving_program(args.from_program)
+            meta = self._program.meta
+            if meta["n_classes"] != self.preset.n_classes:
+                raise SystemExit(
+                    f"program was exported for {meta['n_classes']} classes "
+                    f"(dataset {meta.get('dataset')!r}); --dataset "
+                    f"{args.dataset} has {self.preset.n_classes}")
+            self.dtype = jnp.dtype(meta["dtype"])
+            self.temperature = meta["temperature"]
+            self._jit_logits = self._program.batch_logits
+            self._min_pad = meta["min_pad"]
+            args.batch_size = meta["batch_size"]  # baked into the program
+            self._make_template = None
+            return
+        if not args.model:
+            raise SystemExit("--model is required (or serve an artifact "
+                             "with --from_program)")
+        from moc_tpu.cli.predict import _storage_dtype, build_predictor
+
         self.dtype = _storage_dtype(args)  # validate the tier before compile
         batch_logits, self._make_template, self.temperature = build_predictor(
             args, self.preset)
@@ -119,6 +150,8 @@ class Server:
         self._params = None  # loaded lazily: the MIL template needs a bag
 
     def _ensure_params(self, first_bag):
+        if self._program is not None:
+            return None  # baked into the exported program
         if self._params is None:
             from moc_tpu.utils.checkpoint import load_params
 
@@ -132,11 +165,14 @@ class Server:
 
         if not bags:
             return []
+        if self._program is not None:
+            batch_size = self.args.batch_size  # shape baked into the program
         params = self._ensure_params(bags[0])
         return score_bags(self._jit_logits, params, bags,
                           batch_size=batch_size or self.args.batch_size,
                           n_classes=self.preset.n_classes,
-                          temperature=self.temperature, dtype=self.dtype)
+                          temperature=self.temperature, dtype=self.dtype,
+                          min_pad=self._min_pad)
 
 
 def serve_stream(server: Server, lines, resolve_dir: str | None = None):

@@ -1,0 +1,140 @@
+"""AOT serving-program export (``utils.export`` + CLI wiring).
+
+The deployable-artifact path the reference lacks entirely: the compiled
+scoring closure (params + weight matrices baked in) serialized via
+``jax.export`` with a SYMBOLIC padded-patch dimension, reloaded with no
+model code, and required to match the live path bit-for-bit across bucket
+sizes.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _toy_setup(rng):
+    from moc_tpu.data.bags import Bag
+    from moc_tpu.moc import MOCConfig, init_senet, make_episode_fns
+
+    cfg = MOCConfig(n_classes=2, n_ext_classes=6, topj=32, topk=4,
+                    feature_dim=64)
+    _, eval_batch, _ = make_episode_fns(cfg)
+    _, params = init_senet(jax.random.PRNGKey(0), cfg)
+    w = jnp.asarray(rng.normal(size=(64, 2)).astype(np.float32))
+    we = jnp.asarray(rng.normal(size=(64, 6)).astype(np.float32))
+
+    def batch_logits(p, batch):
+        return eval_batch(p, batch, w, we)
+
+    bags = [Bag(slide_id=f"s{i}", label=0, coords=None,
+                features=rng.normal(size=(n, 64)).astype(np.float32))
+            for i, n in enumerate([100, 150, 90, 120])]
+    return batch_logits, params, bags
+
+
+def test_roundtrip_symbolic_pad(tmp_path):
+    """One artifact serves every padded length >= min_pad, bit-identically
+    to the live jitted path; metadata round-trips."""
+    from moc_tpu.data.batching import pack_bags
+    from moc_tpu.utils.export import (load_serving_program,
+                                      save_serving_program)
+
+    rng = np.random.default_rng(0)
+    batch_logits, params, bags = _toy_setup(rng)
+    path = str(tmp_path / "program.npz")
+    meta = save_serving_program(
+        path, batch_logits, params, batch_size=4, feature_dim=64,
+        min_pad=256, meta=dict(temperature=56.3477, n_classes=2))
+    assert meta["platforms"] == ["cpu", "tpu"] and meta["dtype"] == "float32"
+
+    prog = load_serving_program(path)
+    assert prog.meta["temperature"] == pytest.approx(56.3477)
+    for n_pad in (256, 512):  # two bucket sizes, one artifact
+        batch = pack_bags(bags, n_pad=n_pad, device_put=False)
+        live = batch_logits(params, batch)
+        from_artifact = prog.batch_logits(None, batch)
+        np.testing.assert_array_equal(np.asarray(from_artifact),
+                                      np.asarray(live))
+    # below the baked-in floor the artifact must refuse, not mis-score
+    with pytest.raises(Exception):
+        prog.call(np.zeros((4, 128, 64), np.float32),
+                  np.ones((4, 128), bool))
+
+
+def test_int8_tier_rejected(tmp_path):
+    from moc_tpu.utils.export import save_serving_program
+
+    rng = np.random.default_rng(1)
+    batch_logits, params, _ = _toy_setup(rng)
+    with pytest.raises(ValueError, match="int8"):
+        save_serving_program(str(tmp_path / "p.npz"), batch_logits, params,
+                             batch_size=4, feature_dim=64, dtype=jnp.int8)
+
+
+@pytest.mark.slow
+def test_export_cli_roundtrip(tmp_path):
+    """cli.predict --export_program -> --from_program and
+    cli.serve --from_program reproduce the live CSV exactly."""
+    import pandas as pd
+
+    from moc_tpu.cli.predict import main as predict_main
+    from moc_tpu.data import make_synthetic_corpus
+    from moc_tpu.data.synthetic import SyntheticWSIConfig
+    from moc_tpu.moc import MOCConfig, init_senet
+    from moc_tpu.utils.checkpoint import save_params
+
+    root = tmp_path / "corpus"
+    cfg_data = SyntheticWSIConfig(slides_per_class=5, min_patches=120,
+                                  max_patches=300, dim=64, seed=3, signal=0.9)
+    corpus = make_synthetic_corpus(str(root), cfg_data, shots=(1,), n_folds=1,
+                                   val_per_class=1, test_per_class=2)
+    frame = pd.read_csv(corpus["csv_path"], dtype=str)
+    frame["label"] = frame["label"].map({"0": "LUAD", "1": "LUSC"})
+    csv_path = str(tmp_path / "cohort.csv")
+    frame.to_csv(csv_path, index=False)
+    np.savez(tmp_path / "w.npz", weights=corpus["weights"])
+    np.savez(tmp_path / "we.npz", weights=corpus["weights_ext"])
+    cfg = MOCConfig(n_classes=2, n_ext_classes=6, feature_dim=64)
+    _, params = init_senet(jax.random.PRNGKey(0), cfg)
+    model_path = str(tmp_path / "model.msgpack")
+    save_params(model_path, params)
+
+    base = ["--platform", "cpu", "--dataset", "nsclc",
+            "--feature_dir", corpus["data_dir"], "--csv", csv_path,
+            "--topj", "32"]
+    live_out = str(tmp_path / "live.csv")
+    assert predict_main(base + ["--model", model_path,
+                                "--weights_npz", str(tmp_path / "w.npz"),
+                                "--weights_ext_npz", str(tmp_path / "we.npz"),
+                                "--out", live_out]) == 0
+
+    program = str(tmp_path / "program.npz")
+    assert predict_main(base + ["--model", model_path,
+                                "--weights_npz", str(tmp_path / "w.npz"),
+                                "--weights_ext_npz", str(tmp_path / "we.npz"),
+                                "--export_program", program,
+                                "--export_min_pad", "512"]) == 0
+    assert os.path.exists(program)
+
+    prog_out = str(tmp_path / "prog.csv")
+    assert predict_main(base + ["--from_program", program,
+                                "--out", prog_out]) == 0
+    live = pd.read_csv(live_out).set_index("slide_id").sort_index()
+    got = pd.read_csv(prog_out).set_index("slide_id").sort_index()
+    assert (got["pred"] == live["pred"]).all()
+    np.testing.assert_array_equal(got[["prob_0", "prob_1"]].to_numpy(),
+                                  live[["prob_0", "prob_1"]].to_numpy())
+
+    # serve daemon from the artifact: drain the corpus dir once, no --model
+    from moc_tpu.cli.serve import main as serve_main
+
+    served = str(tmp_path / "served.csv")
+    assert serve_main(["--platform", "cpu", "--dataset", "nsclc",
+                       "--from_program", program,
+                       "--watch_dir", corpus["data_dir"], "--once",
+                       "--out", served]) == 0
+    srv = pd.read_csv(served).set_index("slide_id").sort_index()
+    assert (srv["pred"] == live["pred"].loc[srv.index]).all()
