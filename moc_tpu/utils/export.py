@@ -61,9 +61,22 @@ def save_serving_program(path: str, batch_logits: Callable, params, *,
         return batch_logits(params, batch)
 
     n, = export.symbolic_shape("n", constraints=[f"n >= {min_pad}"])
-    exported = export.export(jax.jit(fn), platforms=tuple(platforms))(
-        jax.ShapeDtypeStruct((batch_size, n, feature_dim), dtype),
-        jax.ShapeDtypeStruct((batch_size, n), jnp.bool_))
+    try:
+        exported = export.export(jax.jit(fn), platforms=tuple(platforms))(
+            jax.ShapeDtypeStruct((batch_size, n, feature_dim), dtype),
+            jax.ShapeDtypeStruct((batch_size, n), jnp.bool_))
+    except TypeError as e:
+        raise ValueError(
+            "this forward cannot be traced with a symbolic patch dimension "
+            f"({e}) — architectures whose host-side shape math needs "
+            "concrete sizes (e.g. transmil's square padding) are not "
+            "exportable; serve them live") from e
+    except Exception as e:
+        if type(e).__name__ == "InconclusiveDimensionOperation":
+            raise ValueError(
+                f"symbolic export needs a higher padded-patch floor "
+                f"(min_pad={min_pad}): {e}") from e
+        raise
     full_meta = dict(meta or {})
     full_meta.update(
         format_version=FORMAT_VERSION, batch_size=batch_size,

@@ -64,6 +64,53 @@ def test_roundtrip_symbolic_pad(tmp_path):
                   np.ones((4, 128), bool))
 
 
+def test_mil_heads_export(tmp_path):
+    """MIL heads export too (abmil within compile-fusion float tolerance);
+    transmil's square-padding host math can't go symbolic and must be
+    rejected with a clear error, not a bare trace failure."""
+    from moc_tpu.data.bags import Bag
+    from moc_tpu.data.batching import pack_bags
+    from moc_tpu.train import MilTrainConfig, build_model
+    from moc_tpu.utils.export import (load_serving_program,
+                                      save_serving_program)
+
+    rng = np.random.default_rng(2)
+
+    def make(model_type):
+        cfg = MilTrainConfig(model_type=model_type, model_size="small",
+                             n_classes=2)
+        _, forward, init_fn = build_model(cfg)
+        params = init_fn(jax.random.PRNGKey(0), jnp.zeros((64, 512)),
+                         jnp.ones((64,), bool))
+
+        def batch_logits(p, batch):
+            return jax.vmap(lambda f, v: forward(p, f, v, None)[0])(
+                batch.features, batch.mask)
+
+        return batch_logits, params
+
+    batch_logits, params = make("abmil")
+    path = str(tmp_path / "abmil.npz")
+    save_serving_program(path, batch_logits, params, batch_size=2,
+                         feature_dim=512, min_pad=128,
+                         meta=dict(temperature=1.0, n_classes=2))
+    bags = [Bag(slide_id=f"s{i}", label=0, coords=None,
+                features=rng.normal(size=(n, 512)).astype(np.float32))
+            for i, n in enumerate([70, 100])]
+    prog = load_serving_program(path)
+    for n_pad in (128, 200):
+        batch = pack_bags(bags, n_pad=n_pad, device_put=False)
+        np.testing.assert_allclose(np.asarray(prog.batch_logits(None, batch)),
+                                   np.asarray(batch_logits(params, batch)),
+                                   atol=1e-5)
+
+    batch_logits, params = make("transmil")
+    with pytest.raises(ValueError, match="symbolic|concrete"):
+        save_serving_program(str(tmp_path / "t.npz"), batch_logits, params,
+                             batch_size=2, feature_dim=512, min_pad=128,
+                             meta=dict(temperature=1.0, n_classes=2))
+
+
 def test_int8_tier_rejected(tmp_path):
     from moc_tpu.utils.export import save_serving_program
 
