@@ -44,15 +44,21 @@ def setup_runtime(args: argparse.Namespace) -> None:
 
 
 def serving_mesh():
-    """All visible devices as a 1-axis ``data`` mesh, or ``None`` on a
-    single device. The serving CLIs (``predict``, ``extract_features``)
-    use it for pure batch sharding: params replicated, inputs split on
-    ``data``, results elementwise-identical to the single-device run."""
+    """Visible devices as a 1-axis ``data`` mesh, or ``None`` on a single
+    device. The serving CLIs (``predict``, ``extract_features``) use it for
+    pure batch sharding: params replicated, inputs split on ``data``,
+    results elementwise-identical to the single-device run.
+
+    In a multi-process runtime (``parallel.runtime``) this is the LOCAL
+    devices only: serving work is sharded by slide across processes (each
+    feeds its own inputs), so each process batches over its own chips —
+    a global mesh would require every process to feed identical batches."""
     import numpy as np
 
     import jax
 
-    devices = jax.devices()
+    devices = (jax.local_devices() if jax.process_count() > 1
+               else jax.devices())
     if len(devices) <= 1:
         return None
     return jax.sharding.Mesh(np.array(devices), ("data",))

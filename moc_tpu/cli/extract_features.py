@@ -230,6 +230,16 @@ def main(argv=None) -> int:
     slides = (list_bags(args.patch_dir, args.csv) if args.csv
               else sorted(os.path.splitext(f)[0] for f in os.listdir(h5_dir)
                           if f.endswith(".h5")))
+    import jax
+
+    if jax.process_count() > 1:
+        # multi-process pod (parallel.runtime): extraction is perfectly
+        # parallel by slide — each process takes a disjoint strided slice
+        # and writes its own per-slide bag files (atomic, no coordination)
+        pid, n = jax.process_index(), jax.process_count()
+        slides = slides[pid::n]
+        print(f"process {pid}/{n}: extracting {len(slides)} slides",
+              file=sys.stderr)
     image_size = args.image_size or _default_image_size(args.backbone)
     transform = "musk" if args.backbone == "musk" else "clip"
     encode = build_encoder(args.backbone, args.checkpoint, image_size,

@@ -64,32 +64,187 @@ _WORKER = textwrap.dedent("""
 """)
 
 
+# identical episode construction in the parent (single-process reference)
+# and the workers (sharded run) — exec'd in both so they cannot drift
+_EPISODE_SRC = textwrap.dedent("""
+    import numpy as np
+    import jax.numpy as jnp
+
+    def build_inputs():
+        from moc_tpu.moc import MOCConfig, StackedEpisode
+
+        e, b, n, d, c, ce = 8, 2, 128, 32, 2, 6
+        rng = np.random.default_rng(0)
+
+        def bags(m):
+            return (jnp.asarray(rng.normal(size=(e, m, n, d)).astype(np.float32)),
+                    jnp.asarray(np.ones((e, m, n), bool)),
+                    jnp.asarray(rng.integers(0, c, size=(e, m)).astype(np.int32)))
+
+        episodes = StackedEpisode(*bags(b), *bags(2), *bags(2))
+        w = rng.normal(size=(d, c)).astype(np.float32)
+        w_ext = rng.normal(size=(d, ce)).astype(np.float32)
+        cfg = MOCConfig(n_classes=c, n_ext_classes=ce, topj=8, topk=4,
+                        num_epochs=2, feature_dim=d)
+        return episodes, w, w_ext, cfg, b
+""")
+
+_SWEEP_WORKER = textwrap.dedent("""
+    import os, sys
+    pid, nproc, port, ref_path = (int(sys.argv[1]), int(sys.argv[2]),
+                                  sys.argv[3], sys.argv[4])
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["MOC_TPU_COORDINATOR"] = f"localhost:{port}"
+    os.environ["MOC_TPU_NUM_PROCESSES"] = str(nproc)
+    os.environ["MOC_TPU_PROCESS_ID"] = str(pid)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from moc_tpu.parallel import runtime
+    from moc_tpu.parallel.mesh import make_mesh
+
+    assert runtime.initialize_runtime()
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    exec(open(os.environ["EPISODE_SRC"]).read())
+    episodes, w, w_ext, cfg, b = build_inputs()
+    from moc_tpu.moc import run_sweep
+
+    mesh = make_mesh({"data": -1})          # all 8 devices, both processes
+    assert mesh.size == 8
+    res = run_sweep(episodes, w, w_ext, cfg, repeat_num=b, mesh=mesh)
+
+    def fetch(x):  # replicate -> every process holds the full result
+        rep = jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))
+        return np.asarray(jax.device_get(rep(x)))
+
+    ref = np.load(ref_path)
+    np.testing.assert_allclose(fetch(res.best_val_auc), ref["best_val_auc"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(fetch(res.test_auc_at_best),
+                               ref["test_auc_at_best"], rtol=1e-4, atol=1e-5)
+    print(f"WORKER_SWEEP_OK pid={pid}")
+""")
+
+_EXTRACT_WORKER = textwrap.dedent("""
+    import os, sys
+    pid, nproc, port, patch_dir, out_dir = (int(sys.argv[1]), int(sys.argv[2]),
+                                            sys.argv[3], sys.argv[4], sys.argv[5])
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["MOC_TPU_COORDINATOR"] = f"localhost:{port}"
+    os.environ["MOC_TPU_NUM_PROCESSES"] = str(nproc)
+    os.environ["MOC_TPU_PROCESS_ID"] = str(pid)
+    from moc_tpu.cli import extract_features as ef
+
+    # setup_runtime inside main() joins the runtime from the env vars;
+    # slides are then process-sharded and batches local-device-sharded
+    rc = ef.main(["--patch_dir", patch_dir, "--out_dir", out_dir,
+                  "--backbone", "debug", "--batch_size", "6",
+                  "--data_parallel", "--platform", "cpu"])
+    assert rc == 0
+    print(f"WORKER_EXTRACT_OK pid={pid}")
+""")
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_runtime(tmp_path):
-    script = tmp_path / "worker.py"
-    script.write_text(_WORKER)
-    port = _free_port()
+def _spawn_pair(script_path, extra_args, env_extra=None, timeout=600):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(__file__))
                          + os.pathsep + env.get("PYTHONPATH", ""))
+    env.update(env_extra or {})
+    port = _free_port()
     procs = [subprocess.Popen(
-        [sys.executable, str(script), str(i), "2", str(port)],
+        [sys.executable, str(script_path), str(i), "2", str(port)] + extra_args,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
         for i in range(2)]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=300)
-        outs.append(out)
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_runtime(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    outs = _spawn_pair(script, [], timeout=300)
+    for i, out in enumerate(outs):
         assert f"WORKER_OK pid={i} total=28.0" in out, out[-3000:]
+
+
+@pytest.mark.slow
+def test_two_process_sweep(tmp_path):
+    """The flagship fused MOC sweep, dp-sharded over a global mesh spanning
+    TWO OS processes, reproduces the single-process result — the pod
+    training path certified across real process boundaries."""
+    import numpy as np
+
+    ns: dict = {}
+    exec(compile(_EPISODE_SRC, "<episode_src>", "exec"), ns)
+    episodes, w, w_ext, cfg, b = ns["build_inputs"]()
+    from moc_tpu.moc import run_sweep
+
+    ref = run_sweep(episodes, w, w_ext, cfg, repeat_num=b)
+    ref_path = tmp_path / "ref.npz"
+    np.savez(ref_path, best_val_auc=np.asarray(ref.best_val_auc),
+             test_auc_at_best=np.asarray(ref.test_auc_at_best))
+    src_path = tmp_path / "episode_src.py"
+    src_path.write_text(_EPISODE_SRC)
+    script = tmp_path / "worker.py"
+    script.write_text(_SWEEP_WORKER)
+    outs = _spawn_pair(script, [str(ref_path)],
+                       env_extra={"EPISODE_SRC": str(src_path)})
+    for i, out in enumerate(outs):
+        assert f"WORKER_SWEEP_OK pid={i}" in out, out[-3000:]
+
+
+@pytest.mark.slow
+def test_two_process_extract(tmp_path):
+    """cli.extract_features on a 2-process runtime: slides process-sharded,
+    batches local-device-sharded, outputs identical to the single-process
+    run (debug backbone is deterministic and batch-size invariant)."""
+    import h5py
+    import numpy as np
+
+    from moc_tpu.cli import extract_features as ef
+    from moc_tpu.data.bags import read_bag_h5
+
+    patch_dir = tmp_path / "patches" / "h5_files"
+    patch_dir.mkdir(parents=True)
+    rng = np.random.default_rng(4)
+    counts = {"a": 9, "b": 40, "c": 17}
+    for slide, n in counts.items():
+        with h5py.File(patch_dir / f"{slide}.h5", "w") as f:
+            f.create_dataset("imgs", data=(rng.random((n, 32, 32, 3)) * 255)
+                             .astype(np.uint8))
+            f.create_dataset("coords", data=rng.integers(0, 999, (n, 2))
+                             .astype(np.int32))
+    ref_out = tmp_path / "ref"
+    assert ef.main(["--patch_dir", str(tmp_path / "patches"),
+                    "--out_dir", str(ref_out), "--backbone", "debug",
+                    "--batch_size", "6", "--platform", "cpu"]) == 0
+
+    script = tmp_path / "worker.py"
+    script.write_text(_EXTRACT_WORKER)
+    mp_out = tmp_path / "mp_out"
+    outs = _spawn_pair(script, [str(tmp_path / "patches"), str(mp_out)])
+    for i, out in enumerate(outs):
+        assert f"WORKER_EXTRACT_OK pid={i}" in out, out[-3000:]
+        # each process took a disjoint, non-empty strided slice
+        assert f"process {i}/2: extracting" in out, out[-3000:]
+    for slide, n in counts.items():
+        got = read_bag_h5(str(mp_out / "h5_files" / f"{slide}.h5"))
+        ref = read_bag_h5(str(ref_out / "h5_files" / f"{slide}.h5"))
+        assert got.features.shape == (n, 512)
+        np.testing.assert_allclose(got.features, ref.features, atol=1e-6)
 
 
 def test_single_process_noop(monkeypatch):
