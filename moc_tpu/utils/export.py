@@ -37,8 +37,10 @@ def save_serving_program(path: str, batch_logits: Callable, params, *,
 
     The exported callable takes ``(features [B, n, D], mask [B, n])`` with
     ``n`` symbolic (``n >= min_pad``); ``params`` and everything else
-    ``batch_logits`` closes over become baked-in constants. Returns the
-    full metadata dict written into the artifact.
+    ``batch_logits`` closes over become baked-in constants. The int8
+    serving tier exports as ``(features int8, scales [B, n] f32, mask)``
+    (its bags carry per-row dequantization scales). Returns the full
+    metadata dict written into the artifact.
     """
     import jax
     import jax.numpy as jnp
@@ -48,23 +50,29 @@ def save_serving_program(path: str, batch_logits: Callable, params, *,
     from moc_tpu.data.batching import BagBatch
 
     dtype = jnp.float32 if dtype is None else dtype
-    if jnp.dtype(dtype) == jnp.int8:
-        raise ValueError("int8-resident bags carry per-row scales; the "
-                         "exported (features, mask) signature covers the "
-                         "float32/bfloat16 tiers")
+    is_int8 = jnp.dtype(dtype) == jnp.int8
 
-    def fn(features, mask):
-        batch = BagBatch(
-            features=features, mask=mask,
+    def _batch(features, mask, scales=None):
+        return BagBatch(
+            features=features, mask=mask, scales=scales,
             labels=jnp.full((features.shape[0],), -1, jnp.int32),
             n_patches=mask.sum(axis=1).astype(jnp.int32))
-        return batch_logits(params, batch)
+
+    if is_int8:
+        def fn(features, scales, mask):
+            return batch_logits(params, _batch(features, mask, scales))
+    else:
+        def fn(features, mask):
+            return batch_logits(params, _batch(features, mask))
 
     n, = export.symbolic_shape("n", constraints=[f"n >= {min_pad}"])
+    specs = [jax.ShapeDtypeStruct((batch_size, n, feature_dim), dtype)]
+    if is_int8:
+        specs.append(jax.ShapeDtypeStruct((batch_size, n), jnp.float32))
+    specs.append(jax.ShapeDtypeStruct((batch_size, n), jnp.bool_))
     try:
         exported = export.export(jax.jit(fn), platforms=tuple(platforms))(
-            jax.ShapeDtypeStruct((batch_size, n, feature_dim), dtype),
-            jax.ShapeDtypeStruct((batch_size, n), jnp.bool_))
+            *specs)
     except TypeError as e:
         raise ValueError(
             "this forward cannot be traced with a symbolic patch dimension "
@@ -101,6 +109,8 @@ class ServingProgram:
         signature (``params`` ignored — they are baked into the program),
         so ``score_bags``/``Server`` run unchanged from an artifact."""
         del params
+        if self.meta["dtype"] == "int8":
+            return self.call(batch.features, batch.scales, batch.mask)
         return self.call(batch.features, batch.mask)
 
 

@@ -111,14 +111,29 @@ def test_mil_heads_export(tmp_path):
                              meta=dict(temperature=1.0, n_classes=2))
 
 
-def test_int8_tier_rejected(tmp_path):
-    from moc_tpu.utils.export import save_serving_program
+def test_int8_tier_export(tmp_path):
+    """The int8-resident serving tier exports with the (q, scales, mask)
+    signature and matches the live W8A8 path exactly."""
+    from moc_tpu.data.batching import pack_bags
+    from moc_tpu.utils.export import (load_serving_program,
+                                      save_serving_program)
 
     rng = np.random.default_rng(1)
-    batch_logits, params, _ = _toy_setup(rng)
-    with pytest.raises(ValueError, match="int8"):
-        save_serving_program(str(tmp_path / "p.npz"), batch_logits, params,
-                             batch_size=4, feature_dim=64, dtype=jnp.int8)
+    batch_logits, params, bags = _toy_setup(rng)
+    path = str(tmp_path / "p.npz")
+    save_serving_program(path, batch_logits, params, batch_size=4,
+                         feature_dim=64, min_pad=256, dtype=jnp.int8,
+                         meta=dict(temperature=56.3477, n_classes=2))
+    prog = load_serving_program(path)
+    assert prog.meta["dtype"] == "int8"
+    for n_pad in (256, 512):
+        batch = pack_bags(bags, n_pad=n_pad, dtype=jnp.int8,
+                          device_put=False)
+        assert batch.scales is not None
+        live = batch_logits(params, batch)
+        got = prog.batch_logits(None, batch)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(live),
+                                   atol=1e-5)
 
 
 @pytest.mark.slow
