@@ -125,5 +125,11 @@ def load_serving_program(path: str) -> ServingProgram:
     if meta.get("format_version") != FORMAT_VERSION:
         raise ValueError(f"unsupported program format "
                          f"{meta.get('format_version')!r} in {path!r}")
+    import jax
+
     exported = export.deserialize(blob)
-    return ServingProgram(call=exported.call, meta=meta)
+    # jit the call: without it every invocation re-traces and re-compiles
+    # the refined module (measured: minutes/run through a TPU tunnel); under
+    # jit each concrete bucket shape compiles once per process and lands in
+    # the persistent compilation cache like any other program
+    return ServingProgram(call=jax.jit(exported.call), meta=meta)
