@@ -306,8 +306,25 @@ def main(argv=None) -> int:
         raise SystemExit("the slide CSV parsed to zero rows — check its "
                          "slide_id/label columns and the label dict")
     loader = BagLoader(table, args.feature_dir)
+    shard_ids = None
+    if jax.process_count() > 1:
+        # multi-process pod (parallel.runtime): disjoint slide shard per
+        # process, per-process CSV (merge = concat; metrics print per shard)
+        pid, n = jax.process_index(), jax.process_count()
+        if args.export_program:
+            raise SystemExit("--export_program writes one artifact; run it "
+                             "single-process")
+        shard_ids = list(table.slide_ids)[pid::n]
+        root, ext = os.path.splitext(args.out)
+        args.out = f"{root}.proc{pid}{ext}"
+        print(f"process {pid}/{n}: scoring {len(shard_ids)} slides → "
+              f"{args.out}", file=sys.stderr)
+        if not shard_ids:  # more processes than slides: empty shard
+            pd.DataFrame(columns=["slide_id", "pred"]).to_csv(args.out,
+                                                              index=False)
+            return 0
     try:
-        bags = loader.read_all()
+        bags = loader.read_all(shard_ids)
     except (FileNotFoundError, OSError) as e:
         raise SystemExit(
             f"could not read feature bags under {args.feature_dir!r}: {e} — "
