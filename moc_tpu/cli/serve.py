@@ -195,14 +195,27 @@ def serve_stream(server: Server, lines, resolve_dir: str | None = None):
                    "error": str(e)}
 
 
+def _shard_owns(slide_id: str, shard: tuple[int, int] | None) -> bool:
+    """Stable ownership of a slide id on an (index, count) process shard —
+    content-hashed (not Python ``hash``, which is salted per process) so
+    every daemon in a multi-process pod claims a disjoint subset."""
+    if shard is None:
+        return True
+    import hashlib
+
+    index, count = shard
+    digest = hashlib.blake2b(slide_id.encode(), digest_size=8).digest()
+    return int.from_bytes(digest, "big") % count == index
+
+
 def watch_once(server: Server, watch_dir: str, out_csv: str,
-               seen: set[str]) -> int:
+               seen: set[str], shard: tuple[int, int] | None = None) -> int:
     """Score every not-yet-seen bag under ``watch_dir``; append to the CSV.
     Returns the number of new rows."""
     import pandas as pd
 
     backlog = {sid: p for sid, p in _discover(watch_dir).items()
-               if sid not in seen}
+               if sid not in seen and _shard_owns(sid, shard)}
     if not backlog:
         return 0
     bags = []
@@ -243,12 +256,24 @@ def main(argv=None) -> int:
             print(json.dumps(result), flush=True)
         return 0
 
+    import jax
+
+    shard = None
+    if jax.process_count() > 1:
+        # multi-process pod: each daemon owns a hash-disjoint id subset and
+        # appends to its own CSV (concatenate to merge)
+        pid, n = jax.process_index(), jax.process_count()
+        shard = (pid, n)
+        root, ext = os.path.splitext(args.out)
+        args.out = f"{root}.proc{pid}{ext}"
+        print(f"process {pid}/{n}: watching shard → {args.out}",
+              file=sys.stderr)
     seen = _seen_from_csv(args.out)
     if seen:
         print(f"resuming: {len(seen)} slides already in {args.out}",
               file=sys.stderr)
     while True:
-        n = watch_once(server, args.watch_dir, args.out, seen)
+        n = watch_once(server, args.watch_dir, args.out, seen, shard)
         if n:
             print(f"scored {n} new slides -> {args.out}", file=sys.stderr)
         if args.once:

@@ -382,6 +382,21 @@ def test_extract_features_debug_pipeline(tmp_path):
         np.testing.assert_array_equal(got.coords, ref.coords)
 
 
+def test_serve_shard_ownership():
+    """Watch-mode pod sharding: hash ownership is deterministic, disjoint,
+    complete, and roughly balanced (Python hash() is salted per process —
+    this must NOT be)."""
+    from moc_tpu.cli.serve import _shard_owns
+
+    ids = [f"slide_{i:04d}" for i in range(300)]
+    owned = [{s for s in ids if _shard_owns(s, (p, 3))} for p in range(3)]
+    assert set().union(*owned) == set(ids)
+    assert sum(len(o) for o in owned) == len(ids)  # disjoint
+    assert all(50 <= len(o) <= 150 for o in owned), [len(o) for o in owned]
+    assert owned[0] == {s for s in ids if _shard_owns(s, (0, 3))}  # stable
+    assert all(_shard_owns(s, None) for s in ids)
+
+
 @pytest.mark.slow
 def test_serve_cli(tmp_path):
     """Serving daemon: watch mode drains a backlog into the CSV once
