@@ -71,12 +71,19 @@ def get_args(argv=None):
 
 def _episode_mesh(n_episodes: int):
     """Largest whole-divisor slice of the visible devices as a ``data`` mesh
-    (episode-parallelism = the reference's process-per-GPU fan-out)."""
+    (episode-parallelism = the reference's process-per-GPU fan-out).
+
+    In a multi-process runtime this is the LOCAL devices: the sweep CLI
+    stays process-independent (results fetched/written host-side per
+    episode) — split shots/folds across hosts via ``--shots``/``--folds``;
+    the library path (``moc.run_sweep(mesh=...)``) is the global-mesh one
+    (certified across processes in ``tests/test_runtime.py``)."""
     import numpy as np
 
     import jax
 
-    devices = jax.devices()
+    devices = (jax.local_devices() if jax.process_count() > 1
+               else jax.devices())
     n = max(d for d in range(1, len(devices) + 1) if n_episodes % d == 0)
     if n <= 1:
         return None
