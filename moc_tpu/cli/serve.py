@@ -64,6 +64,14 @@ def get_args(argv=None):
                    help="CSV appended to in watch mode (header written once)")
     p.add_argument("--poll", type=float, default=2.0,
                    help="watch-mode poll interval seconds")
+    p.add_argument("--warmup", default=None, metavar="N1,N2",
+                   help="pre-compile the scoring program for these padded "
+                        "bucket sizes at startup (e.g. 2048,4096) so first "
+                        "requests never stall on a compile; with a warm "
+                        "persistent cache this is just executable loading")
+    p.add_argument("--warmup_dim", type=int, default=None,
+                   help="feature dim for --warmup when it cannot be "
+                        "inferred (inferred from --from_program metadata)")
     p.add_argument("--once", action="store_true",
                    help="watch mode: drain the backlog and exit")
     p.add_argument("--topj", type=int, default=400)
@@ -159,6 +167,27 @@ class Server:
                                        self._make_template(first_bag))
         return self._params
 
+    def warmup(self, pads, dim=None):
+        """Compile (or cache-load) the scoring program for each padded
+        bucket size before any real request arrives. A zero bag with
+        exactly ``n`` rows lands in bucket ``n``; its rows double as the
+        lazy-params shape template, so this works for every model kind."""
+        from moc_tpu.data.bags import Bag
+
+        import numpy as np
+
+        if dim is None and self._program is not None:
+            dim = self._program.meta["feature_dim"]
+        if dim is None:
+            raise SystemExit("--warmup needs --warmup_dim to size the dummy "
+                             "bags (only --from_program metadata carries it)")
+        for n in sorted(set(int(p) for p in pads)):
+            t0 = time.time()
+            bag = Bag(slide_id="__warmup__", label=-1, coords=None,
+                      features=np.zeros((n, dim), np.float32))
+            self.score([bag])
+            print(f"warmup n={n}: {time.time() - t0:.1f}s", file=sys.stderr)
+
     def score(self, bags, batch_size=None):
         """Bags → result rows (see ``cli.predict.score_bags``)."""
         from moc_tpu.cli.predict import score_bags
@@ -250,6 +279,9 @@ def main(argv=None) -> int:
     args = get_args(argv)
     setup_runtime(args)
     server = Server(args)
+    if args.warmup:
+        server.warmup([int(x) for x in args.warmup.split(",")],
+                      dim=args.warmup_dim)
 
     if args.from_stdin:
         for result in serve_stream(server, sys.stdin, args.feature_dir):

@@ -195,7 +195,7 @@ def test_export_cli_roundtrip(tmp_path):
 
     served = str(tmp_path / "served.csv")
     assert serve_main(["--platform", "cpu", "--dataset", "nsclc",
-                       "--from_program", program,
+                       "--from_program", program, "--warmup", "512",
                        "--watch_dir", corpus["data_dir"], "--once",
                        "--out", served]) == 0
     srv = pd.read_csv(served).set_index("slide_id").sort_index()
