@@ -9,6 +9,7 @@ on every entry point so the benchmarked tiers are user-reachable.
 from __future__ import annotations
 
 import argparse
+import sys
 
 
 def setup_runtime(args: argparse.Namespace) -> None:
@@ -62,6 +63,29 @@ def serving_mesh():
     if len(devices) <= 1:
         return None
     return jax.sharding.Mesh(np.array(devices), ("data",))
+
+
+def replicate_to_mesh(tree, mesh):
+    """Replicate a pytree of arrays onto every device of ``mesh`` (identity
+    when ``mesh`` is ``None``) — the placement for serving-CLI parameters
+    and closed-over weight matrices whose batches shard on ``data``."""
+    if mesh is None:
+        return tree
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.device_put(tree, NamedSharding(mesh, PartitionSpec()))
+
+
+def round_up_to_mesh(batch_size: int, mesh) -> int:
+    """Round ``batch_size`` up to a ``mesh``-device-count multiple so data
+    batches divide evenly (stderr note when it changes)."""
+    if mesh is None or batch_size % mesh.size == 0:
+        return batch_size
+    rounded = -(-batch_size // mesh.size) * mesh.size
+    print(f"data-parallel over {mesh.size} devices: batch_size rounded up "
+          f"to {rounded}", file=sys.stderr)
+    return rounded
 
 
 def add_perf_flags(p: argparse.ArgumentParser) -> None:

@@ -88,12 +88,10 @@ def build_encoder(backbone: str, checkpoint: str | None, image_size: int,
     import jax
     import jax.numpy as jnp
 
-    def _replicate(params):
-        if mesh is None:
-            return params
-        from jax.sharding import NamedSharding, PartitionSpec
+    from moc_tpu.cli.common import replicate_to_mesh
 
-        return jax.device_put(params, NamedSharding(mesh, PartitionSpec()))
+    def _replicate(params):
+        return replicate_to_mesh(params, mesh)
 
     def _cast(params):
         """bf16 serving cast: params AND images must both drop to bfloat16 —
@@ -213,14 +211,11 @@ def extract_slide(reader, encode, out_path: str, batch_size: int) -> int:
 
 def main(argv=None) -> int:
     args = get_args(argv)
-    from moc_tpu.cli.common import serving_mesh, setup_runtime
+    from moc_tpu.cli.common import round_up_to_mesh, serving_mesh, setup_runtime
 
     setup_runtime(args)
     mesh = serving_mesh() if args.data_parallel else None
-    if mesh is not None and args.batch_size % mesh.size:
-        args.batch_size = -(-args.batch_size // mesh.size) * mesh.size
-        print(f"data-parallel over {mesh.size} devices: batch_size rounded "
-              f"up to {args.batch_size}", file=sys.stderr)
+    args.batch_size = round_up_to_mesh(args.batch_size, mesh)
 
     from moc_tpu.data.patches import CoordPatchReader, PatchBagReader, list_bags
 

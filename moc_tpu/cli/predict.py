@@ -27,6 +27,7 @@ import os
 import sys
 
 from moc_tpu.cli.common import (add_perf_flags, perf_cfg_kwargs,
+                                replicate_to_mesh, round_up_to_mesh,
                                 serving_mesh, setup_runtime)
 
 
@@ -144,13 +145,6 @@ def build_predictor(args, preset, mesh=None):
 
     from moc_tpu.moc import MOCConfig, init_senet, make_episode_fns
 
-    def _replicate(x):
-        if mesh is None:
-            return x
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        return jax.device_put(x, NamedSharding(mesh, PartitionSpec()))
-
     if args.model_kind == "mil":
         # baseline MIL head: logits come straight from the trained model
         # (ref eval_utils.eval); temperature 1 (no CONCH logit scale)
@@ -177,7 +171,8 @@ def build_predictor(args, preset, mesh=None):
                         topj=args.topj, topk=args.topk, feature_dim=w.shape[0],
                         **perf_cfg_kwargs(args))
         _, eval_batch, _ = make_episode_fns(cfg)
-        wj, wej = _replicate(jnp.asarray(w)), _replicate(jnp.asarray(w_ext))
+        wj = replicate_to_mesh(jnp.asarray(w), mesh)
+        wej = replicate_to_mesh(jnp.asarray(w_ext), mesh)
         temperature = cfg.temperature
 
         def batch_logits(params, batch):
@@ -219,9 +214,15 @@ def score_bags(jit_logits, params, bags, *, batch_size, n_classes,
                 x, NamedSharding(mesh, P(*(["data"] + [None] * (x.ndim - 1))))),
             batch)
 
+    # clamp each bucket's padded length to min_pad BEFORE grouping: buckets
+    # that coincide after the raise merge into one group, so slides below
+    # the exported-program floor pack tightly instead of running extra
+    # part-filled batches at the same padded shape
+    buckets: dict[int, list] = {}
+    for n_pad, group in bucketize(bags).items():
+        buckets.setdefault(max(n_pad, min_pad), []).extend(group)
     rows = []
-    for n_pad, group in sorted(bucketize(bags).items()):
-        n_pad = max(n_pad, min_pad)
+    for n_pad, group in sorted(buckets.items()):
         for i in range(0, len(group), batch_size):
             chunk = group[i : i + batch_size]
             real = len(chunk)
@@ -294,11 +295,7 @@ def main(argv=None) -> int:
             raise SystemExit("--model is required (or score from an "
                              "artifact with --from_program)")
         mesh = serving_mesh() if args.data_parallel else None
-        batch_size = args.batch_size
-        if mesh is not None and batch_size % mesh.size:
-            batch_size = -(-batch_size // mesh.size) * mesh.size
-            print(f"data-parallel over {mesh.size} devices: batch_size "
-                  f"rounded up to {batch_size}", file=sys.stderr)
+        batch_size = round_up_to_mesh(args.batch_size, mesh)
         batch_logits, make_template, temperature = build_predictor(
             args, preset, mesh=mesh)
 
@@ -320,8 +317,13 @@ def main(argv=None) -> int:
         print(f"process {pid}/{n}: scoring {len(shard_ids)} slides → "
               f"{args.out}", file=sys.stderr)
         if not shard_ids:  # more processes than slides: empty shard
-            pd.DataFrame(columns=["slide_id", "pred"]).to_csv(args.out,
-                                                              index=False)
+            # same schema as non-empty shards so the documented
+            # concat-merge stays column-aligned
+            cols = ["slide_id", "pred"]
+            if labeled:
+                cols.append("label")
+            cols += [f"prob_{c}" for c in range(preset.n_classes)]
+            pd.DataFrame(columns=cols).to_csv(args.out, index=False)
             return 0
     try:
         bags = loader.read_all(shard_ids)
@@ -344,12 +346,8 @@ def main(argv=None) -> int:
                              f"{args.storage_dtype} cannot apply")
         min_pad = program.meta["min_pad"]
     else:
-        params = load_params(args.model, make_template(bags[0]))
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            params = jax.device_put(params,
-                                    NamedSharding(mesh, PartitionSpec()))
+        params = replicate_to_mesh(load_params(args.model,
+                                               make_template(bags[0])), mesh)
         jit_logits = jax.jit(batch_logits)
         bag_dtype = _storage_dtype(args)
         min_pad = 0

@@ -139,6 +139,12 @@ class Server:
                     f"program was exported for {meta['n_classes']} classes "
                     f"(dataset {meta.get('dataset')!r}); --dataset "
                     f"{args.dataset} has {self.preset.n_classes}")
+            if args.storage_dtype not in ("float32", meta["dtype"]):
+                # same rejection as cli.predict: the tier is baked into the
+                # exported program's input signature
+                raise SystemExit(
+                    f"program was exported at storage dtype {meta['dtype']}; "
+                    f"--storage_dtype {args.storage_dtype} cannot apply")
             self.dtype = jnp.dtype(meta["dtype"])
             self.temperature = meta["temperature"]
             self._jit_logits = self._program.batch_logits
@@ -224,6 +230,19 @@ def serve_stream(server: Server, lines, resolve_dir: str | None = None):
                    "error": str(e)}
 
 
+def _parse_warmup(spec: str) -> list[int]:
+    """``--warmup`` list parse, tolerant of stray commas/whitespace from
+    shell templating; a usage error, not a traceback, on junk."""
+    try:
+        pads = [int(x) for x in spec.replace(",", " ").split()]
+    except ValueError:
+        raise SystemExit(f"--warmup wants a comma-separated list of padded "
+                         f"sizes (e.g. 2048,4096); got {spec!r}")
+    if not pads:
+        raise SystemExit("--warmup got an empty pad list")
+    return pads
+
+
 def _shard_owns(slide_id: str, shard: tuple[int, int] | None) -> bool:
     """Stable ownership of a slide id on an (index, count) process shard —
     content-hashed (not Python ``hash``, which is salted per process) so
@@ -280,8 +299,7 @@ def main(argv=None) -> int:
     setup_runtime(args)
     server = Server(args)
     if args.warmup:
-        server.warmup([int(x) for x in args.warmup.split(",")],
-                      dim=args.warmup_dim)
+        server.warmup(_parse_warmup(args.warmup), dim=args.warmup_dim)
 
     if args.from_stdin:
         for result in serve_stream(server, sys.stdin, args.feature_dir):

@@ -89,7 +89,11 @@ def initialize_runtime(coordinator_address: str | None = None,
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:  # e.g. a framework launcher beat us to it
-        if "already initialized" not in str(e).lower():
+        # jax >= 0.4 wording: "distributed.initialize should only be called
+        # once"; older/other builds say "already initialized"
+        msg = str(e).lower()
+        if ("already initialized" not in msg
+                and "should only be called once" not in msg):
             raise
     _initialized = True
     return True

@@ -20,17 +20,33 @@ COORD=${MOC_TPU_COORDINATOR:-localhost:${MOC_TPU_PORT:-12355}}
 TOTAL=${MOC_TPU_NUM_PROCESSES:-$N}
 BASE=${MOC_TPU_BASE_RANK:-0}
 
+# Each rank runs in its OWN process group (setsid) so teardown reaches its
+# whole subtree, not just the immediate child.
+SETSID=""
+command -v setsid > /dev/null && SETSID="setsid"
+
 pids=()
 for i in $(seq 0 $((N - 1))); do
   MOC_TPU_COORDINATOR="$COORD" \
   MOC_TPU_NUM_PROCESSES="$TOTAL" \
   MOC_TPU_PROCESS_ID="$((BASE + i))" \
-  "$@" &
+  $SETSID "$@" &
   pids+=($!)
 done
 
+# Reap in completion order; on the FIRST failure kill the sibling groups so
+# a rank that died at startup (bad flag, import error) cannot leave the
+# others blocked forever inside jax.distributed.initialize / a collective.
 rc=0
-for p in "${pids[@]}"; do
-  wait "$p" || rc=1
+for _ in "${pids[@]}"; do
+  if ! wait -n; then
+    if [ "$rc" -eq 0 ]; then
+      rc=1
+      for p in "${pids[@]}"; do
+        if [ -n "$SETSID" ]; then kill -TERM -- "-$p" 2>/dev/null || true
+        else kill -TERM "$p" 2>/dev/null || true; fi
+      done
+    fi
+  fi
 done
 exit $rc

@@ -554,3 +554,60 @@ def test_sweep_cli_host_pool_cache(tmp_path, monkeypatch):
     assert sweep_cli.main(base) == 0
     assert reads["n"] == 1, reads
     sweep_cli._HOST_POOL_CACHE.clear()
+
+
+def test_score_bags_merges_buckets_under_min_pad():
+    """min_pad clamps bucket keys BEFORE grouping: slides below an exported
+    program's floor pack into the floor bucket's batches instead of running
+    extra part-filled forwards at the same padded shape."""
+    from moc_tpu.cli.predict import score_bags
+    from moc_tpu.data.bags import Bag
+
+    rng = np.random.default_rng(0)
+    bags = [Bag(slide_id=f"s{i}", label=0, coords=None,
+                features=rng.normal(size=(n, 8)).astype(np.float32))
+            for i, n in enumerate([100] * 7 + [900] * 7)]  # buckets 512+1024
+    calls = []
+
+    def fake_logits(params, batch):
+        calls.append(tuple(batch.features.shape))
+        return np.zeros((batch.features.shape[0], 2), np.float32)
+
+    rows = score_bags(fake_logits, None, bags, batch_size=8, n_classes=2,
+                      temperature=1.0, dtype=jnp.float32, min_pad=1024)
+    assert len(rows) == 14
+    assert len(calls) == 2, calls  # merged: 14 slides / batch 8 -> 2 batches
+    assert all(s[1] == 1024 for s in calls), calls
+    # without a floor the buckets stay separate (unchanged behavior)
+    calls.clear()
+    score_bags(fake_logits, None, bags, batch_size=8, n_classes=2,
+               temperature=1.0, dtype=jnp.float32, min_pad=0)
+    assert sorted(s[1] for s in calls) == [512, 1024]
+
+
+def test_parse_warmup():
+    """--warmup tolerates shell-templating junk and fails as a usage error,
+    never a traceback."""
+    from moc_tpu.cli.serve import _parse_warmup
+
+    assert _parse_warmup("2048,4096") == [2048, 4096]
+    assert _parse_warmup("2048, 4096,") == [2048, 4096]
+    with pytest.raises(SystemExit):
+        _parse_warmup("2048,abc")
+    with pytest.raises(SystemExit):
+        _parse_warmup(",")
+
+
+def test_pod_launch_kills_siblings_on_failure():
+    """pod_launch.sh: a rank that dies at startup must not leave siblings
+    blocked forever (torchrun-style group teardown + nonzero exit)."""
+    import time
+
+    script = os.path.join(REPO, "scripts", "pod_launch.sh")
+    t0 = time.time()
+    proc = subprocess.run(
+        [script, "2", "--", "sh", "-c",
+         'if [ "$MOC_TPU_PROCESS_ID" = "0" ]; then sleep 300; else exit 3; fi'],
+        timeout=120, capture_output=True)
+    assert proc.returncode != 0
+    assert time.time() - t0 < 60

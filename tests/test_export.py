@@ -200,3 +200,11 @@ def test_export_cli_roundtrip(tmp_path):
                        "--out", served]) == 0
     srv = pd.read_csv(served).set_index("slide_id").sort_index()
     assert (srv["pred"] == live["pred"].loc[srv.index]).all()
+
+    # a storage tier conflicting with the artifact's baked-in signature is
+    # rejected up front (same rule as cli.predict), not silently ignored
+    with pytest.raises(SystemExit, match="storage dtype"):
+        serve_main(["--platform", "cpu", "--dataset", "nsclc",
+                    "--from_program", program, "--storage_dtype", "int8",
+                    "--watch_dir", corpus["data_dir"], "--once",
+                    "--out", served])

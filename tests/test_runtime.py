@@ -341,3 +341,32 @@ def test_single_process_noop(monkeypatch):
     tree = {"a": np.arange(3), "b": 7}
     assert runtime.broadcast_from_leader(tree) is tree   # identity
     runtime.assert_same_across_processes(np.float32(1.0))
+
+
+def test_initialize_tolerates_prior_launcher(monkeypatch):
+    """A framework launcher that already called jax.distributed.initialize
+    must not crash the bootstrap: jax >= 0.4 raises 'distributed.initialize
+    should only be called once.' (older builds said 'already initialized';
+    both are tolerated)."""
+    import jax
+
+    from moc_tpu.parallel import runtime
+
+    monkeypatch.setattr(runtime, "_initialized", False)
+    monkeypatch.setenv("MOC_TPU_COORDINATOR", "localhost:1")
+
+    def already(**kw):
+        raise RuntimeError("distributed.initialize should only be called once.")
+
+    monkeypatch.setattr(jax.distributed, "initialize", already)
+    assert runtime.initialize_runtime() is True
+
+    # any OTHER RuntimeError still propagates
+    monkeypatch.setattr(runtime, "_initialized", False)
+
+    def broken(**kw):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", broken)
+    with pytest.raises(RuntimeError, match="unreachable"):
+        runtime.initialize_runtime()
