@@ -213,16 +213,20 @@ class Server:
 def serve_stream(server: Server, lines, resolve_dir: str | None = None):
     """stdin protocol: yield one result dict per input line (latency mode:
     batch of one). Unreadable inputs yield an ``error`` object instead of
-    killing the daemon."""
+    killing the daemon. Bare slide ids resolve against a cached directory
+    index, re-scanned only when an id is missing (new bags show up without
+    paying an O(dir) glob on every request)."""
+    index: dict[str, str] = {}
     for raw in lines:
         path = raw.strip()
         if not path:
             continue
         try:
             if not os.path.exists(path) and resolve_dir:
-                hits = _discover(resolve_dir)
-                if path in hits:
-                    path = hits[path]
+                if path not in index:
+                    index = _discover(resolve_dir)
+                if path in index:
+                    path = index[path]
             bag = _read_bag_path(path)
             yield server.score([bag], batch_size=1)[0]
         except Exception as e:  # keep serving: report the bad request

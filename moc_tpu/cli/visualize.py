@@ -1,0 +1,189 @@
+"""Zero-shot top-k patch visualization: bags → overlays, heatmaps, crops.
+
+The reference ships this as a user-facing script
+(``/root/reference/utils/conch_zs_topk_visual.py:100-295``): score every
+patch against the zero-shot classifier, take the top-k coordinates per
+class, draw class-colored rectangles on a thumbnail and crop the winning
+patches from the WSI. This CLI is that workflow over CLAM feature bags —
+OpenSlide-free by default (coordinate-grid rasters; raw-pixel crops only
+with ``--wsi_dir`` + OpenSlide installed).
+
+Per slide it writes into ``--out_dir``:
+
+* ``<slide>_topk.csv`` — class, rank, x, y, score rows (the reference's
+  printed coord lists, machine-readable)
+* ``<slide>_overlay.png`` — class-colored top-k rectangles on the patch
+  grid (ref thumbnail rectangles, lines 242-295)
+* ``<slide>_heatmap_c<cls>.png`` — per-class patch-score raster, one-hue
+  sequential ramp (light → dark), gray where no patch
+* ``<slide>_c<cls>_r<rank>.png`` — raw patch crops (only with --wsi_dir)
+
+  python -m moc_tpu.cli.visualize --feature_dir /data/features \
+      --weights_npz cache/weights_nsclc_conch.npz --out_dir viz/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="Zero-shot top-k visualization")
+    p.add_argument("--dataset", default="nsclc",
+                   choices=["nsclc", "rcc", "ebrains12", "ebrains30"])
+    p.add_argument("--feature_dir", required=True,
+                   help="CLAM feature dir ({h5_files,pt_files}); bags must "
+                        "carry coords (h5)")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--slides", nargs="*", default=None,
+                   help="slide ids to render (default: every bag found)")
+    p.add_argument("--topk", type=int, default=10,
+                   help="patches per class in the overlay/CSV (ref top-k)")
+    p.add_argument("--patch_size", type=int, default=256)
+    p.add_argument("--downsample", type=int, default=32,
+                   help="raster downsample vs level-0 coords")
+    p.add_argument("--temperature", type=float, default=56.3477,
+                   help="CONCH logit scale for the heatmap softmax scores")
+    p.add_argument("--score", default="prob", choices=["prob", "logit"],
+                   help="heatmap value: per-patch softmax probability "
+                        "(temperature-scaled, ref protocol) or raw logit")
+    p.add_argument("--wsi_dir", default=None,
+                   help="WSI dir: also crop the top-k patches (OpenSlide)")
+    p.add_argument("--wsi_ext", default=".svs")
+    p.add_argument("--level", type=int, default=0)
+    # weight matrices: cached .npz, or built from a CONCH checkpoint
+    p.add_argument("--weights_npz", default=None)
+    p.add_argument("--conch_checkpoint", default=None)
+    p.add_argument("--tokenizer_file", default=None)
+    p.add_argument("--platform", default=None)
+    return p.parse_args(argv)
+
+
+def _sequential_png(img: np.ndarray, path: str) -> None:
+    """One-hue sequential raster (light → dark blue), NaN = neutral gray —
+    magnitude reads as darkness, never a rainbow."""
+    from PIL import Image
+
+    finite = np.isfinite(img)
+    lo = float(img[finite].min()) if finite.any() else 0.0
+    hi = float(img[finite].max()) if finite.any() else 1.0
+    t = (img - lo) / (hi - lo) if hi > lo else np.zeros_like(img)
+    # light (near-white blue tint) -> dark blue
+    light = np.array([239, 244, 252], np.float32)
+    dark = np.array([21, 60, 133], np.float32)
+    rgb = light[None, None] + np.nan_to_num(t)[..., None] * (dark - light)
+    rgb[~finite] = np.array([229, 229, 229], np.float32)  # no patch: gray
+    Image.fromarray(rgb.astype(np.uint8)).save(path)
+
+
+def visualize_slide(bag, out_dir: str, *, weights: np.ndarray, topk: int,
+                    patch_size: int, downsample: int, temperature: float,
+                    score: str = "prob", wsi_path: str | None = None,
+                    level: int = 0) -> list[str]:
+    """Render one bag → list of files written (see module docstring)."""
+    from PIL import Image
+
+    from moc_tpu.viz import (crop_patches, render_heatmap,
+                             render_topk_overlay, topk_patch_coords)
+
+    if bag.coords is None:
+        raise ValueError(f"{bag.slide_id}: bag has no coords (pt-only bag?) "
+                         "— visualization needs the h5 coords dataset")
+    feats = np.asarray(bag.features, np.float32)
+    coords = np.asarray(bag.coords)
+    logits = feats @ weights  # zero-shot patch scoring (ref zs pipeline)
+    if score == "prob":
+        z = logits * temperature
+        z = z - z.max(axis=1, keepdims=True)
+        e = np.exp(z)
+        values = e / e.sum(axis=1, keepdims=True)
+    else:
+        values = logits
+    written = []
+
+    def _save(name, arr):
+        path = os.path.join(out_dir, name)
+        Image.fromarray(arr).save(path)
+        written.append(path)
+
+    _save(f"{bag.slide_id}_overlay.png",
+          render_topk_overlay(logits, coords, k=topk,
+                              patch_size=patch_size, downsample=downsample))
+    for cls in range(values.shape[1]):
+        hm = render_heatmap(values[:, cls], coords, patch_size=patch_size,
+                            downsample=downsample)
+        path = os.path.join(out_dir, f"{bag.slide_id}_heatmap_c{cls}.png")
+        _sequential_png(hm, path)
+        written.append(path)
+
+    sel = topk_patch_coords(logits, coords, k=topk)
+    csv_path = os.path.join(out_dir, f"{bag.slide_id}_topk.csv")
+    with open(csv_path, "w") as f:
+        f.write("class,rank,x,y,score\n")
+        for cls, cc in sel.items():
+            order = np.argsort(-logits[:, cls], kind="stable")[: len(cc)]
+            for rank, (idx, (x, y)) in enumerate(zip(order, cc)):
+                f.write(f"{cls},{rank},{int(x)},{int(y)},"
+                        f"{values[idx, cls]:.6f}\n")
+    written.append(csv_path)
+
+    if wsi_path is not None:
+        for cls, cc in sel.items():
+            for rank, patch in enumerate(
+                    crop_patches(wsi_path, cc, patch_size=patch_size,
+                                 level=level)):
+                _save(f"{bag.slide_id}_c{cls}_r{rank}.png", patch)
+    return written
+
+
+def main(argv=None) -> int:
+    args = get_args(argv)
+    from moc_tpu.cli.common import setup_runtime
+
+    setup_runtime(args)
+
+    from moc_tpu.cli.serve import _discover, _read_bag_path
+    from moc_tpu.config import PRESETS
+
+    preset = PRESETS[args.dataset]
+    if args.weights_npz:
+        weights = np.load(args.weights_npz)["weights"]
+    elif args.conch_checkpoint:
+        from moc_tpu.cli.predict import _load_weights
+
+        ns = argparse.Namespace(weights_npz=None, weights_ext_npz=None,
+                                conch_checkpoint=args.conch_checkpoint,
+                                tokenizer_file=args.tokenizer_file,
+                                out=os.path.join(args.out_dir, "x"))
+        weights, _ = _load_weights(ns, preset)
+    else:
+        raise SystemExit("need --weights_npz or --conch_checkpoint")
+    weights = np.asarray(weights, np.float32)
+
+    found = _discover(args.feature_dir)
+    slides = args.slides or sorted(found)
+    missing = [s for s in slides if s not in found]
+    if missing:
+        raise SystemExit(f"no bags for slides {missing[:5]} under "
+                         f"{args.feature_dir!r}")
+    os.makedirs(args.out_dir, exist_ok=True)
+    for sid in slides:
+        bag = _read_bag_path(found[sid])
+        wsi = (os.path.join(args.wsi_dir, sid + args.wsi_ext)
+               if args.wsi_dir else None)
+        files = visualize_slide(
+            bag, args.out_dir, weights=weights, topk=args.topk,
+            patch_size=args.patch_size, downsample=args.downsample,
+            temperature=args.temperature, score=args.score,
+            wsi_path=wsi, level=args.level)
+        print(f"{sid}: {len(files)} files", file=sys.stderr)
+    print(f"{len(slides)} slides -> {args.out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

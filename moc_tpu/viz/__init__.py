@@ -9,6 +9,7 @@ optional (gated import); the coordinate-grid renderers work from bags alone.
 
 from moc_tpu.viz.topk import (
     topk_patch_coords,
+    crop_patches,
     render_heatmap,
     render_topk_overlay,
     slide_extent,
@@ -16,6 +17,7 @@ from moc_tpu.viz.topk import (
 
 __all__ = [
     "topk_patch_coords",
+    "crop_patches",
     "render_heatmap",
     "render_topk_overlay",
     "slide_extent",

@@ -330,3 +330,62 @@ def test_digest_memo_readonly_only():
 
     with np.testing.assert_raises(ValueError):
         a[0] = 1.0  # the invariant the memo relies on
+
+
+def test_visualize_cli(tmp_path):
+    """cli.visualize renders the reference conch_zs_topk_visual workflow
+    from bags alone: per-slide overlay PNG, per-class heatmap PNGs, and a
+    top-k coordinate CSV whose rows match topk_patch_coords."""
+    from PIL import Image
+
+    from moc_tpu.cli.visualize import main as viz_main
+    from moc_tpu.data import make_synthetic_corpus
+    from moc_tpu.data.bags import read_bag_h5
+    from moc_tpu.data.synthetic import SyntheticWSIConfig
+
+    corpus = make_synthetic_corpus(
+        str(tmp_path / "corpus"),
+        SyntheticWSIConfig(slides_per_class=4, min_patches=50,
+                           max_patches=90, dim=64, seed=3, signal=0.9),
+        shots=(1,), n_folds=1, val_per_class=1, test_per_class=1)
+    np.savez(tmp_path / "w.npz", weights=corpus["weights"])
+    out_dir = str(tmp_path / "viz")
+    assert viz_main(["--platform", "cpu", "--dataset", "nsclc",
+                     "--feature_dir", corpus["data_dir"],
+                     "--weights_npz", str(tmp_path / "w.npz"),
+                     "--out_dir", out_dir, "--topk", "5",
+                     "--downsample", "64"]) == 0
+
+    import glob as _glob
+
+    slides = sorted(os.path.splitext(os.path.basename(p))[0] for p in _glob.glob(
+        os.path.join(corpus["data_dir"], "h5_files", "*.h5")))
+    assert slides
+    for sid in slides:
+        overlay = Image.open(os.path.join(out_dir, f"{sid}_overlay.png"))
+        assert overlay.mode == "RGB"
+        for cls in range(2):
+            hm = np.asarray(Image.open(
+                os.path.join(out_dir, f"{sid}_heatmap_c{cls}.png")))
+            assert hm.ndim == 3 and hm.shape[2] == 3
+        rows = open(os.path.join(out_dir, f"{sid}_topk.csv")).read().splitlines()
+        assert rows[0] == "class,rank,x,y,score"
+        body = [r.split(",") for r in rows[1:]]
+        assert len(body) == 2 * 5  # 2 classes x topk 5
+        # CSV coords match the library's top-k selection
+        bag = read_bag_h5(os.path.join(corpus["data_dir"], "h5_files",
+                                       f"{sid}.h5"))
+        logits = np.asarray(bag.features, np.float32) @ np.asarray(
+            corpus["weights"], np.float32)
+        sel = topk_patch_coords(logits, np.asarray(bag.coords), k=5)
+        for cls in range(2):
+            got = [(int(r[2]), int(r[3])) for r in body if int(r[0]) == cls]
+            want = [(int(x), int(y)) for x, y in sel[cls]]
+            assert got == want
+        # probability scores are calibrated to [0, 1]
+        assert all(0.0 <= float(r[4]) <= 1.0 for r in body)
+    # missing-slide request is a usage error
+    with pytest.raises(SystemExit):
+        viz_main(["--platform", "cpu", "--feature_dir", corpus["data_dir"],
+                  "--weights_npz", str(tmp_path / "w.npz"),
+                  "--out_dir", out_dir, "--slides", "nope"])

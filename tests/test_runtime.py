@@ -324,6 +324,80 @@ def test_two_process_extract(tmp_path):
         np.testing.assert_allclose(got.features, ref.features, atol=1e-6)
 
 
+_SERVE_WORKER = textwrap.dedent("""
+    import os, sys
+    (pid, nproc, port, watch_dir, model, w, we, out) = (
+        int(sys.argv[1]), int(sys.argv[2]), *sys.argv[3:])
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["MOC_TPU_COORDINATOR"] = f"localhost:{port}"
+    os.environ["MOC_TPU_NUM_PROCESSES"] = str(nproc)
+    os.environ["MOC_TPU_PROCESS_ID"] = str(pid)
+    from moc_tpu.cli.serve import main
+
+    rc = main(["--platform", "cpu", "--dataset", "nsclc", "--model", model,
+               "--watch_dir", watch_dir, "--once", "--out", out,
+               "--weights_npz", w, "--weights_ext_npz", we, "--topj", "32"])
+    assert rc == 0
+    print(f"WORKER_SERVE_OK pid={pid}")
+""")
+
+
+@pytest.mark.slow
+def test_two_process_serve_watch(tmp_path):
+    """cli.serve watch mode on a 2-process runtime: hash-disjoint slide
+    ownership, one CSV per daemon, union equals the single-process predict
+    cohort (same preds/probs)."""
+    import pandas as pd
+
+    from moc_tpu.cli.predict import main as predict_main
+    from moc_tpu.data import make_synthetic_corpus
+    from moc_tpu.data.synthetic import SyntheticWSIConfig
+    from moc_tpu.moc import MOCConfig, init_senet
+    from moc_tpu.utils.checkpoint import save_params
+
+    import jax
+    import numpy as np
+
+    corpus = make_synthetic_corpus(
+        str(tmp_path / "corpus"),
+        SyntheticWSIConfig(slides_per_class=5, min_patches=120,
+                           max_patches=300, dim=64, seed=7, signal=0.9),
+        shots=(1,), n_folds=1, val_per_class=1, test_per_class=2)
+    np.savez(tmp_path / "w.npz", weights=corpus["weights"])
+    np.savez(tmp_path / "we.npz", weights=corpus["weights_ext"])
+    _, params = init_senet(jax.random.PRNGKey(0),
+                           MOCConfig(n_classes=2, n_ext_classes=6,
+                                     feature_dim=64))
+    model = str(tmp_path / "model.msgpack")
+    save_params(model, params)
+
+    ref_out = str(tmp_path / "ref.csv")
+    assert predict_main(["--platform", "cpu", "--dataset", "nsclc",
+                         "--model", model, "--feature_dir", corpus["data_dir"],
+                         "--csv", corpus["csv_path"], "--weights_npz",
+                         str(tmp_path / "w.npz"), "--weights_ext_npz",
+                         str(tmp_path / "we.npz"), "--topj", "32",
+                         "--out", ref_out]) == 0
+
+    script = tmp_path / "worker.py"
+    script.write_text(_SERVE_WORKER)
+    mp_out = str(tmp_path / "served.csv")
+    outs = _spawn_pair(script, [corpus["data_dir"], model,
+                                str(tmp_path / "w.npz"),
+                                str(tmp_path / "we.npz"), mp_out])
+    for i, out in enumerate(outs):
+        assert f"WORKER_SERVE_OK pid={i}" in out, out[-3000:]
+    parts = [pd.read_csv(str(tmp_path / f"served.proc{i}.csv"))
+             for i in (0, 1)]
+    got = pd.concat(parts).set_index("slide_id").sort_index()
+    ref = pd.read_csv(ref_out).set_index("slide_id").sort_index()
+    assert list(got.index) == list(ref.index)  # disjoint + complete union
+    assert (got["pred"] == ref["pred"]).all()
+    np.testing.assert_allclose(got[["prob_0", "prob_1"]],
+                               ref[["prob_0", "prob_1"]], atol=1e-5)
+
+
 def test_single_process_noop(monkeypatch):
     """Without coordinator config the bootstrap is a no-op and the
     collective helpers degrade to identity."""
