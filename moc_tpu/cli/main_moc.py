@@ -114,6 +114,11 @@ def _synthetic_setup(args):
         root = os.path.join(args.result_dir, f"synthetic_corpus_{n_cls}cls")
     if (min_p, max_p) != (500, 2000):  # size-variant corpora live apart
         root += f"_{min_p}-{max_p}p"
+    if args.seed != 0:
+        # the corpus cache is keyed on EVERY generator input: a different
+        # seed must not silently pair fresh oracle weights with stale
+        # on-disk features generated under another seed
+        root += f"_s{args.seed}"
     marker = os.path.join(root, "dataset.csv")
     # 16/class: val 2 + test 4 leaves 10 ≥ the largest shot (8)
     cfg = SyntheticWSIConfig(n_classes=n_cls, slides_per_class=16,

@@ -64,7 +64,12 @@ def get_args(argv=None):
                         "with streamed eval chunks; auto = fused when the "
                         "stacked episodes fit --fused_hbm_gb")
     p.add_argument("--fused_hbm_gb", type=float, default=6.0,
-                   help="auto-mode HBM budget for one shot's stacked bags")
+                   help="auto-mode HBM budget for the fused path's device "
+                        "footprint: the invocation's SHARED slide pool "
+                        "(union over all requested shots/folds — it stays "
+                        "committed across shots) plus the widest shot's "
+                        "hoisted eval packs; split shots across invocations "
+                        "to get per-shot budgets")
     add_perf_flags(p)
     return p.parse_args(argv)
 
@@ -189,10 +194,20 @@ def run_fused_shot(args, shot, folds, *, splits, pool_ctx, w, w_ext, cfg,
 
     repeat_num = shot * n_classes
     t0 = time.perf_counter()
-    index = episode_index(splits, pool_ctx.row, pool_ctx.labels)
+    try:
+        index = episode_index(splits, pool_ctx.row, pool_ctx.labels)
+    except ValueError as e:
+        # e.g. unequal train splits within the shot (a class exhausted in
+        # one fold): fusing is shape-impossible, not just over budget
+        if args.mode == "auto":
+            print(f"shot {shot}: {e}; streaming instead", file=sys.stderr)
+            return None  # caller falls back to the streaming path
+        raise
     pooled = PooledEpisodes(pool_ctx.feats, pool_ctx.mask, index)
     if args.mode == "auto" and (pooled_bytes_estimate(pooled, cfg)
                                 > args.fused_hbm_gb * 2**30):
+        print(f"shot {shot}: stacked episodes exceed --fused_hbm_gb "
+              f"{args.fused_hbm_gb}; streaming instead", file=sys.stderr)
         return None  # caller falls back to the streaming path
     t_stack = time.perf_counter() - t0
 
@@ -330,8 +345,7 @@ def main(argv=None) -> int:
                                    n_classes=n_classes, shot_dir=shot_dir)
             if fused is not None:
                 continue
-            print(f"shot {shot}: stacked episodes exceed --fused_hbm_gb "
-                  f"{args.fused_hbm_gb}; streaming instead")
+            # run_fused_shot printed why (HBM budget or unequal folds)
 
         from moc_tpu.moc.results import write_zeroshot_result
         from moc_tpu.utils.checkpoint import save_params

@@ -160,35 +160,41 @@ def make_episode_fns(cfg: MOCConfig):
 
     @jax.jit
     def zs_batch(batch: BagBatch, w, w_ext):
-        """Zero-shot pooled logits via the configured pooling family (ref
-        ``zs_evaluation``, ``main_moc.py:412-432``): the foreground families
-        (topj/delta_*) pool ``feats @ w``; the bottomk families pool
-        ``feats @ w_ext`` with ``n_fg = n_classes`` (the reference routes
-        ``final_logits_ext`` with ``coords_list=args.n_classes``)."""
-        pool_fn = ops.POOLING_REGISTRY[cfg.zs_pooling]
-        fg = cfg.zs_pooling in ops.FOREGROUND_POOLINGS
-
         if batch.scales is not None:  # int8-resident tier (W8A8 matmul)
-            from moc_tpu.ops.quant import int8_row_matmul
-
-            def per_slide_q(feats, valid, scale):
-                if fg:
-                    return pool_fn(int8_row_matmul(feats, scale, w), valid,
-                                   cfg.topk)
-                return pool_fn(int8_row_matmul(feats, scale, w_ext), valid,
-                               cfg.topk, n_fg=cfg.n_classes)
-
-            return jax.vmap(per_slide_q)(batch.features, batch.mask,
-                                         batch.scales)
-
-        def per_slide(feats, valid):
-            if fg:
-                return pool_fn(feats @ w, valid, cfg.topk)
-            return pool_fn(feats @ w_ext, valid, cfg.topk, n_fg=cfg.n_classes)
-
-        return jax.vmap(per_slide)(batch.features, batch.mask)
+            return jax.vmap(
+                lambda f, v, s: zs_pooled_logits(f, v, w, w_ext, cfg,
+                                                 scales=s))(
+                batch.features, batch.mask, batch.scales)
+        return jax.vmap(lambda f, v: zs_pooled_logits(f, v, w, w_ext, cfg))(
+            batch.features, batch.mask)
 
     return train_epoch, eval_batch, zs_batch
+
+
+def zs_pooled_logits(feats, valid, w, w_ext, cfg: MOCConfig, scales=None):
+    """Zero-shot pooled logits of ONE slide via the configured pooling
+    family (ref ``zs_evaluation``, ``main_moc.py:412-432``): the foreground
+    families (topj/delta_*) pool ``feats @ w``; the bottomk families pool
+    ``feats @ w_ext`` with ``n_fg = n_classes`` (the reference routes
+    ``final_logits_ext`` with ``coords_list=args.n_classes``). ``scales``
+    marks the int8-resident tier (W8A8 matmul, per-row dequant scales).
+
+    THE single definition of the zs dispatch — the streaming eval
+    (``make_episode_fns.zs_batch``) and the fused in-program floor
+    (``sweep._zs_split_metrics``) both call it, so the routing cannot
+    drift between the two paths."""
+    pool_fn = ops.POOLING_REGISTRY[cfg.zs_pooling]
+    fg = cfg.zs_pooling in ops.FOREGROUND_POOLINGS
+    wx = w if fg else w_ext
+    if scales is not None:
+        from moc_tpu.ops.quant import int8_row_matmul
+
+        logits = int8_row_matmul(feats, scales, wx)
+    else:
+        logits = feats @ wx
+    if fg:
+        return pool_fn(logits, valid, cfg.topk)
+    return pool_fn(logits, valid, cfg.topk, n_fg=cfg.n_classes)
 
 
 def _collect_metrics(

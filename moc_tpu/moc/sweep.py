@@ -45,6 +45,7 @@ from moc_tpu.moc.episode import (
     episode_init_key,
     epoch_key,
     make_optimizer,
+    zs_pooled_logits,
 )
 from moc_tpu.models.senet import SENet
 
@@ -106,17 +107,12 @@ def _eval_split_packed(model, params, pack, labels, cfg: MOCConfig):
 
 def _zs_split_metrics(feats, mask, labels, w, w_ext, cfg: MOCConfig):
     """Zero-shot floor of one eval split, fully on device: pooled logits via
-    the configured pooling family (ref ``zs_evaluation``,
+    the configured pooling family (``episode.zs_pooled_logits`` — the same
+    dispatch the streaming eval uses; ref ``zs_evaluation``,
     ``main_moc.py:412-460``) → masked mean CE, accuracy, temperature AUC.
     Returns ``[3]`` = (loss, acc, auc)."""
-    pool_fn = ops.POOLING_REGISTRY[cfg.zs_pooling]
-
-    def per_slide(f, v):
-        if cfg.zs_pooling in ops.FOREGROUND_POOLINGS:
-            return pool_fn(f @ w, v, cfg.topk)
-        return pool_fn(f @ w_ext, v, cfg.topk, n_fg=cfg.n_classes)
-
-    logits = jax.vmap(per_slide)(feats, mask)  # [M, C]
+    logits = jax.vmap(
+        lambda f, v: zs_pooled_logits(f, v, w, w_ext, cfg))(feats, mask)
     valid = labels >= 0
     ce = optax.softmax_cross_entropy_with_integer_labels(
         logits, jnp.maximum(labels, 0))
@@ -273,6 +269,35 @@ def _pooled_sweep_jit(cfg: MOCConfig, repeat_num: int, with_zs: bool):
     return jax.jit(jax.vmap(run_pooled, in_axes=(None, None, 0, None, None, 0)))
 
 
+def shard_episodes(tree, mesh, episode_axis: str = "data"):
+    """Place a pytree whose array leaves carry the EPISODE axis leading:
+    sharded over ``episode_axis`` with a mesh, plain default-device
+    ``device_put`` without one. THE single placement definition for every
+    fused entry point (``run_sweep``, ``run_sweep_pooled`` and the MIL fold
+    trainers) — the four hand-rolled copies had already drifted."""
+    if mesh is None:
+        return jax.device_put(tree)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            jnp.asarray(x),
+            NamedSharding(mesh, P(*([episode_axis] + [None] * (np.ndim(x) - 1))))),
+        tree)
+
+
+def replicate_on_mesh(tree, mesh):
+    """Replicate array leaves on every device of ``mesh`` (default-device
+    ``device_put`` without one) — for pools/weights shared by all episodes."""
+    if mesh is None:
+        return jax.device_put(tree)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(x), NamedSharding(mesh, P())),
+        tree)
+
+
 def run_sweep(
     episodes: StackedEpisode,
     w,
@@ -295,23 +320,15 @@ def run_sweep(
     e = episodes.train_feats.shape[0]
     if seeds is None:
         seeds = jnp.arange(e, dtype=jnp.int32)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        ep_sharding = NamedSharding(mesh, P(episode_axis))
-        rep = NamedSharding(mesh, P())
-        episodes = jax.tree.map(
-            lambda x: jax.device_put(x, NamedSharding(mesh, P(*([episode_axis] + [None] * (x.ndim - 1))))),
-            episodes,
-        )
-        w = jax.device_put(jnp.asarray(w), rep)
-        w_ext = jax.device_put(jnp.asarray(w_ext), rep)
-        seeds = jax.device_put(seeds, ep_sharding)
-    else:
-        # episodes may arrive as host numpy (see episode_from_bags); commit
-        # them once so repeated sweep calls do not re-transfer
-        episodes = jax.device_put(episodes)
-    return fn(episodes, jnp.asarray(w), jnp.asarray(w_ext), seeds)
+    # episodes may arrive as host numpy (see episode_from_bags). NOTE: each
+    # call pays this transfer — cross-invocation device residency lives in
+    # the CLI layer (utils.device_cache + cli.sweep._PoolContext), not here;
+    # library callers looping warm draws should device_put once themselves.
+    episodes = shard_episodes(episodes, mesh, episode_axis)
+    seeds = shard_episodes(seeds, mesh, episode_axis)
+    w = replicate_on_mesh(jnp.asarray(w), mesh)
+    w_ext = replicate_on_mesh(jnp.asarray(w_ext), mesh)
+    return fn(episodes, w, w_ext, seeds)
 
 
 def episode_from_bags(train_batch, val_batches, test_batches) -> StackedEpisode:
@@ -323,13 +340,16 @@ def episode_from_bags(train_batch, val_batches, test_batches) -> StackedEpisode:
     episodes before anything is allocated on the accelerator.
     """
 
-    def cat(batches):
+    def cat(batches, dim_hint=1):
         # drop bucketization filler rows (``BagBatch.real_rows``) — see
         # stack_episode_bags: they would ride the device transfer. Filler
         # is appended at batch end, so the real rows form a prefix in the
         # standard case (slice views, no boolean-index copy); the output
         # is allocated ONCE and chunks copied straight into place (the
         # pad+concatenate formulation made two extra full copies).
+        if not batches:  # empty split list (e.g. a fold with no val rows)
+            return (np.zeros((1, 1, dim_hint), np.float32),
+                    np.zeros((1, 1), bool), np.full((1,), -1, np.int32))
         n_pad = max(b.features.shape[1] for b in batches)
         keeps, counts = [], []
         for b in batches:
@@ -360,8 +380,9 @@ def episode_from_bags(train_batch, val_batches, test_batches) -> StackedEpisode:
         return feats, mask, labels
 
     tf, tm, tl = cat([train_batch])
-    vf, vm, vl = cat(val_batches)
-    sf, sm, sl = cat(test_batches)
+    dim = tf.shape[-1]
+    vf, vm, vl = cat(val_batches, dim_hint=dim)
+    sf, sm, sl = cat(test_batches, dim_hint=dim)
     return StackedEpisode(tf, tm, tl, vf, vm, vl, sf, sm, sl)
 
 
@@ -384,7 +405,8 @@ def pad_and_stack_episodes(episodes: list[StackedEpisode]) -> StackedEpisode:
     if len(bs) != 1:
         raise ValueError(
             f"train split sizes differ across episodes ({sorted(bs)}); "
-            "fuse one shot at a time (repeat_num/order are shape-static)"
+            "fused sweeps need equal train splits (one shot at a time; "
+            "use the streaming path for unequal folds)"
         )
 
     def stack_field(name: str, fill):
@@ -411,9 +433,14 @@ def stack_episode_bags(episodes) -> StackedEpisode:
     material on copy-bound hosts (measured ~27 s vs ~9 s for a 5-fold
     synthetic sweep stack); output is identical (tested)."""
 
-    def gather(split: str):
+    def gather(split: str, dim_hint: int = 1):
         chunk_lists = [[ep.train] if split == "train" else getattr(ep, split)
                        for ep in episodes]
+        all_chunks = [c for chunks in chunk_lists for c in chunks]
+        if not all_chunks:  # every episode's split is empty: one filler row
+            e = len(episodes)
+            return (np.zeros((e, 1, 1, dim_hint), np.float32),
+                    np.zeros((e, 1, 1), bool), np.full((e, 1), -1, np.int32))
         # Copy only REAL slides (``BagBatch.real_rows``): the loader's
         # bucketized eval chunks pad the slide-count axis with filler rows
         # for streaming-path compile reuse, and carrying them into the stack
@@ -422,14 +449,14 @@ def stack_episode_bags(episodes) -> StackedEpisode:
         # the fused CLI's wall-clock — BENCH_NOTES "Round 3").
         keeps = [[c.real_rows() for c in chunks] for chunks in chunk_lists]
         rows = [sum(int(k.sum()) for k in ks) for ks in keeps]
-        n = max(np.asarray(c.features).shape[1]
-                for chunks in chunk_lists for c in chunks)
-        dim = np.asarray(chunk_lists[0][0].features).shape[-1]
+        n = max(np.asarray(c.features).shape[1] for c in all_chunks)
+        dim = np.asarray(all_chunks[0].features).shape[-1]
         e, r = len(episodes), max(max(rows), 1)
         if split == "train" and len(set(rows)) != 1:
             raise ValueError(
                 f"train split sizes differ across episodes ({sorted(set(rows))}); "
-                "fuse one shot at a time (repeat_num/order are shape-static)")
+                "fused sweeps need equal train splits (one shot at a time; "
+                "use the streaming path for unequal folds)")
         # np.empty + explicit pad-zeroing: a np.zeros here writes the full
         # [E, r, n, dim] buffer (GBs) only for most of it to be overwritten
         # by the chunk copies right after — on copy-bound hosts the zero
@@ -475,8 +502,9 @@ def stack_episode_bags(episodes) -> StackedEpisode:
         return feats, mask, labels
 
     tf, tm, tl = gather("train")
-    vf, vm, vl = gather("val")
-    sf, sm, sl = gather("test")
+    dim = tf.shape[-1]
+    vf, vm, vl = gather("val", dim_hint=dim)
+    sf, sm, sl = gather("test", dim_hint=dim)
     return StackedEpisode(tf, tm, tl, vf, vm, vl, sf, sm, sl)
 
 
@@ -538,7 +566,8 @@ def episode_index(splits, row: dict, pool_labels) -> EpisodeIndex:
     if len(tr_sizes) != 1:
         raise ValueError(
             f"train split sizes differ across episodes ({sorted(tr_sizes)}); "
-            "fuse one shot at a time (repeat_num/order are shape-static)")
+            "fused sweeps need equal train splits (one shot at a time; "
+            "use the streaming path for unequal folds)")
 
     def mat(get):
         rows = max(max((len(get(s)) for s in splits), default=1), 1)
@@ -659,28 +688,17 @@ def run_sweep_pooled(
     e = np.asarray(pooled.index.train_idx).shape[0]
     if seeds is None:
         seeds = jnp.arange(e, dtype=jnp.int32)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        rep = NamedSharding(mesh, P())
-        pool_feats = jax.device_put(jnp.asarray(pooled.pool_feats), rep)
-        pool_mask = jax.device_put(jnp.asarray(pooled.pool_mask), rep)
-        index = jax.tree.map(
-            lambda x: jax.device_put(
-                jnp.asarray(x),
-                NamedSharding(mesh, P(*([episode_axis] + [None] * (np.asarray(x).ndim - 1)))),
-            ),
-            pooled.index,
-        )
-        w = jax.device_put(jnp.asarray(w), rep)
-        w_ext = jax.device_put(jnp.asarray(w_ext), rep)
-        seeds = jax.device_put(seeds, NamedSharding(mesh, P(episode_axis)))
-    else:
-        # commit once so repeated sweep calls do not re-transfer
-        pool_feats = jax.device_put(pooled.pool_feats)
-        pool_mask = jax.device_put(pooled.pool_mask)
-        index = jax.device_put(pooled.index)
-    return fn(pool_feats, pool_mask, index, jnp.asarray(w), jnp.asarray(w_ext), seeds)
+    # NOTE: host-numpy pools pay the transfer on every call — cross-
+    # invocation device residency lives in the CLI layer
+    # (utils.device_cache.device_put_cached), which passes committed
+    # device arrays here so this device_put is a no-op.
+    pool_feats = replicate_on_mesh(pooled.pool_feats, mesh)
+    pool_mask = replicate_on_mesh(pooled.pool_mask, mesh)
+    index = shard_episodes(pooled.index, mesh, episode_axis)
+    seeds = shard_episodes(seeds, mesh, episode_axis)
+    w = replicate_on_mesh(jnp.asarray(w), mesh)
+    w_ext = replicate_on_mesh(jnp.asarray(w_ext), mesh)
+    return fn(pool_feats, pool_mask, index, w, w_ext, seeds)
 
 
 def sweep_episode_results(

@@ -219,21 +219,14 @@ def run_mil_folds_fused(
 ) -> FusedFoldResult:
     """Run ``F`` stacked folds (leading axis) as one compiled program,
     optionally sharded over the mesh ``data`` axis."""
+    from moc_tpu.moc.sweep import shard_episodes
+
     fn = _stacked_fold_jit(cfg)
     f = np.asarray(episodes.train_feats).shape[0]
     if seeds is None:
         seeds = jnp.arange(f, dtype=jnp.int32)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        episodes = jax.tree.map(
-            lambda x: jax.device_put(
-                x, NamedSharding(mesh, P(*([episode_axis] + [None] * (np.ndim(x) - 1))))),
-            episodes,
-        )
-        seeds = jax.device_put(seeds, NamedSharding(mesh, P(episode_axis)))
-    else:
-        episodes = jax.device_put(episodes)
+    episodes = shard_episodes(episodes, mesh, episode_axis)
+    seeds = shard_episodes(seeds, mesh, episode_axis)
     return fn(episodes, seeds)
 
 
@@ -250,26 +243,14 @@ def run_mil_folds_fused_pooled(
     once and each fold's bags are assembled by on-device gathers inside
     the compiled program — the same transfer dedupe as the MOC pooled
     sweep (DESIGN.md §9b). Results match the stacked path (tested)."""
+    from moc_tpu.moc.sweep import replicate_on_mesh, shard_episodes
+
     fn = _pooled_fold_jit(cfg)
     f = np.asarray(pooled.index.train_idx).shape[0]
     if seeds is None:
         seeds = jnp.arange(f, dtype=jnp.int32)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        rep = NamedSharding(mesh, P())
-        pool_feats = jax.device_put(jnp.asarray(pooled.pool_feats), rep)
-        pool_mask = jax.device_put(jnp.asarray(pooled.pool_mask), rep)
-        index = jax.tree.map(
-            lambda x: jax.device_put(
-                jnp.asarray(x),
-                NamedSharding(mesh, P(*([episode_axis] + [None] * (np.ndim(x) - 1)))),
-            ),
-            pooled.index,
-        )
-        seeds = jax.device_put(seeds, NamedSharding(mesh, P(episode_axis)))
-    else:
-        pool_feats = jax.device_put(pooled.pool_feats)
-        pool_mask = jax.device_put(pooled.pool_mask)
-        index = jax.device_put(pooled.index)
+    pool_feats = replicate_on_mesh(pooled.pool_feats, mesh)
+    pool_mask = replicate_on_mesh(pooled.pool_mask, mesh)
+    index = shard_episodes(pooled.index, mesh, episode_axis)
+    seeds = shard_episodes(seeds, mesh, episode_axis)
     return fn(pool_feats, pool_mask, index, seeds)

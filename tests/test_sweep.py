@@ -351,3 +351,85 @@ def test_fused_matches_streaming_config_variants(sweep_setup, kw):
         np.testing.assert_allclose(f.best_val, stream.best_val, atol=1e-4)
         np.testing.assert_allclose(f.test_at_best_val, stream.test_at_best_val,
                                    atol=1e-4)
+
+
+def test_empty_eval_split_stacks(sweep_setup):
+    """A fold with NO val (or test) rows stacks to one -1-labeled filler row
+    instead of crashing — both stackers, all-empty and mixed cases."""
+    import dataclasses
+
+    from moc_tpu.moc import stack_episode_bags
+    from moc_tpu.moc.sweep import episode_from_bags, pad_and_stack_episodes
+
+    _, _, episode_bags = sweep_setup
+    for emptied in (  # all episodes empty; only the FIRST episode empty
+        [dataclasses.replace(ep, val=[]) for ep in episode_bags],
+        [dataclasses.replace(episode_bags[0], val=[]), episode_bags[1]],
+    ):
+        fast = stack_episode_bags(emptied)
+        slow = pad_and_stack_episodes(
+            [episode_from_bags(ep.train, ep.val, ep.test) for ep in emptied])
+        for stacked in (fast, slow):
+            labels = np.asarray(stacked.val_labels)
+            mask = np.asarray(stacked.val_mask)
+            assert labels.shape[0] == 2
+            assert (labels[0] == -1).all()  # first episode: all filler
+            assert not mask[0].any()
+            # feature dim survives for schema-consistent stacking
+            assert np.asarray(stacked.val_feats).shape[-1] == np.asarray(
+                stacked.train_feats).shape[-1] or (labels == -1).all()
+        # real rows of the non-empty episode are preserved in the mixed case
+        if any(len(ep.val) for ep in emptied):
+            real = np.asarray(slow.val_labels)[1]
+            assert (real >= 0).any()
+            np.testing.assert_array_equal(np.asarray(fast.val_labels)[1], real)
+
+
+def test_auto_mode_falls_back_on_unequal_folds(capsys):
+    """cli.sweep --mode auto: a shot whose folds have UNEQUAL train splits
+    (class exhausted in one fold) falls back to streaming instead of dying
+    on the shape-static fused path; --mode fused still raises."""
+    import argparse
+    from types import SimpleNamespace
+
+    from moc_tpu.cli import sweep as sweep_cli
+
+    pool_ctx = SimpleNamespace(row={"a": 0, "b": 1, "c": 2},
+                               labels=np.array([0, 1, 0]))
+    splits = [SimpleNamespace(train=["a", "b"], val=["c"], test=["c"]),
+              SimpleNamespace(train=["a"], val=["c"], test=["c"])]
+    args = argparse.Namespace(mode="auto", fused_hbm_gb=6.0, seed=0,
+                              check_zeroshot=False)
+    assert sweep_cli.run_fused_shot(
+        args, 1, [0, 1], splits=splits, pool_ctx=pool_ctx, w=None,
+        w_ext=None, cfg=None, n_classes=2, shot_dir=".") is None
+    args.mode = "fused"
+    with pytest.raises(ValueError, match="train split sizes differ"):
+        sweep_cli.run_fused_shot(
+            args, 1, [0, 1], splits=splits, pool_ctx=pool_ctx, w=None,
+            w_ext=None, cfg=None, n_classes=2, shot_dir=".")
+
+
+def test_synthetic_corpus_keyed_on_seed(tmp_path):
+    """_synthetic_setup must not pair seed-B oracle weights with seed-A
+    on-disk features: a different --seed gets its own corpus root."""
+    import argparse
+
+    from moc_tpu.cli.main_moc import _synthetic_setup
+
+    a0 = argparse.Namespace(result_dir=str(tmp_path), seed=0,
+                            synthetic_classes=2, synthetic_min_patches=60,
+                            synthetic_max_patches=90)
+    a1 = argparse.Namespace(result_dir=str(tmp_path), seed=1,
+                            synthetic_classes=2, synthetic_min_patches=60,
+                            synthetic_max_patches=90)
+    c0 = _synthetic_setup(a0)
+    c1 = _synthetic_setup(a1)
+    c0 = c0[0] if isinstance(c0, tuple) else c0
+    c1 = c1[0] if isinstance(c1, tuple) else c1
+    assert c0["data_dir"] != c1["data_dir"]
+    # rerunning seed 0 hits its own cached corpus with MATCHING weights
+    c0b = _synthetic_setup(a0)
+    c0b = c0b[0] if isinstance(c0b, tuple) else c0b
+    np.testing.assert_array_equal(np.asarray(c0["weights"]),
+                                  np.asarray(c0b["weights"]))
