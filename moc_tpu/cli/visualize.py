@@ -20,6 +20,19 @@ Per slide it writes into ``--out_dir``:
 
   python -m moc_tpu.cli.visualize --feature_dir /data/features \
       --weights_npz cache/weights_nsclc_conch.npz --out_dir viz/
+
+With ``--model_msgpack`` it instead renders TRAINED-model maps (the
+reference computes these but ships no tool for them: CLAM attention
+``model_clam.py:175-219``, CHIEF ``patch_probs`` ``model_chief.py:173-195``,
+patch-level logits ``eval_utils.py:78-113``):
+
+* ``<slide>_model_<map>.png`` — attention / CHIEF patch-prob rasters
+* ``<slide>_model_heatmap_c<cls>.png`` — per-class patch-score rasters
+* ``<slide>_model_topk.csv`` — top-k coords by trained patch score
+
+  python -m moc_tpu.cli.visualize --feature_dir /data/features \
+      --model_msgpack results/mil_shot_8_fold_0.msgpack \
+      --model_type clam_sb --out_dir viz/
 """
 
 from __future__ import annotations
@@ -59,6 +72,28 @@ def get_args(argv=None):
     p.add_argument("--weights_npz", default=None)
     p.add_argument("--conch_checkpoint", default=None)
     p.add_argument("--tokenizer_file", default=None)
+    # trained-model mode: render attention / patch-score maps from a
+    # checkpointed model instead of raw zero-shot weights
+    p.add_argument("--model_msgpack", default=None,
+                   help="trained checkpoint (train_mil / main_moc / sweep "
+                        "output); switches to trained-model maps")
+    p.add_argument("--model_kind", default="mil", choices=["mil", "moc"],
+                   help="mil = a baseline MIL head (--model_type); moc = a "
+                        "senet (needs --weights_npz + --weights_ext_npz)")
+    p.add_argument("--model_type", default="clam_sb",
+                   choices=["clam_sb", "clam_mb", "abmil", "transmil",
+                            "mil", "chief"])
+    p.add_argument("--model_size", default="conch")
+    p.add_argument("--n_classes", type=int, default=None,
+                   help="default: the dataset preset's class count")
+    p.add_argument("--anatomic", type=int, default=0,
+                   help="CHIEF anatomical-site index")
+    p.add_argument("--weights_ext_npz", default=None,
+                   help="extended (tumor+normal) weight matrix for "
+                        "--model_kind moc")
+    p.add_argument("--topj", type=int, default=400)
+    p.add_argument("--topk_pool", type=int, default=10,
+                   help="MOC pooling top-k (the senet config's topk)")
     p.add_argument("--platform", default=None)
     return p.parse_args(argv)
 
@@ -140,6 +175,146 @@ def visualize_slide(bag, out_dir: str, *, weights: np.ndarray, topk: int,
     return written
 
 
+def visualize_slide_model(bag, out_dir: str, *, cfg, params, topk: int,
+                          patch_size: int, downsample: int,
+                          score: str = "prob", anatomic: int = 0,
+                          wsi_path: str | None = None,
+                          level: int = 0) -> list[str]:
+    """Render one bag through a trained MIL head → files written."""
+    from moc_tpu.viz import crop_patches, render_heatmap, topk_patch_coords
+    from moc_tpu.viz.model_maps import trained_patch_maps
+
+    if bag.coords is None:
+        raise ValueError(f"{bag.slide_id}: bag has no coords (pt-only bag?) "
+                         "— visualization needs the h5 coords dataset")
+    feats = np.asarray(bag.features, np.float32)
+    coords = np.asarray(bag.coords)
+    valid = np.ones(feats.shape[0], bool)
+    maps, class_scores, are_probs = trained_patch_maps(
+        cfg, params, feats, valid, anatomic=anatomic)
+    written = []
+
+    def _raster(name, per_patch):
+        path = os.path.join(out_dir, name)
+        _sequential_png(render_heatmap(per_patch, coords,
+                                       patch_size=patch_size,
+                                       downsample=downsample), path)
+        written.append(path)
+
+    for name, per_patch in maps.items():
+        _raster(f"{bag.slide_id}_model_{name}.png", per_patch)
+
+    if class_scores is not None:
+        if score == "prob" and not are_probs:
+            z = class_scores - class_scores.max(axis=1, keepdims=True)
+            e = np.exp(z)
+            values = e / e.sum(axis=1, keepdims=True)
+        else:
+            values = class_scores
+        for cls in range(values.shape[1]):
+            _raster(f"{bag.slide_id}_model_heatmap_c{cls}.png",
+                    values[:, cls])
+        sel = topk_patch_coords(class_scores, coords, k=topk)
+        csv_path = os.path.join(out_dir, f"{bag.slide_id}_model_topk.csv")
+        with open(csv_path, "w") as f:
+            f.write("class,rank,x,y,score\n")
+            for cls, cc in sel.items():
+                order = np.argsort(-class_scores[:, cls],
+                                   kind="stable")[: len(cc)]
+                for rank, (idx, (x, y)) in enumerate(zip(order, cc)):
+                    f.write(f"{cls},{rank},{int(x)},{int(y)},"
+                            f"{values[idx, cls]:.6f}\n")
+        written.append(csv_path)
+        if wsi_path is not None:
+            from PIL import Image
+
+            for cls, cc in sel.items():
+                for rank, patch in enumerate(
+                        crop_patches(wsi_path, cc, patch_size=patch_size,
+                                     level=level)):
+                    path = os.path.join(
+                        out_dir, f"{bag.slide_id}_model_c{cls}_r{rank}.png")
+                    Image.fromarray(patch).save(path)
+                    written.append(path)
+    return written
+
+
+def visualize_slide_moc(bag, out_dir: str, *, moc_cfg, senet_params,
+                        w, w_ext, topk: int, patch_size: int,
+                        downsample: int, temperature: float,
+                        score: str = "prob") -> list[str]:
+    """Render one bag through a trained MOC senet: fused per-patch class
+    heatmaps (union-gated), the union-selection map, and the per-view senet
+    weight maps. See ``viz.model_maps.moc_patch_maps``."""
+    from moc_tpu.viz import render_heatmap, topk_patch_coords
+    from moc_tpu.viz.model_maps import moc_patch_maps
+
+    if bag.coords is None:
+        raise ValueError(f"{bag.slide_id}: bag has no coords (pt-only bag?) "
+                         "— visualization needs the h5 coords dataset")
+    feats = np.asarray(bag.features, np.float32)
+    coords = np.asarray(bag.coords)
+    maps, fused = moc_patch_maps(senet_params, feats,
+                                 np.ones(feats.shape[0], bool), w, w_ext,
+                                 moc_cfg)
+    written = []
+
+    def _raster(name, per_patch):
+        path = os.path.join(out_dir, name)
+        _sequential_png(render_heatmap(per_patch, coords,
+                                       patch_size=patch_size,
+                                       downsample=downsample), path)
+        written.append(path)
+
+    for name, per_patch in maps.items():
+        _raster(f"{bag.slide_id}_moc_{name}.png", per_patch)
+
+    union = maps["union"] > 0.5
+    if score == "prob":
+        z = fused * temperature
+        z = z - z.max(axis=1, keepdims=True)
+        e = np.exp(z)
+        values = e / e.sum(axis=1, keepdims=True)
+    else:
+        values = fused
+    for cls in range(values.shape[1]):
+        # non-eligible patches render as no-patch gray (NaN), matching the
+        # pooling's view of the slide
+        _raster(f"{bag.slide_id}_moc_heatmap_c{cls}.png",
+                np.where(union, values[:, cls], np.nan))
+
+    gated = np.where(union[:, None], fused, -np.inf)
+    sel = topk_patch_coords(gated, coords, k=topk)
+    csv_path = os.path.join(out_dir, f"{bag.slide_id}_moc_topk.csv")
+    with open(csv_path, "w") as f:
+        f.write("class,rank,x,y,score\n")
+        for cls, cc in sel.items():
+            order = np.argsort(-gated[:, cls], kind="stable")[: len(cc)]
+            for rank, (idx, (x, y)) in enumerate(zip(order, cc)):
+                f.write(f"{cls},{rank},{int(x)},{int(y)},"
+                        f"{values[idx, cls]:.6f}\n")
+    written.append(csv_path)
+    return written
+
+
+def _load_model(args, preset, probe_bag):
+    """Build the MIL head + load the msgpack checkpoint (template from a
+    probe bag's feature dim)."""
+    import jax
+
+    from moc_tpu.train.mil import MilTrainConfig, build_model
+    from moc_tpu.utils.checkpoint import load_params
+
+    n_classes = args.n_classes or preset.n_classes
+    cfg = MilTrainConfig(model_type=args.model_type,
+                         model_size=args.model_size, n_classes=n_classes)
+    _, _, init_fn = build_model(cfg)
+    feats = np.asarray(probe_bag.features, np.float32)
+    template = init_fn(jax.random.PRNGKey(0), feats,
+                       np.ones(feats.shape[0], bool))
+    return cfg, load_params(args.model_msgpack, template)
+
+
 def main(argv=None) -> int:
     args = get_args(argv)
     from moc_tpu.cli.common import setup_runtime
@@ -150,7 +325,11 @@ def main(argv=None) -> int:
     from moc_tpu.config import PRESETS
 
     preset = PRESETS[args.dataset]
-    if args.weights_npz:
+    moc_mode = bool(args.model_msgpack) and args.model_kind == "moc"
+    weights = None
+    if args.model_msgpack and not moc_mode:
+        pass  # trained-MIL mode; loaded below from a probe bag
+    elif args.weights_npz:
         weights = np.load(args.weights_npz)["weights"]
     elif args.conch_checkpoint:
         from moc_tpu.cli.predict import _load_weights
@@ -161,8 +340,30 @@ def main(argv=None) -> int:
                                 out=os.path.join(args.out_dir, "x"))
         weights, _ = _load_weights(ns, preset)
     else:
-        raise SystemExit("need --weights_npz or --conch_checkpoint")
-    weights = np.asarray(weights, np.float32)
+        raise SystemExit(
+            "need --weights_npz, --conch_checkpoint, or --model_msgpack")
+    if weights is not None:
+        weights = np.asarray(weights, np.float32)
+
+    moc_cfg = senet_params = w_ext = None
+    if moc_mode:
+        if weights is None or not args.weights_ext_npz:
+            raise SystemExit("--model_kind moc needs --weights_npz and "
+                             "--weights_ext_npz (the senet scores against "
+                             "both banks)")
+        import jax
+
+        from moc_tpu.moc import MOCConfig, init_senet
+        from moc_tpu.utils.checkpoint import load_params
+
+        w_ext = np.asarray(np.load(args.weights_ext_npz)["weights"],
+                           np.float32)
+        moc_cfg = MOCConfig(n_classes=preset.n_classes,
+                            n_ext_classes=preset.n_ext_classes,
+                            topj=args.topj, topk=args.topk_pool,
+                            feature_dim=weights.shape[0])
+        template = init_senet(jax.random.PRNGKey(0), moc_cfg)[1]
+        senet_params = load_params(args.model_msgpack, template)
 
     found = _discover(args.feature_dir)
     slides = args.slides or sorted(found)
@@ -171,15 +372,32 @@ def main(argv=None) -> int:
         raise SystemExit(f"no bags for slides {missing[:5]} under "
                          f"{args.feature_dir!r}")
     os.makedirs(args.out_dir, exist_ok=True)
+    model_cfg = model_params = None
     for sid in slides:
         bag = _read_bag_path(found[sid])
         wsi = (os.path.join(args.wsi_dir, sid + args.wsi_ext)
                if args.wsi_dir else None)
-        files = visualize_slide(
-            bag, args.out_dir, weights=weights, topk=args.topk,
-            patch_size=args.patch_size, downsample=args.downsample,
-            temperature=args.temperature, score=args.score,
-            wsi_path=wsi, level=args.level)
+        if moc_mode:
+            files = visualize_slide_moc(
+                bag, args.out_dir, moc_cfg=moc_cfg,
+                senet_params=senet_params, w=weights, w_ext=w_ext,
+                topk=args.topk, patch_size=args.patch_size,
+                downsample=args.downsample, temperature=args.temperature,
+                score=args.score)
+        elif args.model_msgpack:
+            if model_cfg is None:
+                model_cfg, model_params = _load_model(args, preset, bag)
+            files = visualize_slide_model(
+                bag, args.out_dir, cfg=model_cfg, params=model_params,
+                topk=args.topk, patch_size=args.patch_size,
+                downsample=args.downsample, score=args.score,
+                anatomic=args.anatomic, wsi_path=wsi, level=args.level)
+        else:
+            files = visualize_slide(
+                bag, args.out_dir, weights=weights, topk=args.topk,
+                patch_size=args.patch_size, downsample=args.downsample,
+                temperature=args.temperature, score=args.score,
+                wsi_path=wsi, level=args.level)
         print(f"{sid}: {len(files)} files", file=sys.stderr)
     print(f"{len(slides)} slides -> {args.out_dir}")
     return 0

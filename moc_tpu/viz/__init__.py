@@ -14,6 +14,7 @@ from moc_tpu.viz.topk import (
     render_topk_overlay,
     slide_extent,
 )
+from moc_tpu.viz.model_maps import trained_patch_maps
 
 __all__ = [
     "topk_patch_coords",
@@ -21,4 +22,5 @@ __all__ = [
     "render_heatmap",
     "render_topk_overlay",
     "slide_extent",
+    "trained_patch_maps",
 ]

@@ -389,3 +389,192 @@ def test_visualize_cli(tmp_path):
         viz_main(["--platform", "cpu", "--feature_dir", corpus["data_dir"],
                   "--weights_npz", str(tmp_path / "w.npz"),
                   "--out_dir", out_dir, "--slides", "nope"])
+
+
+def test_visualize_cli_trained_model(tmp_path):
+    """--model_msgpack renders trained-head maps: CLAM attention raster,
+    per-class patch-score heatmaps, and a top-k CSV ordered by the head's
+    own patch logits (ref quantities: model_clam.py attention A,
+    eval_utils.eval_lynature patch logits)."""
+    import glob as _glob
+
+    import jax
+    from PIL import Image
+
+    from moc_tpu.cli.visualize import main as viz_main
+    from moc_tpu.data import make_synthetic_corpus
+    from moc_tpu.data.bags import read_bag_h5
+    from moc_tpu.data.synthetic import SyntheticWSIConfig
+    from moc_tpu.train.mil import MilTrainConfig, build_model
+    from moc_tpu.utils.checkpoint import save_params
+    from moc_tpu.viz.model_maps import trained_patch_maps
+
+    corpus = make_synthetic_corpus(
+        str(tmp_path / "corpus"),
+        SyntheticWSIConfig(slides_per_class=4, min_patches=40,
+                           max_patches=70, dim=64, seed=5, signal=0.9),
+        shots=(1,), n_folds=1, val_per_class=1, test_per_class=1)
+
+    cfg = MilTrainConfig(model_type="clam_sb", n_classes=2)
+    _, _, init_fn = build_model(cfg)
+    probe = np.zeros((16, 64), np.float32)
+    params = init_fn(jax.random.PRNGKey(7), probe, np.ones(16, bool))
+    ckpt = str(tmp_path / "head.msgpack")
+    save_params(ckpt, params)
+
+    out_dir = str(tmp_path / "viz_model")
+    assert viz_main(["--platform", "cpu", "--dataset", "nsclc",
+                     "--feature_dir", corpus["data_dir"],
+                     "--model_msgpack", ckpt, "--model_type", "clam_sb",
+                     "--out_dir", out_dir, "--topk", "4",
+                     "--downsample", "64"]) == 0
+
+    slides = sorted(os.path.splitext(os.path.basename(p))[0]
+                    for p in _glob.glob(os.path.join(
+                        corpus["data_dir"], "h5_files", "*.h5")))
+    assert slides
+    for sid in slides:
+        attn = np.asarray(Image.open(
+            os.path.join(out_dir, f"{sid}_model_attn.png")))
+        assert attn.ndim == 3 and attn.shape[2] == 3
+        for cls in range(2):
+            assert os.path.exists(os.path.join(
+                out_dir, f"{sid}_model_heatmap_c{cls}.png"))
+        rows = open(os.path.join(
+            out_dir, f"{sid}_model_topk.csv")).read().splitlines()
+        assert rows[0] == "class,rank,x,y,score"
+        body = [r.split(",") for r in rows[1:]]
+        assert len(body) == 2 * 4
+        assert all(0.0 <= float(r[4]) <= 1.0 for r in body)
+
+    # CSV coords match the head's own patch-logit top-k (library parity)
+    sid = slides[0]
+    bag = read_bag_h5(os.path.join(corpus["data_dir"], "h5_files",
+                                   f"{sid}.h5"))
+    feats = np.asarray(bag.features, np.float32)
+    maps, class_scores, are_probs = trained_patch_maps(
+        cfg, params, feats, np.ones(feats.shape[0], bool))
+    assert not are_probs and class_scores.shape == (feats.shape[0], 2)
+    assert maps["attn"].shape == (feats.shape[0],)
+    # attention weights are a masked softmax: non-negative, sum to 1
+    assert maps["attn"].min() >= 0.0
+    assert np.isclose(maps["attn"].sum(), 1.0, atol=1e-5)
+    sel = topk_patch_coords(class_scores, np.asarray(bag.coords), k=4)
+    rows = open(os.path.join(
+        out_dir, f"{sid}_model_topk.csv")).read().splitlines()[1:]
+    body = [r.split(",") for r in rows]
+    for cls in range(2):
+        got = [(int(r[2]), int(r[3])) for r in body if int(r[0]) == cls]
+        want = [(int(x), int(y)) for x, y in sel[cls]]
+        assert got == want
+
+
+def test_trained_patch_maps_heads():
+    """Map shapes/semantics across the model zoo: MB per-class attention,
+    MIL probability scores, CHIEF patch_prob (ref model_chief.py:173-195),
+    and the titan rejection."""
+    import jax
+
+    from moc_tpu.train.mil import MilTrainConfig, build_model
+    from moc_tpu.viz.model_maps import trained_patch_maps
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(30, 64)).astype(np.float32)
+    valid = np.ones(30, bool)
+
+    for mt, n_maps, has_scores, probs in [
+            ("clam_mb", 2, True, False), ("mil", 0, True, True),
+            ("transmil", 0, True, False), ("chief", 2, False, False)]:
+        cfg = MilTrainConfig(model_type=mt, n_classes=2)
+        _, _, init_fn = build_model(cfg)
+        params = init_fn(jax.random.PRNGKey(1), feats, valid)
+        maps, scores, are_probs = trained_patch_maps(cfg, params, feats, valid)
+        assert len(maps) == n_maps, mt
+        assert (scores is not None) == has_scores, mt
+        assert are_probs == probs, mt
+        for v in maps.values():
+            assert v.shape == (30,)
+        if mt == "mil":
+            assert np.allclose(scores.sum(axis=1), 1.0, atol=1e-5)
+        if mt == "chief":
+            assert maps["patchprob"].min() >= 0.0
+
+    with pytest.raises(ValueError, match="titan"):
+        cfg = MilTrainConfig(model_type="titan", n_classes=2)
+        trained_patch_maps(cfg, {}, feats, valid)
+
+
+def test_visualize_cli_moc_senet(tmp_path):
+    """--model_kind moc renders the flagship model's own maps: union-gated
+    fused per-class heatmaps, the union-selection raster, and the four
+    senet view-weight rasters (quantities of main_moc.py:322-410)."""
+    import glob as _glob
+
+    import jax
+
+    from moc_tpu.cli.visualize import main as viz_main
+    from moc_tpu.data import make_synthetic_corpus
+    from moc_tpu.data.bags import read_bag_h5
+    from moc_tpu.data.synthetic import SyntheticWSIConfig
+    from moc_tpu.moc import MOCConfig, init_senet
+    from moc_tpu.utils.checkpoint import save_params
+    from moc_tpu.viz.model_maps import moc_patch_maps
+
+    corpus = make_synthetic_corpus(
+        str(tmp_path / "corpus"),
+        SyntheticWSIConfig(slides_per_class=4, min_patches=40,
+                           max_patches=70, dim=64, seed=9, signal=0.9),
+        shots=(1,), n_folds=1, val_per_class=1, test_per_class=1)
+    np.savez(tmp_path / "w.npz", weights=corpus["weights"])
+    np.savez(tmp_path / "w_ext.npz", weights=corpus["weights_ext"])
+
+    cfg = MOCConfig(n_classes=2, n_ext_classes=6, topj=20, topk=5,
+                    feature_dim=64)
+    _, params = init_senet(jax.random.PRNGKey(3), cfg)
+    ckpt = str(tmp_path / "senet.msgpack")
+    save_params(ckpt, params)
+
+    out_dir = str(tmp_path / "viz_moc")
+    assert viz_main(["--platform", "cpu", "--dataset", "nsclc",
+                     "--feature_dir", corpus["data_dir"],
+                     "--model_msgpack", ckpt, "--model_kind", "moc",
+                     "--weights_npz", str(tmp_path / "w.npz"),
+                     "--weights_ext_npz", str(tmp_path / "w_ext.npz"),
+                     "--topj", "20", "--topk_pool", "5",
+                     "--out_dir", out_dir, "--topk", "4",
+                     "--downsample", "64"]) == 0
+
+    slides = sorted(os.path.splitext(os.path.basename(p))[0]
+                    for p in _glob.glob(os.path.join(
+                        corpus["data_dir"], "h5_files", "*.h5")))
+    assert slides
+    sid = slides[0]
+    for suffix in (["moc_union"] +
+                   [f"moc_w_{n}" for n in ("topk", "delta_softmax",
+                                           "delta_diff", "bottomk")] +
+                   [f"moc_heatmap_c{c}" for c in range(2)]):
+        assert os.path.exists(os.path.join(out_dir, f"{sid}_{suffix}.png")), suffix
+    rows = open(os.path.join(
+        out_dir, f"{sid}_moc_topk.csv")).read().splitlines()
+    assert rows[0] == "class,rank,x,y,score"
+    assert len(rows) == 1 + 2 * 4
+
+    # library semantics: union is the exact selection mask; every CSV coord
+    # is union-eligible; senet weights are sigmoid outputs in (0, 1)
+    bag = read_bag_h5(os.path.join(corpus["data_dir"], "h5_files",
+                                   f"{sid}.h5"))
+    feats = np.asarray(bag.features, np.float32)
+    maps, fused = moc_patch_maps(
+        params, feats, np.ones(feats.shape[0], bool),
+        corpus["weights"], corpus["weights_ext"], cfg)
+    assert set(maps) == {"union", "w_topk", "w_delta_softmax",
+                         "w_delta_diff", "w_bottomk"}
+    assert fused.shape == (feats.shape[0], 2)
+    assert maps["union"].max() == 1.0
+    for n in ("topk", "delta_softmax", "delta_diff", "bottomk"):
+        assert 0.0 < maps[f"w_{n}"].min() and maps[f"w_{n}"].max() < 1.0
+    coords = np.asarray(bag.coords)
+    union_coords = {(int(x), int(y)) for x, y in coords[maps["union"] > 0.5]}
+    for r in rows[1:]:
+        cls, rank, x, y, score = r.split(",")
+        assert (int(x), int(y)) in union_coords
