@@ -129,15 +129,20 @@ def make_pretrain_state(cfg: PretrainConfig, mesh: Mesh, seed: int = 0):
     return model, params, optimizer, opt_state, shardings
 
 
+def pretrain_data_spec(mesh: Mesh) -> P:
+    """PartitionSpec of a ``[B, L]`` pretrain batch on ``mesh``: batch over
+    ``data``, sequence over ``seq`` (axes of size 1 stay unsharded). THE
+    single definition — the jitted step's in_shardings and the multi-process
+    CLI's host-shard assembly (``cli.pretrain``) must agree on it."""
+    return P(AXIS_DATA if mesh.shape.get(AXIS_DATA, 1) > 1 else None,
+             AXIS_SEQ if mesh.shape.get(AXIS_SEQ, 1) > 1 else None)
+
+
 def make_sharded_train_step(cfg: PretrainConfig, mesh: Mesh, model, optimizer,
                             param_shardings):
     """Jitted masked-token train step with dp/sp input sharding and
     tp/ep parameter sharding. ``batch = (token_ids [B, L], mask_pos [B, L])``."""
-    data_spec = NamedSharding(
-        mesh,
-        P(AXIS_DATA if mesh.shape.get(AXIS_DATA, 1) > 1 else None,
-          AXIS_SEQ if mesh.shape.get(AXIS_SEQ, 1) > 1 else None),
-    )
+    data_spec = NamedSharding(mesh, pretrain_data_spec(mesh))
     repl = NamedSharding(mesh, P())
 
     def loss_fn(params, token_ids, mask_pos):

@@ -611,3 +611,53 @@ def test_pod_launch_kills_siblings_on_failure():
         timeout=120, capture_output=True)
     assert proc.returncode != 0
     assert time.time() - t0 < 60
+
+
+def test_pretrain_cli_resume(tmp_path):
+    """cli.pretrain runs the sharded masked-token step on a dp×tp mesh,
+    checkpoints, and a re-invocation resumes from the latest step (the
+    reference's torchscale stack has NO launchable pretrain and no resume,
+    SURVEY §5.3)."""
+    from moc_tpu.cli.pretrain import main as pretrain_main, parse_mesh_arg
+
+    assert parse_mesh_arg("data=4,tensor=2") == {"data": 4, "tensor": 2}
+    with pytest.raises(ValueError):
+        parse_mesh_arg("data")
+
+    ckpt = str(tmp_path / "ckpt")
+    base = ["--platform", "cpu", "--batch", "8", "--seq_len", "16",
+            "--vocab", "64", "--layers", "2", "--embed_dim", "32",
+            "--ffn_dim", "64", "--heads", "4", "--mesh", "data=4,tensor=2",
+            "--ckpt_dir", ckpt, "--ckpt_every", "2", "--log_every", "1"]
+    assert pretrain_main(base + ["--steps", "4"]) == 0
+    from moc_tpu.utils.checkpoint import latest_step
+
+    assert latest_step(ckpt) == 4
+    # resume: only 2 more steps run; checkpoint advances to 6
+    assert pretrain_main(base + ["--steps", "6"]) == 0
+    assert latest_step(ckpt) == 6
+    # already-current checkpoint: clean no-op
+    assert pretrain_main(base + ["--steps", "6"]) == 0
+
+
+def test_pretrain_cli_corpus_and_moe(tmp_path):
+    """--corpus windows a real token array (id-range validated against the
+    [MASK] slot) and --moe_experts swaps FFNs for the GShard MoE over the
+    expert axis."""
+    import numpy as np
+
+    from moc_tpu.cli.pretrain import main as pretrain_main
+
+    rng = np.random.default_rng(0)
+    np.save(tmp_path / "tok.npy", rng.integers(0, 50, 4000, dtype=np.int32))
+    base = ["--platform", "cpu", "--batch", "8", "--seq_len", "16",
+            "--vocab", "64", "--layers", "2", "--embed_dim", "32",
+            "--ffn_dim", "64", "--heads", "4", "--steps", "2",
+            "--corpus", str(tmp_path / "tok.npy")]
+    assert pretrain_main(base + ["--mesh", "data=-1"]) == 0
+    assert pretrain_main(base + ["--mesh", "data=2,expert=4",
+                                 "--moe_experts", "4", "--moe_freq", "2"]) == 0
+    # corpus ids colliding with the [MASK] slot is a usage error
+    np.save(tmp_path / "bad.npy", np.full(100, 63, np.int32))
+    with pytest.raises(SystemExit):
+        pretrain_main(base[:-1] + [str(tmp_path / "bad.npy")])
