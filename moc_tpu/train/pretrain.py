@@ -240,7 +240,32 @@ def run_pretrain(
         from moc_tpu.utils.checkpoint import latest_step, restore_checkpoint
 
         last = latest_step(ckpt_dir)
-        if last is not None:
+        if last is not None and jax.process_count() > 1:
+            # multi-process: restore straight onto the live sharded arrays
+            # (orbax reads each host's shards; no host round-trip exists that
+            # could even hold a cross-process-sharded leaf). Single-device
+            # leaves (the optimizer's scalar step count, created eagerly
+            # outside pjit) come back COMMITTED to device 0, which conflicts
+            # with mesh-placed arguments at the first jitted step — strip
+            # them back to uncommitted host-backed arrays, same rule as the
+            # single-process `_replace` below.
+            tree = restore_checkpoint(
+                ckpt_dir, {"params": params, "opt_state": opt_state},
+                step=last)
+
+            def _uncommit(fresh, restored):
+                if isinstance(fresh.sharding,
+                              jax.sharding.SingleDeviceSharding):
+                    return jnp.asarray(jax.device_get(restored))
+                return restored
+
+            params = tree["params"]
+            opt_state = jax.tree.map(_uncommit, opt_state,
+                                     tree["opt_state"])
+            start = last
+            if log:
+                log(f"resumed from step {last}")
+        elif last is not None:
             tree = restore_checkpoint(
                 ckpt_dir, {"params": jax.device_get(params),
                            "opt_state": jax.device_get(opt_state)}, step=last)

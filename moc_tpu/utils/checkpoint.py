@@ -38,15 +38,23 @@ def load_params(path: str, template: Any) -> Any:
 
 
 def save_checkpoint(directory: str, step: int, tree: Any, *, keep: int = 3) -> str:
-    """Orbax checkpoint of an arbitrary pytree (params + opt state + ...)."""
+    """Orbax checkpoint of an arbitrary pytree (params + opt state + ...).
+
+    Multi-process runtimes (``parallel.runtime``) hand orbax the live
+    ``jax.Array`` leaves — orbax writes each host's addressable shards and
+    coordinates the commit; a ``device_get`` would raise on any leaf sharded
+    across processes (non-fully-addressable). Single-process keeps the host
+    copy (cheap, and decouples the write from donated device buffers)."""
     import orbax.checkpoint as ocp
 
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
+    if jax.process_count() == 1:
+        tree = jax.device_get(tree)
     with ocp.CheckpointManager(
         directory, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
     ) as mgr:
-        mgr.save(step, args=ocp.args.StandardSave(jax.device_get(tree)))
+        mgr.save(step, args=ocp.args.StandardSave(tree))
     return os.path.join(directory, str(step))
 
 
