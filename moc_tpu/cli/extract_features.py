@@ -20,6 +20,7 @@ and trimmed) so every slide reuses a single compiled executable.
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -103,6 +104,11 @@ def build_encoder(backbone: str, checkpoint: str | None, image_size: int,
             lambda x: x.astype(jnp.bfloat16)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
 
+    # tower params are ALWAYS jit arguments, never closure captures: a
+    # closed-over array is baked into the HLO as a constant, and a ~350 MB
+    # (CoCa) / ~1.2 GB (MUSK-large) constant blob breaks remote-compile
+    # transports (measured: the axon tunnel's compile RPC rejects it with
+    # HTTP 413) and bloats the persistent compile cache
     if backbone == "conch":
         if not checkpoint:
             raise ValueError("--backbone conch needs --checkpoint")
@@ -112,12 +118,14 @@ def build_encoder(backbone: str, checkpoint: str | None, image_size: int,
         params = _replicate(_cast(params))
 
         @jax.jit
-        def fn(images):
+        def pfn(p, images):
             if bf16:
                 images = images.astype(jnp.bfloat16)
-            emb = model.apply(params, images, normalize=normalize,
+            emb = model.apply(p, images, normalize=normalize,
                               method=model.encode_image)
             return emb.astype(jnp.float32)
+
+        fn = functools.partial(pfn, params)
 
     elif backbone == "musk":
         if not checkpoint:
@@ -129,11 +137,13 @@ def build_encoder(backbone: str, checkpoint: str | None, image_size: int,
         params = _replicate(_cast(params))
 
         @jax.jit
-        def fn(images):
+        def pfn(p, images):
             if bf16:
                 images = images.astype(jnp.bfloat16)
-            emb, _, _ = model.apply(params, images=images, normalize=normalize)
+            emb, _, _ = model.apply(p, images=images, normalize=normalize)
             return emb.astype(jnp.float32)
+
+        fn = functools.partial(pfn, params)
 
     else:  # debug: fixed random projection, no weights
         key = jax.random.PRNGKey(0)

@@ -62,10 +62,16 @@ def cached_zero_shot_classifier(
 
 
 def make_encode_text_fn(coca, params) -> Callable[[np.ndarray], jax.Array]:
-    """Jitted ``encode_text`` closure over a flax CoCa model + params."""
+    """Jitted ``encode_text`` over a flax CoCa model + params.
+
+    ``params`` enter as a jit ARGUMENT, not a closure capture: a captured
+    array is baked into the HLO as a constant, and the full CoCa tree is
+    ~350 MB — large-constant programs break remote-compile transports
+    (the axon tunnel rejects them with HTTP 413) and bloat the persistent
+    compile cache."""
 
     @jax.jit
-    def fn(token_ids):
-        return coca.apply(params, token_ids, method=coca.encode_text)
+    def fn(p, token_ids):
+        return coca.apply(p, token_ids, method=coca.encode_text)
 
-    return lambda ids: fn(jnp.asarray(ids))
+    return lambda ids: fn(params, jnp.asarray(ids))
