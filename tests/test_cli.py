@@ -661,3 +661,35 @@ def test_pretrain_cli_corpus_and_moe(tmp_path):
     np.save(tmp_path / "bad.npy", np.full(100, 63, np.int32))
     with pytest.raises(SystemExit):
         pretrain_main(base[:-1] + [str(tmp_path / "bad.npy")])
+
+
+@pytest.mark.slow
+def test_sweep_cli_fused_matches_stream_multiclass(tmp_path):
+    """3-class (RCC-shaped) sweep end-to-end: the fused path's device ovo
+    AUC, per-class zero-shot floor, and best-val selection agree with the
+    streaming host path — multiclass certified through the full CLI, not
+    just the metric unit tests."""
+    base = ["moc_tpu.cli.sweep", "--dataset", "synthetic",
+            "--synthetic_classes", "3", "--shots", "1", "--folds", "0",
+            "--synthetic_min_patches", "60", "--synthetic_max_patches", "90",
+            "--topj", "24", "--topk", "10", "--num_epochs", "2"]
+    fused_dir = str(tmp_path / "fused")
+    r = _run_cli(base + ["--result_dir", fused_dir, "--mode", "fused"],
+                 timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    stream_dir = str(tmp_path / "stream")
+    r2 = _run_cli(base + ["--result_dir", stream_dir, "--mode", "stream"],
+                  timeout=600)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+
+    fused = json.load(open(os.path.join(
+        fused_dir, "1_shot", "best_results_shot_1_fold_0.json")))
+    stream = json.load(open(os.path.join(
+        stream_dir, "1_shot", "best_results_shot_1_fold_0.json")))
+    assert fused["best_epoch"] == stream["best_epoch"]
+    for key in ("best_val", "test_at_best_val", "test_acc_at_best_val"):
+        assert abs(fused[key] - stream[key]) < 1e-4, (key, fused, stream)
+    for split in ("zero_shot_train", "zero_shot_val", "zero_shot_test"):
+        for k in ("loss", "acc", "auc"):
+            assert abs(fused[split][k] - stream[split][k]) < 1e-4, (
+                split, k, fused[split], stream[split])
