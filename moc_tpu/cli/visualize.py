@@ -326,11 +326,13 @@ def main(argv=None) -> int:
 
     preset = PRESETS[args.dataset]
     moc_mode = bool(args.model_msgpack) and args.model_kind == "moc"
-    weights = None
+    weights = w_ext = None
     if args.model_msgpack and not moc_mode:
         pass  # trained-MIL mode; loaded below from a probe bag
     elif args.weights_npz:
         weights = np.load(args.weights_npz)["weights"]
+        if args.weights_ext_npz:
+            w_ext = np.load(args.weights_ext_npz)["weights"]
     elif args.conch_checkpoint:
         from moc_tpu.cli.predict import _load_weights
 
@@ -338,26 +340,25 @@ def main(argv=None) -> int:
                                 conch_checkpoint=args.conch_checkpoint,
                                 tokenizer_file=args.tokenizer_file,
                                 out=os.path.join(args.out_dir, "x"))
-        weights, _ = _load_weights(ns, preset)
+        weights, w_ext = _load_weights(ns, preset)
     else:
         raise SystemExit(
             "need --weights_npz, --conch_checkpoint, or --model_msgpack")
     if weights is not None:
         weights = np.asarray(weights, np.float32)
+    if w_ext is not None:
+        w_ext = np.asarray(w_ext, np.float32)
 
-    moc_cfg = senet_params = w_ext = None
+    moc_cfg = senet_params = None
     if moc_mode:
-        if weights is None or not args.weights_ext_npz:
-            raise SystemExit("--model_kind moc needs --weights_npz and "
-                             "--weights_ext_npz (the senet scores against "
-                             "both banks)")
+        if weights is None or w_ext is None:
+            raise SystemExit("--model_kind moc needs both weight matrices: "
+                             "--weights_npz + --weights_ext_npz, or a "
+                             "--conch_checkpoint to build them")
         import jax
 
         from moc_tpu.moc import MOCConfig, init_senet
         from moc_tpu.utils.checkpoint import load_params
-
-        w_ext = np.asarray(np.load(args.weights_ext_npz)["weights"],
-                           np.float32)
         moc_cfg = MOCConfig(n_classes=preset.n_classes,
                             n_ext_classes=preset.n_ext_classes,
                             topj=args.topj, topk=args.topk_pool,
