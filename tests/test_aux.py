@@ -504,6 +504,35 @@ def test_trained_patch_maps_heads():
         trained_patch_maps(cfg, {}, feats, valid)
 
 
+def test_trained_patch_maps_pad_invariant():
+    """Padding rows behind the validity mask must not move any real patch's
+    map value (the repo-wide pad-invariance invariant, applied to the viz
+    surface)."""
+    import jax
+
+    from moc_tpu.train.mil import MilTrainConfig, build_model
+    from moc_tpu.viz.model_maps import trained_patch_maps
+
+    rng = np.random.default_rng(3)
+    feats = rng.normal(size=(25, 64)).astype(np.float32)
+    valid = np.ones(25, bool)
+    padded = np.concatenate([feats, np.full((7, 64), 9.9, np.float32)])
+    pvalid = np.concatenate([valid, np.zeros(7, bool)])
+
+    for mt in ("clam_sb", "clam_mb", "abmil", "chief"):
+        cfg = MilTrainConfig(model_type=mt, n_classes=2)
+        _, _, init_fn = build_model(cfg)
+        params = init_fn(jax.random.PRNGKey(2), feats, valid)
+        maps, scores, _ = trained_patch_maps(cfg, params, feats, valid)
+        maps_p, scores_p, _ = trained_patch_maps(cfg, params, padded, pvalid)
+        for name in maps:
+            np.testing.assert_allclose(maps_p[name][:25], maps[name],
+                                       rtol=1e-5, atol=1e-6, err_msg=f"{mt}:{name}")
+        if scores is not None:
+            np.testing.assert_allclose(scores_p[:25], scores,
+                                       rtol=1e-5, atol=1e-6, err_msg=mt)
+
+
 def test_visualize_cli_moc_senet(tmp_path):
     """--model_kind moc renders the flagship model's own maps: union-gated
     fused per-class heatmaps, the union-selection raster, and the four
