@@ -42,8 +42,11 @@ def get_args(argv=None):
     p.add_argument("--model_kind", default="moc", choices=["moc", "mil"],
                    help="moc = senet + zero-shot weight matrices; mil = a "
                         "baseline MIL head from train_mil (no weights needed)")
-    p.add_argument("--model_type", default="clam_sb",
-                   help="MIL head architecture for --model_kind mil")
+    p.add_argument("--model_type", default=None,
+                   help="MIL head architecture for --model_kind mil "
+                        "(default: read from the checkpoint's sidecar JSON "
+                        "— train_mil writes the model config next to the "
+                        "msgpack)")
     p.add_argument("--model_size", default="conch")
     p.add_argument("--feature_dir", required=True,
                    help="CLAM feature dir ({h5_files,pt_files})")
@@ -109,6 +112,35 @@ def _storage_dtype(args):
                              "MIL heads take float bags (use bfloat16)")
         return jnp.int8
     return jnp.bfloat16 if args.storage_dtype == "bfloat16" else jnp.float32
+
+
+def resolve_model_config(args) -> None:
+    """Fill ``--model_type``/``--model_size`` from the checkpoint's sidecar
+    JSON when the user didn't pass them (``train_mil`` writes the model
+    config beside every ``.msgpack``). No-op for the MOC senet kind."""
+    if getattr(args, "model_kind", "moc") != "mil":
+        return
+    if args.model_type is not None:
+        return
+    model = getattr(args, "model", None) or getattr(args, "model_msgpack", None)
+    sidecar = None
+    if model and model.endswith(".msgpack"):
+        cand = model[: -len(".msgpack")] + ".json"
+        if os.path.exists(cand):
+            import json
+
+            with open(cand) as f:
+                sidecar = json.load(f)
+    if sidecar and "model_type" in sidecar:
+        args.model_type = sidecar["model_type"]
+        if sidecar.get("model_size"):
+            args.model_size = sidecar["model_size"]
+        print(f"model config from sidecar {os.path.basename(cand)}: "
+              f"{args.model_type} ({args.model_size})", file=sys.stderr)
+        return
+    raise SystemExit(
+        "--model_kind mil needs --model_type (no sidecar JSON with a "
+        "model_type field found next to the checkpoint)")
 
 
 def _load_weights(args, preset):
@@ -294,6 +326,7 @@ def main(argv=None) -> int:
         if not args.model:
             raise SystemExit("--model is required (or score from an "
                              "artifact with --from_program)")
+        resolve_model_config(args)
         mesh = serving_mesh() if args.data_parallel else None
         batch_size = round_up_to_mesh(args.batch_size, mesh)
         batch_logits, make_template, temperature = build_predictor(

@@ -51,7 +51,9 @@ def get_args(argv=None):
                         "--model + weights — no model code, weights, or "
                         "trace/compile at startup")
     p.add_argument("--model_kind", default="moc", choices=["moc", "mil"])
-    p.add_argument("--model_type", default="clam_sb")
+    p.add_argument("--model_type", default=None,
+                   help="MIL head architecture (default: the checkpoint's "
+                        "sidecar JSON)")
     p.add_argument("--model_size", default="conch")
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--watch_dir", default=None,
@@ -155,8 +157,10 @@ class Server:
         if not args.model:
             raise SystemExit("--model is required (or serve an artifact "
                              "with --from_program)")
-        from moc_tpu.cli.predict import _storage_dtype, build_predictor
+        from moc_tpu.cli.predict import (_storage_dtype, build_predictor,
+                                         resolve_model_config)
 
+        resolve_model_config(args)
         self.dtype = _storage_dtype(args)  # validate the tier before compile
         batch_logits, self._make_template, self.temperature = build_predictor(
             args, self.preset)

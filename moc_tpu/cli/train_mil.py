@@ -137,6 +137,9 @@ def _train_vila(args, table, parts, data_dir, n_classes) -> dict:
     payload = {
         "val_auc": result.val_auc, "test_auc": result.test_auc,
         "test_acc": result.test_acc, "stop_epoch": result.stop_epoch,
+        # model config sidecar: lets predict/visualize auto-detect the
+        # architecture of the msgpack written below
+        "model_type": "vila", "n_classes": n_classes,
     }
     out = os.path.join(args.result_dir,
                        f"vila_shot_{args.shot}_fold_{args.fold}.json")
@@ -268,6 +271,8 @@ def _run_fused_grid(args, shot, folds) -> list[dict]:
             "test_acc": float(np.asarray(result.test_acc)[i]),
             "test_bacc": float(np.asarray(result.test_bacc)[i]),
             "stop_epoch": int(np.asarray(result.stop_epoch)[i]),
+            "model_type": args.model_type, "model_size": args.model_size,
+            "n_classes": n_classes,
         }
         out = os.path.join(args.result_dir,
                            f"{args.model_type}_shot_{shot}_fold_{fold}.json")
@@ -329,6 +334,8 @@ def _run_single(args) -> dict:
         "test_bacc": result.test_bacc, "stop_epoch": result.stop_epoch,
         "class_summary": result.class_summary,
         "patient_results": result.patient_results,
+        "model_type": args.model_type, "model_size": args.model_size,
+        "n_classes": n_classes,
     }
     out = os.path.join(
         args.result_dir,

@@ -80,9 +80,11 @@ def get_args(argv=None):
     p.add_argument("--model_kind", default="mil", choices=["mil", "moc"],
                    help="mil = a baseline MIL head (--model_type); moc = a "
                         "senet (needs --weights_npz + --weights_ext_npz)")
-    p.add_argument("--model_type", default="clam_sb",
+    p.add_argument("--model_type", default=None,
                    choices=["clam_sb", "clam_mb", "abmil", "transmil",
-                            "mil", "chief"])
+                            "mil", "chief"],
+                   help="MIL head architecture (default: the checkpoint's "
+                        "sidecar JSON)")
     p.add_argument("--model_size", default="conch")
     p.add_argument("--n_classes", type=int, default=None,
                    help="default: the dataset preset's class count")
@@ -378,6 +380,10 @@ def main(argv=None) -> int:
         bag = _read_bag_path(found[sid])
         wsi = (os.path.join(args.wsi_dir, sid + args.wsi_ext)
                if args.wsi_dir else None)
+        if args.model_msgpack and not moc_mode and model_cfg is None:
+            from moc_tpu.cli.predict import resolve_model_config
+
+            resolve_model_config(args)
         if moc_mode:
             files = visualize_slide_moc(
                 bag, args.out_dir, moc_cfg=moc_cfg,

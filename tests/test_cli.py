@@ -693,3 +693,60 @@ def test_sweep_cli_fused_matches_stream_multiclass(tmp_path):
         for k in ("loss", "acc", "auc"):
             assert abs(fused[split][k] - stream[split][k]) < 1e-4, (
                 split, k, fused[split], stream[split])
+
+
+def test_predict_model_type_from_sidecar(tmp_path):
+    """--model_kind mil without --model_type reads the architecture from
+    the sidecar JSON train_mil writes beside the msgpack; without a sidecar
+    it is a clear usage error (never a silent wrong-architecture default)."""
+    import jax
+    import jax.numpy as jnp
+
+    from moc_tpu.cli.predict import main as predict_main
+    from moc_tpu.data import make_synthetic_corpus
+    from moc_tpu.data.synthetic import SyntheticWSIConfig
+    from moc_tpu.train import MilTrainConfig, build_model
+    from moc_tpu.utils.checkpoint import save_params
+
+    corpus = make_synthetic_corpus(
+        str(tmp_path / "corpus"),
+        SyntheticWSIConfig(slides_per_class=3, min_patches=40,
+                           max_patches=70, dim=64, seed=11, signal=0.9),
+        shots=(1,), n_folds=1, val_per_class=1, test_per_class=1)
+    import pandas as pd
+
+    frame = pd.read_csv(corpus["csv_path"], dtype=str)
+    frame["label"] = frame["label"].map({"0": "LUAD", "1": "LUSC"})
+    csv_path = str(tmp_path / "cohort.csv")
+    frame.to_csv(csv_path, index=False)
+
+    cfg = MilTrainConfig(model_type="chief", model_size="small", n_classes=2)
+    _, _, init_fn = build_model(cfg)
+    params = init_fn(jax.random.PRNGKey(0), jnp.zeros((8, 64)),
+                     jnp.ones((8,), bool))
+    path = str(tmp_path / "chief_shot_1_fold_0.msgpack")
+    save_params(path, params)
+    with open(path.replace(".msgpack", ".json"), "w") as f:
+        json.dump({"test_auc": 0.9, "model_type": "chief",
+                   "model_size": "small", "n_classes": 2}, f)
+
+    out = str(tmp_path / "pred.csv")
+    assert predict_main(["--platform", "cpu", "--dataset", "nsclc",
+                         "--model", path, "--model_kind", "mil",
+                         "--feature_dir", corpus["data_dir"],
+                         "--csv", csv_path, "--out", out]) == 0
+    import numpy as np
+
+    got = pd.read_csv(out)
+    assert len(got) == 6
+    np.testing.assert_allclose(got[["prob_0", "prob_1"]].sum(axis=1), 1.0,
+                               atol=1e-5)
+
+    # no sidecar, no flag -> usage error
+    bare = str(tmp_path / "bare.msgpack")
+    save_params(bare, params)
+    with pytest.raises(SystemExit, match="model_type"):
+        predict_main(["--platform", "cpu", "--dataset", "nsclc",
+                      "--model", bare, "--model_kind", "mil",
+                      "--feature_dir", corpus["data_dir"],
+                      "--csv", csv_path, "--out", out])
