@@ -96,6 +96,10 @@ def get_args(argv=None):
     p.add_argument("--topj", type=int, default=400)
     p.add_argument("--topk_pool", type=int, default=10,
                    help="MOC pooling top-k (the senet config's topk)")
+    p.add_argument("--sizes_json", default=None, metavar="PATH",
+                   help="instead of rendering, write {slide: [w, h]} JSON "
+                        "from bag coords (OpenSlide dims with --wsi_dir) — "
+                        "the reference's utils/wsi_size.py scanner")
     p.add_argument("--platform", default=None)
     return p.parse_args(argv)
 
@@ -327,6 +331,37 @@ def main(argv=None) -> int:
     from moc_tpu.config import PRESETS
 
     preset = PRESETS[args.dataset]
+
+    if args.sizes_json:
+        # slide-size scan (ref utils/wsi_size.py: per-slide {w, h} JSONs);
+        # extent from coords, or true OpenSlide dims when --wsi_dir is
+        # given. Needs no weights or model.
+        import json
+
+        from moc_tpu.viz import slide_extent
+
+        found = _discover(args.feature_dir)
+        slides = args.slides or sorted(found)
+        missing = [s for s in slides if s not in found]
+        if missing:
+            raise SystemExit(f"no bags for slides {missing[:5]} under "
+                             f"{args.feature_dir!r}")
+        os.makedirs(args.out_dir, exist_ok=True)
+        sizes = {}
+        for sid in slides:
+            bag = _read_bag_path(found[sid])
+            if bag.coords is None:
+                raise ValueError(f"{sid}: bag has no coords")
+            wsi = (os.path.join(args.wsi_dir, sid + args.wsi_ext)
+                   if args.wsi_dir else None)
+            sizes[sid] = [int(v) for v in slide_extent(
+                np.asarray(bag.coords), args.patch_size, wsi_path=wsi)]
+        path = os.path.join(args.out_dir, args.sizes_json)
+        with open(path, "w") as f:
+            json.dump(sizes, f, indent=2)
+        print(f"{len(sizes)} slide sizes -> {path}")
+        return 0
+
     moc_mode = bool(args.model_msgpack) and args.model_kind == "moc"
     weights = w_ext = None
     if args.model_msgpack and not moc_mode:

@@ -607,3 +607,32 @@ def test_visualize_cli_moc_senet(tmp_path):
     for r in rows[1:]:
         cls, rank, x, y, score = r.split(",")
         assert (int(x), int(y)) in union_coords
+
+
+def test_visualize_cli_sizes_json(tmp_path):
+    """--sizes_json writes the reference wsi_size.py scan ({slide: [w, h]})
+    from bag coords alone — no weights or model needed."""
+    import json as _json
+
+    from moc_tpu.cli.visualize import main as viz_main
+    from moc_tpu.data import make_synthetic_corpus
+    from moc_tpu.data.bags import read_bag_h5
+    from moc_tpu.data.synthetic import SyntheticWSIConfig
+    from moc_tpu.viz import slide_extent
+
+    corpus = make_synthetic_corpus(
+        str(tmp_path / "corpus"),
+        SyntheticWSIConfig(slides_per_class=3, min_patches=30,
+                           max_patches=60, dim=32, seed=2, signal=0.9),
+        shots=(1,), n_folds=1, val_per_class=1, test_per_class=1)
+    out_dir = str(tmp_path / "viz")
+    assert viz_main(["--platform", "cpu", "--feature_dir",
+                     corpus["data_dir"], "--out_dir", out_dir,
+                     "--sizes_json", "sizes.json"]) == 0
+    sizes = _json.load(open(os.path.join(out_dir, "sizes.json")))
+    assert len(sizes) == 6
+    sid = sorted(sizes)[0]
+    bag = read_bag_h5(os.path.join(corpus["data_dir"], "h5_files",
+                                   f"{sid}.h5"))
+    w, h = slide_extent(np.asarray(bag.coords), 256)
+    assert sizes[sid] == [int(w), int(h)]
