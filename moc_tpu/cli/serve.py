@@ -264,30 +264,52 @@ def _shard_owns(slide_id: str, shard: tuple[int, int] | None) -> bool:
     return int.from_bytes(digest, "big") % count == index
 
 
+MAX_READ_RETRIES = 3
+
+
 def watch_once(server: Server, watch_dir: str, out_csv: str,
-               seen: set[str], shard: tuple[int, int] | None = None) -> int:
+               seen: set[str], shard: tuple[int, int] | None = None,
+               failures: dict[str, int] | None = None) -> int:
     """Score every not-yet-seen bag under ``watch_dir``; append to the CSV.
-    Returns the number of new rows."""
+    Returns the number of new rows.
+
+    A discovered file can still be MID-COPY (writers that aren't atomic) —
+    an unreadable bag is retried on later polls and only written off as
+    corrupt after ``MAX_READ_RETRIES`` consecutive failures (marking it
+    ``seen`` on the first failure silently dropped every slowly-rsynced
+    bag forever). Pass a persistent ``failures`` dict to carry the counts
+    across polls."""
     import pandas as pd
 
     backlog = {sid: p for sid, p in _discover(watch_dir).items()
                if sid not in seen and _shard_owns(sid, shard)}
     if not backlog:
         return 0
-    bags = []
+    if failures is None:
+        failures = {}
+    bags, scored_ids = [], []
     for sid, path in sorted(backlog.items()):
         try:
             bags.append(_read_bag_path(path))
+            scored_ids.append(sid)
+            failures.pop(sid, None)
         except Exception as e:
-            print(f"skipping {path}: {e}", file=sys.stderr)
-            seen.add(sid)  # do not retry a corrupt file every poll
+            failures[sid] = failures.get(sid, 0) + 1
+            if failures[sid] >= MAX_READ_RETRIES:
+                print(f"skipping {path} after {failures[sid]} failed reads: "
+                      f"{e}", file=sys.stderr)
+                seen.add(sid)
+            else:
+                print(f"cannot read {path} yet (attempt {failures[sid]}/"
+                      f"{MAX_READ_RETRIES}): {e}; will retry",
+                      file=sys.stderr)
     rows = server.score(bags)
     if rows:
         df = pd.DataFrame(rows)
         header = not os.path.exists(out_csv)
         os.makedirs(os.path.dirname(out_csv) or ".", exist_ok=True)
         df.to_csv(out_csv, mode="a", header=header, index=False)
-    seen.update(backlog)
+    seen.update(scored_ids)
     return len(rows)
 
 
@@ -330,8 +352,10 @@ def main(argv=None) -> int:
     if seen:
         print(f"resuming: {len(seen)} slides already in {args.out}",
               file=sys.stderr)
+    failures: dict[str, int] = {}
     while True:
-        n = watch_once(server, args.watch_dir, args.out, seen, shard)
+        n = watch_once(server, args.watch_dir, args.out, seen, shard,
+                       failures=failures)
         if n:
             print(f"scored {n} new slides -> {args.out}", file=sys.stderr)
         if args.once:

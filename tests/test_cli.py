@@ -750,3 +750,50 @@ def test_predict_model_type_from_sidecar(tmp_path):
                       "--model", bare, "--model_kind", "mil",
                       "--feature_dir", corpus["data_dir"],
                       "--csv", csv_path, "--out", out])
+
+
+def test_watch_once_retries_partial_files(tmp_path):
+    """A bag that is mid-copy (unreadable) must be RETRIED on later polls —
+    scored once the copy completes — and only written off after
+    MAX_READ_RETRIES consecutive failures."""
+    import numpy as np
+
+    from moc_tpu.cli.serve import MAX_READ_RETRIES, watch_once
+    from moc_tpu.data.bags import write_bag_h5
+
+    class FakeServer:
+        def score(self, bags, batch_size=None):
+            return [{"slide_id": b.slide_id, "prob_0": 0.5, "prob_1": 0.5}
+                    for b in bags]
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    # a good bag and a truncated (mid-copy) one
+    write_bag_h5(str(watch / "good.h5"), np.zeros((4, 8), np.float32),
+                 np.zeros((4, 2), np.int32))
+    (watch / "partial.h5").write_bytes(b"\x89HDF-not-really")
+
+    out = str(tmp_path / "out.csv")
+    seen: set = set()
+    failures: dict = {}
+    n = watch_once(FakeServer(), str(watch), out, seen, failures=failures)
+    assert n == 1 and "good" in seen
+    assert "partial" not in seen and failures["partial"] == 1
+
+    # the copy completes between polls -> next poll scores it
+    write_bag_h5(str(watch / "partial.h5"), np.zeros((3, 8), np.float32),
+                 np.zeros((3, 2), np.int32))
+    n = watch_once(FakeServer(), str(watch), out, seen, failures=failures)
+    assert n == 1 and "partial" in seen and "partial" not in failures
+
+    # a genuinely corrupt file is written off after MAX_READ_RETRIES
+    (watch / "corrupt.h5").write_bytes(b"junk")
+    for attempt in range(1, MAX_READ_RETRIES + 1):
+        watch_once(FakeServer(), str(watch), out, seen, failures=failures)
+        if attempt < MAX_READ_RETRIES:
+            assert "corrupt" not in seen and failures["corrupt"] == attempt
+    assert "corrupt" in seen  # no infinite retry loop
+    import pandas as pd
+
+    got = pd.read_csv(out)
+    assert sorted(got["slide_id"]) == ["good", "partial"]
