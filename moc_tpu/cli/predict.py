@@ -132,6 +132,11 @@ def resolve_model_config(args) -> None:
             with open(cand) as f:
                 sidecar = json.load(f)
     if sidecar and "model_type" in sidecar:
+        if sidecar["model_type"] == "vila":
+            raise SystemExit(
+                "this checkpoint is a ViLa model (dual-scale bags + prompt "
+                "constants) — serve it via train.vila.evaluate_vila, not "
+                "the single-scale predict path")
         args.model_type = sidecar["model_type"]
         if sidecar.get("model_size"):
             args.model_size = sidecar["model_size"]
