@@ -278,7 +278,15 @@ def watch_once(server: Server, watch_dir: str, out_csv: str,
     corrupt after ``MAX_READ_RETRIES`` consecutive failures (marking it
     ``seen`` on the first failure silently dropped every slowly-rsynced
     bag forever). Pass a persistent ``failures`` dict to carry the counts
-    across polls."""
+    across polls.
+
+    Scoring failures are isolated the same way: a readable bag the model
+    rejects (wrong feature dim, truncated arrays) must not kill the daemon
+    or poison the batch its neighbors ride in — the batch falls back to
+    per-bag scoring, the offender accrues a failure count (transient device
+    errors heal on a later poll; deterministic mismatches are written off
+    after ``MAX_READ_RETRIES``), and the rest of the backlog still lands in
+    the CSV."""
     import pandas as pd
 
     backlog = {sid: p for sid, p in _discover(watch_dir).items()
@@ -292,7 +300,6 @@ def watch_once(server: Server, watch_dir: str, out_csv: str,
         try:
             bags.append(_read_bag_path(path))
             scored_ids.append(sid)
-            failures.pop(sid, None)
         except Exception as e:
             failures[sid] = failures.get(sid, 0) + 1
             if failures[sid] >= MAX_READ_RETRIES:
@@ -303,7 +310,29 @@ def watch_once(server: Server, watch_dir: str, out_csv: str,
                 print(f"cannot read {path} yet (attempt {failures[sid]}/"
                       f"{MAX_READ_RETRIES}): {e}; will retry",
                       file=sys.stderr)
-    rows = server.score(bags)
+    try:
+        rows = server.score(bags)
+        for sid in scored_ids:  # clear counts only on a successful SCORE —
+            failures.pop(sid, None)  # a clean read alone must not reset them
+    except Exception:
+        rows = []
+        ok_ids = []
+        for bag, sid in zip(bags, scored_ids):
+            try:
+                rows.extend(server.score([bag]))
+                ok_ids.append(sid)
+                failures.pop(sid, None)
+            except Exception as e:
+                failures[sid] = failures.get(sid, 0) + 1
+                if failures[sid] >= MAX_READ_RETRIES:
+                    print(f"skipping {sid} after {failures[sid]} failed "
+                          f"scores: {e}", file=sys.stderr)
+                    seen.add(sid)
+                else:
+                    print(f"cannot score {sid} (attempt {failures[sid]}/"
+                          f"{MAX_READ_RETRIES}): {e}; will retry",
+                          file=sys.stderr)
+        scored_ids = ok_ids
     if rows:
         df = pd.DataFrame(rows)
         header = not os.path.exists(out_csv)

@@ -797,3 +797,48 @@ def test_watch_once_retries_partial_files(tmp_path):
 
     got = pd.read_csv(out)
     assert sorted(got["slide_id"]) == ["good", "partial"]
+
+
+def test_watch_once_isolates_poison_bags(tmp_path):
+    """A READABLE bag the model rejects (wrong feature dim) must not kill
+    the daemon or poison its batch: the batch falls back to per-bag
+    scoring, good neighbors still land in the CSV, and the offender is
+    written off after MAX_READ_RETRIES (not retried forever, not crashed
+    on at every restart)."""
+    import numpy as np
+    import pandas as pd
+
+    from moc_tpu.cli.serve import MAX_READ_RETRIES, watch_once
+    from moc_tpu.data.bags import write_bag_h5
+
+    class DimCheckingServer:
+        def score(self, bags, batch_size=None):
+            for b in bags:
+                if b.features.shape[1] != 8:
+                    raise ValueError(
+                        f"feature dim {b.features.shape[1]} != 8")
+            return [{"slide_id": b.slide_id, "prob_0": 0.5, "prob_1": 0.5}
+                    for b in bags]
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    write_bag_h5(str(watch / "good.h5"), np.zeros((4, 8), np.float32),
+                 np.zeros((4, 2), np.int32))
+    write_bag_h5(str(watch / "poison.h5"), np.zeros((4, 16), np.float32),
+                 np.zeros((4, 2), np.int32))
+
+    out = str(tmp_path / "out.csv")
+    seen: set = set()
+    failures: dict = {}
+    # first poll: the whole-batch score raises; fallback isolates the
+    # poison bag, the good one is still scored
+    n = watch_once(DimCheckingServer(), str(watch), out, seen,
+                   failures=failures)
+    assert n == 1 and "good" in seen
+    assert "poison" not in seen and failures["poison"] == 1
+    for attempt in range(2, MAX_READ_RETRIES + 1):
+        watch_once(DimCheckingServer(), str(watch), out, seen,
+                   failures=failures)
+    assert "poison" in seen  # written off: restarts won't crash on it
+    got = pd.read_csv(out)
+    assert list(got["slide_id"]) == ["good"]
