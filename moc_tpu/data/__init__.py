@@ -57,7 +57,10 @@ from moc_tpu.data.pseudo import (
     prisec_order,
     pseudo_epoch,
 )
-from moc_tpu.data.patches import CoordPatchReader, PatchBagReader, list_bags
+from moc_tpu.data.patches import (CoordPatchReader, PatchBagReader,
+                                  list_bags, open_slide)
+from moc_tpu.data.segment import (TissueSegmentation, save_patch_coords,
+                                  segment_tissue, segmented_grid)
 from moc_tpu.data.vila_data import DualScaleBag, DualScaleLoader
 from moc_tpu.data.synthetic import SyntheticWSIConfig, make_synthetic_corpus
 
@@ -90,6 +93,11 @@ __all__ = [
     "prisec_order",
     "pseudo_epoch",
     "CoordPatchReader",
+    "open_slide",
+    "TissueSegmentation",
+    "segment_tissue",
+    "segmented_grid",
+    "save_patch_coords",
     "PatchBagReader",
     "list_bags",
     "DualScaleBag",

@@ -68,9 +68,80 @@ class PatchBagReader:
                 yield chunk, c
 
 
+class _PILSlide:
+    """Plain-image slide adapter (PNG/JPEG/simple TIFF via PIL): the
+    OpenSlide-free path for test fixtures, exported region images, and any
+    cohort stored as ordinary images. Reads are level-0 only; crops past
+    the image edge zero-fill (glass-background patches score ~0 everywhere,
+    same as OpenSlide's transparent padding converted to RGB)."""
+
+    def __init__(self, path: str):
+        from PIL import Image
+
+        self._im = Image.open(path).convert("RGB")
+
+    @property
+    def dimensions(self) -> tuple[int, int]:
+        return self._im.size  # (w, h)
+
+    def thumbnail(self, max_px: int) -> tuple[np.ndarray, float]:
+        w, h = self._im.size
+        scale = max(1.0, max(w, h) / float(max_px))
+        tw = max(1, int(round(w / scale)))
+        th = max(1, int(round(h / scale)))
+        thumb = self._im.resize((tw, th))
+        return np.asarray(thumb), w / float(tw)
+
+    def read(self, coord: tuple[int, int], size: int) -> np.ndarray:
+        x, y = int(coord[0]), int(coord[1])
+        return np.asarray(self._im.crop((x, y, x + size, y + size)))
+
+
+class _OpenSlide:
+    """OpenSlide adapter with the same surface as :class:`_PILSlide`."""
+
+    def __init__(self, path: str):
+        import openslide
+
+        self._s = openslide.OpenSlide(path)
+
+    @property
+    def dimensions(self) -> tuple[int, int]:
+        return self._s.dimensions
+
+    def thumbnail(self, max_px: int) -> tuple[np.ndarray, float]:
+        w, h = self._s.dimensions
+        scale = max(1.0, max(w, h) / float(max_px))
+        tw = max(1, int(round(w / scale)))
+        th = max(1, int(round(h / scale)))
+        thumb = self._s.get_thumbnail((tw, th)).convert("RGB")
+        return np.asarray(thumb), w / float(thumb.size[0])
+
+    def read(self, coord: tuple[int, int], size: int) -> np.ndarray:
+        region = self._s.read_region((int(coord[0]), int(coord[1])), 0,
+                                     (size, size)).convert("RGB")
+        return np.asarray(region)
+
+
+def open_slide(path: str):
+    """Open a slide for pixel reads: OpenSlide when importable and the file
+    is one of its formats, else PIL (plain images). Both adapters expose
+    ``dimensions (w, h)``, ``thumbnail(max_px) -> (rgb, scale)``, and
+    ``read((x, y), size) -> [size, size, 3] uint8`` at level 0."""
+    try:
+        import openslide  # noqa: F401
+    except ImportError:
+        return _PILSlide(path)
+    try:
+        return _OpenSlide(path)
+    except Exception:
+        return _PILSlide(path)
+
+
 @dataclasses.dataclass
 class CoordPatchReader:
-    """Coords-only h5 + live ``read_region`` pixels (requires OpenSlide)."""
+    """Coords-only h5 + live pixel reads (OpenSlide, or PIL for plain-image
+    slides — see :func:`open_slide`)."""
 
     h5_path: str
     wsi_path: str
@@ -87,19 +158,24 @@ class CoordPatchReader:
             return np.asarray(f["coords"][:])
 
     def batches(self, batch_size: int = 64) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-        import openslide
+        if self.level != 0:
+            # non-zero pyramid levels are an OpenSlide-only concept; the
+            # PIL fallback reads level 0 only
+            import openslide
 
-        slide = openslide.OpenSlide(self.wsi_path)
+            slide = openslide.OpenSlide(self.wsi_path)
+            read = lambda c, s: np.asarray(  # noqa: E731
+                slide.read_region(c, self.level, (s, s)).convert("RGB"))
+        else:
+            slide = open_slide(self.wsi_path)
+            read = slide.read
         coords = self.coords()
         tf = _make_transform(self.transform, self.image_size)
         for i in range(0, len(coords), batch_size):
             chunk = coords[i : i + batch_size]
             imgs = []
             for x, y in chunk:
-                region = slide.read_region(
-                    (int(x), int(y)), self.level, (self.patch_size, self.patch_size)
-                ).convert("RGB")
-                img = np.asarray(region)
+                img = read((int(x), int(y)), self.patch_size)
                 if self.normalize:
                     img = tf(img)
                 imgs.append(img)
