@@ -35,13 +35,12 @@ def slide_extent(coords: np.ndarray, patch_size: int = 256,
     """(width, height) of the slide: OpenSlide dims when available, else the
     coord extent + one patch (ref ``utils/wsi_size.py``)."""
     if wsi_path is not None:
-        try:
-            import openslide
+        from moc_tpu.data.patches import open_slide
 
-            slide = openslide.OpenSlide(wsi_path)
-            return slide.dimensions
-        except ImportError:
-            pass
+        try:
+            return open_slide(wsi_path).dimensions
+        except Exception:  # unreadable format here (e.g. .svs sans
+            pass  # OpenSlide): degrade to the coord extent, like the scan
     return (int(coords[:, 0].max()) + patch_size,
             int(coords[:, 1].max()) + patch_size)
 
@@ -90,13 +89,18 @@ def render_topk_overlay(patch_logits: np.ndarray, coords: np.ndarray,
 
 def crop_patches(wsi_path: str, coords: np.ndarray, patch_size: int = 256,
                  level: int = 0) -> list[np.ndarray]:
-    """Raw-pixel crops via OpenSlide (the reference's ``read_region`` path);
-    raises ImportError when OpenSlide is unavailable."""
-    import openslide
+    """Raw-pixel crops (the reference's ``read_region`` path). Slides open
+    via ``data.patches.open_slide`` — OpenSlide when installed, PIL for
+    plain images (level 0 only)."""
+    if level != 0:  # pyramid levels are OpenSlide-only
+        import openslide
 
-    slide = openslide.OpenSlide(wsi_path)
-    out = []
-    for x, y in coords:
-        region = slide.read_region((int(x), int(y)), level, (patch_size, patch_size))
-        out.append(np.asarray(region.convert("RGB")))
-    return out
+        slide = openslide.OpenSlide(wsi_path)
+        return [np.asarray(slide.read_region(
+            (int(x), int(y)), level, (patch_size, patch_size)).convert("RGB"))
+            for x, y in coords]
+    from moc_tpu.data.patches import open_slide
+
+    slide = open_slide(wsi_path)
+    return [np.asarray(slide.read((int(x), int(y)), patch_size))
+            for x, y in coords]
