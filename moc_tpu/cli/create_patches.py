@@ -193,7 +193,16 @@ def main(argv=None) -> int:
         if jax.process_count() > 1:
             root, ext = os.path.splitext(csv_path)
             csv_path = f"{root}.proc{jax.process_index()}{ext}"
-        pd.DataFrame(rows).to_csv(csv_path, index=False)
+        frame = pd.DataFrame(rows)
+        if os.path.exists(csv_path):
+            # merge: a --resume / --slides-subset run must not clobber the
+            # statuses of slides processed by earlier invocations
+            prev = pd.read_csv(csv_path)
+            fresh = set(frame["slide_id"].astype(str))
+            prev = prev[~prev["slide_id"].astype(str).isin(fresh)]
+            frame = pd.concat([prev, frame], ignore_index=True)
+            frame = frame.sort_values("slide_id", kind="stable")
+        frame.to_csv(csv_path, index=False)
         print(f"{len(rows)} slides -> {csv_path}")
     return 0
 

@@ -170,6 +170,15 @@ def test_create_patches_cli_and_extract_chain(tmp_path):
     rc = cp_main(["--wsi_dir", str(wsi), "--out_dir", str(out),
                   "--resume", "--platform", "cpu"])
     assert rc == 0
+
+    # a --slides-subset re-run merges into process_list.csv instead of
+    # clobbering the other slides' rows
+    rc = cp_main(["--wsi_dir", str(wsi), "--out_dir", str(out),
+                  "--patch_size", "64", "--step_size", "64", "--a_t", "0.5",
+                  "--a_h", "0.02", "--slides", "slide_b", "--platform", "cpu"])
+    assert rc == 0
+    merged = pd.read_csv(out / "process_list.csv")
+    assert sorted(merged["slide_id"]) == ["slide_a", "slide_b"]
     rc = cp_main(["--wsi_dir", str(wsi), "--out_dir", str(out / "px"),
                   "--patch_size", "64", "--step_size", "64", "--a_t", "0.5",
                   "--a_h", "0.02", "--store_patches", "--slides", "slide_a",
