@@ -175,6 +175,37 @@ def build_encoder(backbone: str, checkpoint: str | None, image_size: int,
     return encode
 
 
+def _prefetched(gen, depth: int = 2):
+    """Run a batch generator on a background thread behind a bounded queue.
+
+    Host patch reading + preprocessing (h5/WSI reads, resize, normalize)
+    then overlaps device encoding: the encode call blocks on the device
+    with the GIL released, so the worker prepares the next batches
+    meanwhile. Exceptions re-raise at the consuming site."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    end = object()
+
+    def _worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(end)
+        except BaseException as e:  # noqa: BLE001 — relayed to the consumer
+            q.put(e)
+
+    threading.Thread(target=_worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is end:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def extract_slide(reader, encode, out_path: str, batch_size: int) -> int:
     """Stream one slide's patches through ``encode`` into a bag h5.
 
@@ -188,7 +219,7 @@ def extract_slide(reader, encode, out_path: str, batch_size: int) -> int:
     total = 0
     mode = "w"
     dim = None
-    for imgs, coords in reader.batches(batch_size):
+    for imgs, coords in _prefetched(reader.batches(batch_size)):
         b = imgs.shape[0]
         if b < batch_size:  # pad the tail to the compiled shape
             pad = np.zeros((batch_size - b,) + imgs.shape[1:], imgs.dtype)
