@@ -37,9 +37,11 @@ def get_args(argv=None):
                    help="output feature dir (writes h5_files/<slide>.h5)")
     p.add_argument("--csv", default=None, help="optional slide_id list CSV")
     p.add_argument("--backbone", default="conch",
-                   choices=["conch", "musk", "debug"],
-                   help="vision tower ('debug' = checkpoint-free projection "
-                        "for pipeline smoke tests)")
+                   choices=["conch", "musk", "resnet50", "debug"],
+                   help="vision tower ('resnet50' = the CLAM-legacy "
+                        "truncated ImageNet trunk, 1024-d; 'debug' = "
+                        "checkpoint-free projection for pipeline smoke "
+                        "tests)")
     p.add_argument("--checkpoint", default=None,
                    help="CONCH/MUSK release checkpoint path")
     p.add_argument("--batch_size", type=int, default=64)
@@ -52,8 +54,10 @@ def get_args(argv=None):
     p.add_argument("--image_size", type=int, default=None,
                    help="default: 448 (conch) / 384 (musk) / 64 (debug)")
     p.add_argument("--normalize_embeddings",
-                   type=lambda s: s.lower() != "false", default=True,
-                   help="L2-normalize embeddings (the MI-Zero/MOC protocol)")
+                   type=lambda s: s.lower() != "false", default=None,
+                   help="L2-normalize embeddings (default: true — the "
+                        "MI-Zero/MOC protocol — except resnet50, whose "
+                        "CLAM-legacy features are consumed raw)")
     p.add_argument("--bf16", action="store_true",
                    help="encode in bfloat16 (serving-tier cast)")
     p.add_argument("--resume", action="store_true",
@@ -70,7 +74,9 @@ def get_args(argv=None):
 
 
 def _default_image_size(backbone: str) -> int:
-    return {"conch": 448, "musk": 384, "debug": 64}[backbone]
+    # resnet50: CLAM feeds patches at native size (no resize) — 256 is the
+    # standard CLAM patch; pass --image_size to match other patch sizes
+    return {"conch": 448, "musk": 384, "resnet50": 256, "debug": 64}[backbone]
 
 
 def build_encoder(backbone: str, checkpoint: str | None, image_size: int,
@@ -144,6 +150,27 @@ def build_encoder(backbone: str, checkpoint: str | None, image_size: int,
             return emb.astype(jnp.float32)
 
         fn = functools.partial(pfn, params)
+
+    elif backbone == "resnet50":
+        if not checkpoint:
+            raise ValueError("--backbone resnet50 needs --checkpoint "
+                             "(a torchvision resnet50 .pth)")
+        from moc_tpu.models.convert_resnet import load_resnet50
+
+        model, variables = load_resnet50(checkpoint)
+        variables = _replicate(_cast(variables))
+
+        @jax.jit
+        def pfn(p, images):
+            if bf16:
+                images = images.astype(jnp.bfloat16)
+            emb = model.apply(p, images)  # [B, 1024], eval-mode BN
+            if normalize:
+                emb = emb / jnp.linalg.norm(
+                    emb, axis=-1, keepdims=True).clip(1e-12)
+            return emb.astype(jnp.float32)
+
+        fn = functools.partial(pfn, variables)
 
     else:  # debug: fixed random projection, no weights
         key = jax.random.PRNGKey(0)
@@ -277,7 +304,10 @@ def main(argv=None) -> int:
         print(f"process {pid}/{n}: extracting {len(slides)} slides",
               file=sys.stderr)
     image_size = args.image_size or _default_image_size(args.backbone)
-    transform = "musk" if args.backbone == "musk" else "clip"
+    transform = {"musk": "musk", "resnet50": "imagenet"}.get(
+        args.backbone, "clip")
+    if args.normalize_embeddings is None:
+        args.normalize_embeddings = args.backbone != "resnet50"
     encode = build_encoder(args.backbone, args.checkpoint, image_size,
                            args.normalize_embeddings, args.bf16, mesh=mesh)
     out_h5 = os.path.join(args.out_dir, "h5_files")

@@ -23,6 +23,7 @@ import numpy as np
 
 from moc_tpu.zeroshot.transform import (
     preprocess_image,
+    preprocess_image_imagenet,
     preprocess_image_musk,
     preprocess_image_plip,
 )
@@ -35,7 +36,10 @@ def _make_transform(kind: str, image_size: int):
         return lambda im: preprocess_image_plip(im, image_size)
     if kind == "musk":
         return lambda im: preprocess_image_musk(im, image_size)
-    raise ValueError(f"unknown transform {kind!r} (clip | plip | musk)")
+    if kind == "imagenet":
+        return lambda im: preprocess_image_imagenet(im, image_size)
+    raise ValueError(
+        f"unknown transform {kind!r} (clip | plip | musk | imagenet)")
 
 
 @dataclasses.dataclass

@@ -20,6 +20,7 @@ from moc_tpu.models.convert_mil import (
     convert_clam_checkpoint,
     load_torch_mil_checkpoint,
 )
+from moc_tpu.models.convert_resnet import convert_resnet50, load_resnet50
 from moc_tpu.models.mil import MILFc, MILFcMC, MilFcConfig
 from moc_tpu.models.transmil import NystromAttention, TransMIL, TransMILConfig
 from moc_tpu.models.chief import CHIEF, ChiefConfig
@@ -92,6 +93,8 @@ __all__ = [
     "CLAM",
     "clean_torch_state_dict",
     "convert_clam_checkpoint",
+    "convert_resnet50",
+    "load_resnet50",
     "load_torch_mil_checkpoint",
     "ClamConfig",
     "abmil",

@@ -31,8 +31,11 @@ class BottleneckBlock(nn.Module):
         residual = x
         y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
         y = nn.relu(norm("bn1")(y))
+        # explicit (1, 1) padding, NOT "SAME": for the strided blocks SAME
+        # pads (0, 1) while torch pads (1, 1) — converted torchvision
+        # weights would see shifted windows in stages 2-3
         y = nn.Conv(self.features, (3, 3), strides=(self.strides, self.strides),
-                    padding="SAME", use_bias=False, name="conv2")(y)
+                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(y)
         y = nn.relu(norm("bn2")(y))
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False, name="conv3")(y)
         y = norm("bn3")(y)

@@ -16,6 +16,10 @@ OPENAI_DATASET_STD = (0.26862954, 0.26130258, 0.27577711)
 IMAGENET_INCEPTION_MEAN = (0.5, 0.5, 0.5)
 IMAGENET_INCEPTION_STD = (0.5, 0.5, 0.5)
 
+# torchvision ImageNet statistics (ref dataset_h5.eval_transforms)
+IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+
 
 def _resize_short_side_dims(w: int, h: int, size: int) -> tuple[int, int]:
     """torchvision ``Resize(int)`` output dims ``(w', h')``: short side set to
@@ -93,6 +97,20 @@ def preprocess_image_musk(image, image_size: int = 384) -> np.ndarray:
     arr = _resize_to_unit(image, image_size, aspect_preserving=True,
                           interp="bicubic")
     return _normalize(arr, IMAGENET_INCEPTION_MEAN, IMAGENET_INCEPTION_STD)
+
+
+def preprocess_image_imagenet(image, image_size: int = 256) -> np.ndarray:
+    """ImageNet-stats preprocessing for the CLAM-legacy ResNet-50 encoder
+    (ref ``eval_transforms(pretrained=True)``,
+    ``/root/reference/datasets/dataset_h5.py:21-35``: ToTensor + Normalize
+    with the torchvision ImageNet statistics, NO resize — patches are fed
+    at native size). ``image_size`` exists only to satisfy the fixed jit
+    shape: with ``image_size`` equal to the patch size (the default CLAM
+    256) this is the reference-exact no-resize path; otherwise a direct
+    bilinear square resize is applied first."""
+    arr = _resize_to_unit(image, image_size, aspect_preserving=False,
+                          interp="bilinear")
+    return _normalize(arr, IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD)
 
 
 def preprocess_image_plip(image, image_size: int = 224,
