@@ -60,6 +60,14 @@ def get_args(argv=None):
                         "CLAM-legacy features are consumed raw)")
     p.add_argument("--bf16", action="store_true",
                    help="encode in bfloat16 (serving-tier cast)")
+    p.add_argument("--flash", action="store_true",
+                   help="Pallas flash attention in the CONCH trunk — a "
+                        "memory-headroom knob, NOT a speed knob: dense "
+                        "materializes [B, H, 785, 785] scores per layer "
+                        "(1.9 GB f32 at batch 64) where flash is O(L), but "
+                        "dense measured FASTER at tower lengths (flash "
+                        "0.77x f32 / 0.81x bf16 on v5 lite). Use only to "
+                        "fit larger --batch under HBM pressure")
     p.add_argument("--resume", action="store_true",
                    help="skip slides whose output bag already exists")
     p.add_argument("--wsi_dir", default=None,
@@ -81,7 +89,7 @@ def _default_image_size(backbone: str) -> int:
 
 def build_encoder(backbone: str, checkpoint: str | None, image_size: int,
                   normalize: bool, bf16: bool, feature_dim: int = 512,
-                  mesh=None):
+                  mesh=None, flash: bool = False):
     """``encode(images [B, S, S, 3] f32) -> np [B, D]`` on the accelerator.
 
     ``debug`` is a deterministic checkpoint-free random projection of the
@@ -120,7 +128,8 @@ def build_encoder(backbone: str, checkpoint: str | None, image_size: int,
             raise ValueError("--backbone conch needs --checkpoint")
         from moc_tpu.zeroshot import load_conch
 
-        model, params = load_conch(checkpoint, image_size=image_size)
+        model, params = load_conch(checkpoint, image_size=image_size,
+                                   attn_impl="flash" if flash else "dense")
         params = _replicate(_cast(params))
 
         @jax.jit
@@ -309,7 +318,8 @@ def main(argv=None) -> int:
     if args.normalize_embeddings is None:
         args.normalize_embeddings = args.backbone != "resnet50"
     encode = build_encoder(args.backbone, args.checkpoint, image_size,
-                           args.normalize_embeddings, args.bf16, mesh=mesh)
+                           args.normalize_embeddings, args.bf16, mesh=mesh,
+                           flash=args.flash)
     out_h5 = os.path.join(args.out_dir, "h5_files")
     os.makedirs(out_h5, exist_ok=True)
 

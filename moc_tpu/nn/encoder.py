@@ -325,6 +325,12 @@ class SelfAttention(nn.Module):
             attn = jnp.einsum("bhqk,bhkd->bhqd", w, vh)
             attn = attn.transpose(0, 2, 1, 3).reshape(b, l, d)
         else:
+            # lane-unaligned lengths (MUSK-384's 577 tokens) take
+            # flash_attention's XLA dense fallback ON PURPOSE: the
+            # lane-padded Pallas kernel measured 0.82x (f32) / 0.95x (bf16)
+            # vs dense at that shape on v5 lite (BENCH_NOTES "Round 3
+            # (session 7)"); flash_attention_padded exists for callers that
+            # want the kernel's O(L) memory anyway (tower attn_impl knob)
             seg = None
             if padding_mask is not None:
                 seg = (~padding_mask).astype(jnp.int32)

@@ -77,6 +77,7 @@ class Attention(nn.Module):
     num_heads: int
     lora_rank: int = 0
     lora_experts: int = 1
+    attn_impl: str = "dense"  # "flash" = Pallas kernel (unmasked self-attn)
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -113,12 +114,32 @@ class Attention(nn.Module):
             b_v = self.param("lora_b_v", nn.initializers.zeros, (r, self.dim))
             q = q + (x @ a_q) @ b_q
             v = v + (x @ a_v) @ b_v
-        out = dot_product_attention(
-            _split_heads(q, self.num_heads),
-            _split_heads(k, self.num_heads),
-            _split_heads(v, self.num_heads),
-            mask,
-        )
+        if self.attn_impl == "flash":
+            # opt-in Pallas flash path for mask-free self-attention (the
+            # vision trunks: dense materializes [B, H, L, L] scores — ~2 GB
+            # per layer at CONCH-448's 785 tokens f32/batch-64). A MEMORY
+            # knob: dense measured faster at tower lengths (flash 0.77-0.95x
+            # on v5 lite, BENCH_NOTES r3 s7). Lane-padding handled by the
+            # wrapper; additive-mask callers (the text tower's causal+cls
+            # mask) stay dense.
+            if mask is not None:
+                raise ValueError('attn_impl="flash" supports unmasked '
+                                 "self-attention only (additive masks need "
+                                 "the dense path)")
+            from moc_tpu.ops.flash_attention import flash_attention_padded
+
+            out = flash_attention_padded(
+                _split_heads(q, self.num_heads),
+                _split_heads(k, self.num_heads),
+                _split_heads(v, self.num_heads),
+            )
+        else:
+            out = dot_product_attention(
+                _split_heads(q, self.num_heads),
+                _split_heads(k, self.num_heads),
+                _split_heads(v, self.num_heads),
+                mask,
+            )
         return nn.Dense(self.dim, name="out_proj")(_merge_heads(out))
 
 
@@ -181,11 +202,12 @@ class ResidualAttentionBlock(nn.Module):
     lora_rank: int = 0
     block_lora_rank: int = 0
     lora_experts: int = 1
+    attn_impl: str = "dense"
 
     @nn.compact
     def __call__(self, x, mask=None):
         x = x + Attention(self.dim, self.num_heads, self.lora_rank,
-                          self.lora_experts, name="attn")(
+                          self.lora_experts, self.attn_impl, name="attn")(
             LayerNorm(name="ln_1")(x), mask
         )
         x = x + MlpBlock(self.dim, self.mlp_ratio, name="mlp")(
@@ -218,6 +240,7 @@ class Transformer(nn.Module):
     lora_last_n: int | None = None
     block_lora_rank: int = 0  # whole-block residual LoRA (ref Block_LoRA)
     lora_experts: int = 1  # >1 = mixture-of-LoRA-experts per injected block
+    attn_impl: str = "dense"  # "flash" = Pallas self-attention (no masks)
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -231,7 +254,8 @@ class Transformer(nn.Module):
             rank = self.lora_rank if i >= first_lora else 0
             brank = self.block_lora_rank if i >= first_lora else 0
             x = block(self.dim, self.num_heads, self.mlp_ratio, rank, brank,
-                      self.lora_experts, name=f"resblocks_{i}")(x, mask)
+                      self.lora_experts, self.attn_impl,
+                      name=f"resblocks_{i}")(x, mask)
         return x
 
 

@@ -30,6 +30,7 @@ class VisionTransformer(nn.Module):
     lora_last_n: int | None = None
     block_lora_rank: int = 0  # whole-block residual LoRA (ref Block_LoRA)
     lora_experts: int = 1  # >1 = mixture-of-LoRA-experts (working MOELoRA)
+    attn_impl: str = "dense"  # "flash" = Pallas attention (extraction tiers)
 
     @property
     def grid(self) -> int:
@@ -54,6 +55,7 @@ class VisionTransformer(nn.Module):
                         lora_rank=self.lora_rank, lora_last_n=self.lora_last_n,
                         block_lora_rank=self.block_lora_rank,
                         lora_experts=self.lora_experts,
+                        attn_impl=self.attn_impl,
                         name="blocks")(x)
         return LayerNorm(name="norm")(x)
 

@@ -421,6 +421,56 @@ def flash_attention(
                   causal, block_q, block_k)
 
 
+def flash_attention_padded(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    padding_mask: Optional[jax.Array] = None,
+    sm_scale: Optional[float] = None,
+    block_q: int = 1024,
+    block_k: int = 1024,
+) -> jax.Array:
+    """Self-attention flash for ARBITRARY sequence lengths ``[B, H, L, D]``.
+
+    ``flash_attention`` routes any length not divisible by the TPU lane
+    width (128) to the XLA dense fallback — which silently materializes the
+    ``[B, H, L, L]`` score tensor for exactly the shapes vision towers
+    produce (CONCH-448 → 785 tokens, MUSK-384 → 577). This wrapper instead
+    zero-pads ``L`` up to the next lane multiple and isolates the pad rows
+    in their own segment, so the Pallas kernel tiles legally and real
+    queries never attend a pad key; pad queries' outputs are sliced off.
+
+    ``padding_mask [B, L]`` True = masked key (torchscale semantics) joins
+    the pad rows' segment, preserving ``SelfAttention``'s masked behavior
+    exactly. Non-causal only — padding shifts the diagonal, and every
+    caller of this wrapper (vision towers, bag poolers) is bidirectional.
+    """
+    b, h, l, d = q.shape
+    if k.shape[2] != l:
+        raise ValueError("flash_attention_padded is self-attention-shaped "
+                         f"(Lq == Lkv); got {l} vs {k.shape[2]}")
+    pad = (-l) % LANES
+    if pad == 0 and padding_mask is None:
+        return flash_attention(q, k, v, sm_scale=sm_scale,
+                               block_q=min(block_q, l), block_k=min(block_k, l))
+    if padding_mask is not None:
+        seg = (~padding_mask).astype(jnp.int32)  # real = 1, masked = 0
+    else:
+        seg = jnp.ones((b, l), jnp.int32)
+    if pad:
+        zeros = jnp.zeros((b, h, pad, d), q.dtype)
+        q = jnp.concatenate([q, zeros], axis=2)
+        k = jnp.concatenate([k, zeros], axis=2)
+        v = jnp.concatenate([v, zeros], axis=2)
+        seg = jnp.concatenate([seg, jnp.zeros((b, pad), jnp.int32)], axis=1)
+    lp = l + pad
+    out = flash_attention(q, k, v, q_segment_ids=seg, kv_segment_ids=seg,
+                          sm_scale=sm_scale, block_q=min(block_q, lp),
+                          block_k=min(block_k, lp))
+    return out[:, :, :l] if pad else out
+
+
 def flash_attention_with_lse(
     q, k, v, *, q_segment_ids=None, kv_segment_ids=None, causal=False,
     sm_scale=None, block_q: int = 1024, block_k: int = 1024,

@@ -187,11 +187,15 @@ def convert_conch_checkpoint(state_dict, image_size: int = 448,
     return {"params": params}
 
 
-def load_conch(checkpoint_path: str, image_size: int = 448):
+def load_conch(checkpoint_path: str, image_size: int = 448,
+               attn_impl: str = "dense"):
     """Load a CONCH release checkpoint → (flax ``CoCa`` module, params).
 
     Equivalent of ``create_model_from_pretrained`` (ref ``factory.py:79-113``)
     minus the image transform (see ``moc_tpu.zeroshot.transform``).
+    ``attn_impl="flash"`` runs the vision trunk on the Pallas kernel
+    (weights unchanged). A memory-headroom knob only — dense measured
+    faster at 448px tower length (BENCH_NOTES r3 session 7).
     """
     import torch
 
@@ -202,5 +206,6 @@ def load_conch(checkpoint_path: str, image_size: int = 448):
     ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     params = convert_conch_checkpoint(sd, image_size=image_size)
-    cfg = CoCaConfig(text=TextConfig(), vision=VisionConfig(image_size=image_size))
+    cfg = CoCaConfig(text=TextConfig(), vision=VisionConfig(
+        image_size=image_size, attn_impl=attn_impl))
     return CoCa(cfg), params

@@ -29,6 +29,11 @@ class VisionConfig:
     embed_dim_caption: int = 768
     pooler_heads: int = 8
     n_queries_caption: int = 256
+    # "flash" = Pallas attention in the trunk. Memory knob only: dense
+    # materializes [B, H, 785, 785] scores per layer at 448px (1.9 GB f32
+    # at batch 64) but measured FASTER than flash at this length on v5
+    # lite (flash 0.77x f32 / 0.81x bf16 — BENCH_NOTES r3 session 7)
+    attn_impl: str = "dense"
 
 
 class VisionTower(nn.Module):
@@ -38,7 +43,8 @@ class VisionTower(nn.Module):
         c = self.cfg
         self.trunk = VisionTransformer(
             image_size=c.image_size, patch_size=c.patch_size, dim=c.width,
-            num_layers=c.layers, num_heads=c.heads, name="trunk",
+            num_layers=c.layers, num_heads=c.heads, attn_impl=c.attn_impl,
+            name="trunk",
         )
         self.attn_pool_contrast = AttentionalPooler(
             dim=c.embed_dim_contrast, context_dim=c.width,

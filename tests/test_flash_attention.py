@@ -113,3 +113,78 @@ def test_non_divisible_lengths():
     out2, _ = flash_attention_with_lse(q2, k2, v2)
     ref2, _ = mha_reference(q2, k2, v2)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=2e-5, atol=2e-5)
+
+
+# ──────────────────── lane-padding wrapper (towers) ────────────────────
+
+
+def test_padded_wrapper_unaligned_matches_dense():
+    """flash_attention_padded at a non-128-multiple length (the vision-tower
+    shapes: 785/577 tokens) runs the REAL kernel on lane-padded inputs and
+    matches dense attention on the original length."""
+    from moc_tpu.ops.flash_attention import flash_attention_padded
+
+    q, k, v = _inputs(8, b=2, h=2, lq=99, lkv=99, d=128)
+    out = flash_attention_padded(q, k, v)
+    ref, _ = mha_reference(q, k, v)
+    assert out.shape == q.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_padded_wrapper_padding_mask():
+    """padding_mask (True = masked key) joins the pad segment: real rows
+    equal attention restricted to real keys; grads flow (pretrain path)."""
+    from moc_tpu.ops.flash_attention import flash_attention_padded
+
+    q, k, v = _inputs(9, b=2, h=2, lq=70, lkv=70, d=128)
+    n_real = 53
+    mask = (jnp.arange(70) >= n_real)[None].repeat(2, axis=0)  # [B, L]
+    out = flash_attention_padded(q, k, v, padding_mask=mask)
+    ref, _ = mha_reference(q[:, :, :n_real], k[:, :, :n_real], v[:, :, :n_real])
+    np.testing.assert_allclose(np.asarray(out[:, :, :n_real]), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(q, k, v):
+        o = flash_attention_padded(q, k, v, padding_mask=mask)
+        return jnp.sum(o[:, :, :n_real] ** 2)
+
+    def loss_ref(q, k, v):
+        o, _ = mha_reference(q[:, :, :n_real], k[:, :, :n_real], v[:, :, :n_real])
+        return jnp.sum(o ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf[:, :, :n_real]),
+                                   np.asarray(gr[:, :, :n_real]),
+                                   rtol=5e-4, atol=5e-4, err_msg=f"d{name}")
+        # masked rows get zero grad (they influence nothing real)
+        np.testing.assert_allclose(np.asarray(gf[:, :, n_real:]), 0.0,
+                                   atol=5e-4, err_msg=f"d{name} pad rows")
+
+
+def test_padded_wrapper_rejects_cross_attention_shapes():
+    from moc_tpu.ops.flash_attention import flash_attention_padded
+
+    q, k, v = _inputs(10, lq=64, lkv=128, d=128)
+    with pytest.raises(ValueError):
+        flash_attention_padded(q, k, v)
+
+
+def test_vit_flash_matches_dense():
+    """The ViT trunk's attn_impl="flash" tier is numerically the dense trunk
+    (same params, unaligned token count exercises the padding)."""
+    from moc_tpu.nn.vit import VisionTransformer
+
+    rng = np.random.default_rng(11)
+    images = jnp.asarray(rng.normal(size=(2, 48, 48, 3)).astype(np.float32))
+    dense = VisionTransformer(image_size=48, patch_size=16, dim=128,
+                              num_layers=2, num_heads=2)
+    flash = VisionTransformer(image_size=48, patch_size=16, dim=128,
+                              num_layers=2, num_heads=2, attn_impl="flash")
+    params = dense.init(jax.random.PRNGKey(0), images)
+    out_dense = dense.apply(params, images)
+    out_flash = flash.apply(params, images)  # 10 tokens → padded to 128
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_dense),
+                               rtol=2e-4, atol=2e-4)
