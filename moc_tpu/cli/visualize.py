@@ -290,7 +290,9 @@ def visualize_slide_moc(bag, out_dir: str, *, moc_cfg, senet_params,
                 np.where(union, values[:, cls], np.nan))
 
     gated = np.where(union[:, None], fused, -np.inf)
-    sel = topk_patch_coords(gated, coords, k=topk)
+    # the union can admit fewer than topk patches — cap k so ineligible
+    # (-inf-gated) rows never enter the CSV with finite-looking scores
+    sel = topk_patch_coords(gated, coords, k=min(topk, int(union.sum())))
     csv_path = os.path.join(out_dir, f"{bag.slide_id}_moc_topk.csv")
     with open(csv_path, "w") as f:
         f.write("class,rank,x,y,score\n")

@@ -608,6 +608,24 @@ def test_visualize_cli_moc_senet(tmp_path):
         cls, rank, x, y, score = r.split(",")
         assert (int(x), int(y)) in union_coords
 
+    # topk larger than the union: the CSV caps at the union size — no
+    # -inf-gated (ineligible) rows with finite-looking scores sneak in
+    from moc_tpu.cli.visualize import visualize_slide_moc
+
+    small_dir = tmp_path / "viz_moc_small_union"
+    small_dir.mkdir()
+    n_union = int((maps["union"] > 0.5).sum())
+    visualize_slide_moc(
+        bag, str(small_dir), moc_cfg=cfg, senet_params=params,
+        w=corpus["weights"], w_ext=corpus["weights_ext"],
+        topk=n_union + 50, patch_size=256, downsample=64,
+        temperature=56.3477)
+    small_rows = (small_dir / f"{sid}_moc_topk.csv").read_text().splitlines()
+    assert len(small_rows) == 1 + 2 * n_union
+    for r in small_rows[1:]:
+        _, _, x, y, _ = r.split(",")
+        assert (int(x), int(y)) in union_coords
+
 
 def test_visualize_cli_sizes_json(tmp_path):
     """--sizes_json writes the reference wsi_size.py scan ({slide: [w, h]})
