@@ -77,15 +77,21 @@ def bench_jax() -> float:
     _, eval_batch, _ = make_episode_fns(cfg)
     _, params = init_senet(jax.random.PRNGKey(0), cfg)
 
-    rng = np.random.default_rng(0)
-    feats = rng.normal(size=(BATCH, N_PATCHES, DIM)).astype(np.float32)
-    mask = np.ones((BATCH, N_PATCHES), bool)
+    # bench inputs are generated ON DEVICE: the tunnel's host->device
+    # bandwidth swings 2.4-100 MB/s minute-to-minute, and the old 256 MB
+    # host-side feature transfer once wedged the headline stage past the
+    # round budget. jax.random on the chip makes the stage weather-proof;
+    # the timed section is unchanged (the batch was device-resident before
+    # timing either way).
+    feats = jax.jit(lambda k: jax.random.normal(
+        k, (BATCH, N_PATCHES, DIM), jnp.float32))(jax.random.PRNGKey(0))
     batch = BagBatch(
-        features=jnp.asarray(feats),
-        mask=jnp.asarray(mask),
+        features=feats,
+        mask=jnp.ones((BATCH, N_PATCHES), bool),
         labels=jnp.zeros((BATCH,), jnp.int32),
         n_patches=jnp.full((BATCH,), N_PATCHES, jnp.int32),
     )
+    rng = np.random.default_rng(0)
     w = jnp.asarray(rng.normal(size=(DIM, N_CLASSES)).astype(np.float32))
     w_ext = jnp.asarray(rng.normal(size=(DIM, N_EXT)).astype(np.float32))
 
@@ -104,7 +110,7 @@ def bench_jax() -> float:
     sps = BATCH / t
     log(f"jax: {t * 1e3:.2f} ms/batch of {BATCH} -> {sps:.1f} slides/s")
     _HEADLINE_CTX.update(eval_batch=eval_batch, params=params, w=w, w_ext=w_ext,
-                         feats=feats, mask=mask, t_f32=t)
+                         feats=feats, t_f32=t)
     return sps
 
 
@@ -115,11 +121,15 @@ def bench_tiers() -> dict:
     """Quantized-feature serving tiers at the headline operating point:
     ms/batch for bf16- and int8-resident bags (same program family as the
     headline's f32 masked path; see ``cli.predict --storage_dtype``).
-    Reuses the headline stage's arrays and timing."""
+    Reuses the headline stage's device-resident arrays and timing; the
+    bf16 cast and int8 quantization both run ON DEVICE (zero tunnel
+    transfer — ``ops.quantize_rows_device`` mirrors the pack-time host
+    quantizer)."""
+    import jax
     import jax.numpy as jnp
 
     from moc_tpu.data.batching import BagBatch
-    from moc_tpu.ops import quantize_rows_host
+    from moc_tpu.ops import quantize_rows_device
     from moc_tpu.utils import device_time
 
     ctx = _HEADLINE_CTX
@@ -127,11 +137,11 @@ def bench_tiers() -> dict:
                                     ctx["w"], ctx["w_ext"])
     base = dict(labels=jnp.zeros((BATCH,), jnp.int32),
                 n_patches=jnp.full((BATCH,), N_PATCHES, jnp.int32),
-                mask=jnp.asarray(ctx["mask"]))
-    q, s = quantize_rows_host(ctx["feats"])
+                mask=jnp.ones((BATCH, N_PATCHES), bool))
+    q, s = jax.jit(quantize_rows_device)(ctx["feats"])
     arms = {
-        "bf16": BagBatch(features=jnp.asarray(ctx["feats"], jnp.bfloat16), **base),
-        "int8": BagBatch(features=jnp.asarray(q), scales=jnp.asarray(s), **base),
+        "bf16": BagBatch(features=ctx["feats"].astype(jnp.bfloat16), **base),
+        "int8": BagBatch(features=q, scales=s, **base),
     }
     out = {"f32_ms": round(ctx["t_f32"] * 1e3, 3)}
     for name, batch in arms.items():

@@ -34,6 +34,7 @@ from moc_tpu.ops.quant import (
     dequantize_rows,
     int8_row_matmul,
     quantize_columns,
+    quantize_rows_device,
     quantize_rows_host,
 )
 from moc_tpu.ops.selection import (
@@ -69,6 +70,7 @@ __all__ = [
     "dequantize_rows",
     "int8_row_matmul",
     "quantize_columns",
+    "quantize_rows_device",
     "quantize_rows_host",
     "select_topj",
     "select_delta_softmax",

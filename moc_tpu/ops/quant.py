@@ -57,6 +57,26 @@ def quantize_rows_host(features: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return q, scales
 
 
+def quantize_rows_device(features: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Device-side mirror of :func:`quantize_rows_host` (same absmax/127
+    scheme, f32 arithmetic, all-zero rows → scale 0) for quantizing
+    already-resident f32 features without a host round-trip — e.g. when the
+    f32 bags were produced on device, or on tunnel-attached hosts where the
+    host→device re-transfer of quantized bytes would dominate. Jit-safe.
+
+    Matches the host kernel exactly on CPU backends; on TPU the division
+    may differ by 1 ulp on exact scale ties (same approximation class —
+    the int32 matmul downstream is exact either way).
+    """
+    f = features.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(f), axis=-1)
+    scales = absmax / jnp.float32(127.0)
+    inv = jnp.where(scales > 0, jnp.float32(1.0) / jnp.where(
+        scales > 0, scales, jnp.float32(1.0)), jnp.float32(0.0))
+    q = jnp.clip(jnp.rint(f * inv[..., None]), -127, 127).astype(jnp.int8)
+    return q, scales
+
+
 def quantize_columns(w: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Per-column symmetric int8 quantization of a ``[D, C]`` weight matrix
     (device-side; the matrices are tiny so this folds into the program)."""

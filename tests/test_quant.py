@@ -21,6 +21,7 @@ from moc_tpu.ops import (
     dequantize_rows,
     int8_row_matmul,
     quantize_columns,
+    quantize_rows_device,
     quantize_rows_host,
 )
 
@@ -42,6 +43,23 @@ def test_quantize_rows_roundtrip_bound():
     deq = q.astype(np.float32) * s[:, None]
     # symmetric absmax/127: error per element is at most half a step
     np.testing.assert_allclose(deq, f, atol=float(np.max(s)) / 2 + 1e-7)
+
+
+def test_quantize_rows_device_matches_host():
+    """The jit-safe device quantizer mirrors the pack-time host kernel
+    (absmax/127, f32 arithmetic, zero rows → scale 0) — exact on the CPU
+    backend, including padded all-zero rows and wild per-row ranges."""
+    rng = np.random.default_rng(1)
+    f = rng.normal(size=(48, 40)).astype(np.float32) * rng.uniform(
+        0.01, 100.0, size=(48, 1)).astype(np.float32)
+    f[-5:] = 0.0  # bag padding rows
+    qh, sh = quantize_rows_host(f)
+    qd, sd = jax.jit(quantize_rows_device)(jnp.asarray(f))
+    # int8 codes match exactly; scales may sit 1 ulp off the native host
+    # kernel (it folds the /127 differently) — measured 1.1e-7 max rel
+    np.testing.assert_array_equal(np.asarray(qd), qh)
+    np.testing.assert_allclose(np.asarray(sd), sh, rtol=3e-7)
+    assert np.asarray(sd)[-5:].tolist() == [0.0] * 5
 
 
 def test_quantize_rows_zero_rows_stay_zero():
