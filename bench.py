@@ -77,6 +77,17 @@ def bench_jax() -> float:
     _, eval_batch, _ = make_episode_fns(cfg)
     _, params = init_senet(jax.random.PRNGKey(0), cfg)
 
+    # the tunnel charges each process's FIRST dispatch a weather-dependent
+    # toll (measured 133 s for an 8x8 matmul on a bad morning; 0.026 s for
+    # the identical second call — BENCH_NOTES r3 s8). Measure it with a
+    # tiny op so the record separates tunnel weather from real compile/run
+    # cost.
+    t0 = time.perf_counter()
+    np.asarray(jnp.zeros((), jnp.float32) + 1.0)
+    first_dispatch = time.perf_counter() - t0
+    log(f"first dispatch (tiny op): {first_dispatch:.2f}s")
+    _HEADLINE_CTX["first_dispatch_s"] = round(first_dispatch, 2)
+
     # bench inputs are generated ON DEVICE: the tunnel's host->device
     # bandwidth swings 2.4-100 MB/s minute-to-minute, and the old 256 MB
     # host-side feature transfer once wedged the headline stage past the
@@ -406,6 +417,7 @@ def main() -> None:
         "unit": "slides/sec/chip",
         "vs_baseline": round(ratio, 2) if ratio is not None else None,
         "platform": _PLATFORM,
+        "first_dispatch_s": _HEADLINE_CTX.get("first_dispatch_s"),
         "sweep": None,
     }
 
