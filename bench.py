@@ -72,21 +72,22 @@ def bench_jax() -> float:
     global _PLATFORM
     _PLATFORM = f"{dev.platform}:{dev.device_kind}"
 
-    cfg = MOCConfig(n_classes=N_CLASSES, n_ext_classes=N_EXT, topj=TOPJ, topk=TOPK,
-                    feature_dim=DIM)
-    _, eval_batch, _ = make_episode_fns(cfg)
-    _, params = init_senet(jax.random.PRNGKey(0), cfg)
-
     # the tunnel charges each process's FIRST dispatch a weather-dependent
     # toll (measured 133 s for an 8x8 matmul on a bad morning; 0.026 s for
     # the identical second call — BENCH_NOTES r3 s8). Measure it with a
     # tiny op so the record separates tunnel weather from real compile/run
-    # cost.
+    # cost. Runs BEFORE init_senet/PRNGKey so it is genuinely the process's
+    # first dispatch (ADVICE r3: model.init already enqueues device work).
     t0 = time.perf_counter()
     np.asarray(jnp.zeros((), jnp.float32) + 1.0)
     first_dispatch = time.perf_counter() - t0
     log(f"first dispatch (tiny op): {first_dispatch:.2f}s")
     _HEADLINE_CTX["first_dispatch_s"] = round(first_dispatch, 2)
+
+    cfg = MOCConfig(n_classes=N_CLASSES, n_ext_classes=N_EXT, topj=TOPJ, topk=TOPK,
+                    feature_dim=DIM)
+    _, eval_batch, _ = make_episode_fns(cfg)
+    _, params = init_senet(jax.random.PRNGKey(0), cfg)
 
     # bench inputs are generated ON DEVICE: the tunnel's host->device
     # bandwidth swings 2.4-100 MB/s minute-to-minute, and the old 256 MB
