@@ -32,7 +32,9 @@ from moc_tpu.models.vila import (
     build_prompt_constants,
     load_vila_prompts,
 )
-from moc_tpu.models.titan import TitanConfig, TitanHead
+from moc_tpu.models.titan import (TitanConfig, TitanEncoderUnavailable,
+                                  TitanHead, convert_titan_probe,
+                                  load_titan_probe_checkpoint)
 from moc_tpu.models.adapters import (
     AMUAdapter,
     AdapterConfig,
@@ -64,6 +66,9 @@ __all__ = [
     "load_vila_prompts",
     "TitanConfig",
     "TitanHead",
+    "TitanEncoderUnavailable",
+    "convert_titan_probe",
+    "load_titan_probe_checkpoint",
     "AMUAdapter",
     "AdapterConfig",
     "ClipAdapter",

@@ -62,3 +62,84 @@ class TitanHead(nn.Module):
         slide_emb = LayerNorm(name="norm")(x[0])
         logits = nn.Dense(cfg.n_classes, name="head")(slide_emb)
         return {"logits": logits, "slide_embedding": slide_emb}
+
+
+class TitanEncoderUnavailable(RuntimeError):
+    """Raised when a checkpoint's ``titan.*`` encoder subtree is asked for.
+
+    The published ``MahmoodLab/TITAN`` slide encoder ships exclusively as HF
+    ``trust_remote_code`` (``/root/reference/models/model_titan.py:20``): its
+    parameter schema is defined by Python files fetched from the Hub at load
+    time, which the reference repo does not vendor and a zero-egress
+    environment cannot fetch (see MIGRATING.md "TITAN weight interop" for the
+    recorded evidence). The subtree is therefore structurally opaque offline
+    — failing loudly beats silently dropping weights.
+    """
+
+
+def convert_titan_probe(state_dict: dict, n_classes: int) -> dict:
+    """Reference ``TITAN`` wrapper checkpoint → params for the linear probe.
+
+    What IS pinned offline by ``model_titan.py:17-59`` — and drilled in
+    ``tests/test_fullshape_ckpt.py`` — is the *wrapper-level* layout:
+
+      * ``mlp.weight [C, 768]`` / ``mlp.bias [C]`` — the linear probe over
+        the 768-d slide embedding (init normal(0.01)/zeros, lines 22-24),
+        the only part the reference ever trains with ``only_train_mlp``;
+      * ``titan.*`` — the opaque remote-code encoder subtree;
+      * the reference eval-harness cleaning semantics (``.module`` strip,
+        ``instance_loss_fn`` skip) apply before inspection.
+
+    Returns flax params for ``TitanHead``'s ``head`` Dense (the linear probe;
+    usable whenever slide embeddings come from elsewhere — e.g. the
+    reference's own ``forward_patch_level`` applies ``mlp`` straight to
+    patch features). Raises :class:`TitanEncoderUnavailable` if the caller
+    asks for the encoder too (``require_encoder`` semantics are implicit:
+    any ``titan.*`` keys present are reported in the error the caller can
+    choose to catch when probe-only conversion is intended).
+    """
+    from moc_tpu.models.convert_mil import clean_torch_state_dict, _np
+
+    sd = clean_torch_state_dict(state_dict)
+    w = _np(sd["mlp.weight"])
+    b = _np(sd["mlp.bias"])
+    if w.shape != (n_classes, 768):
+        raise ValueError(
+            f"TITAN probe weight is {w.shape}; the reference pins "
+            f"[{n_classes}, 768] (Linear(768, num_classes), "
+            "model_titan.py:22)")
+    return {"head": {"kernel": w.T.copy(), "bias": b}}
+
+
+def titan_encoder_keys(state_dict: dict) -> list[str]:
+    """The opaque ``titan.*`` subtree of a reference TITAN checkpoint (after
+    reference cleaning). Use to detect/report the unconvertible part."""
+    from moc_tpu.models.convert_mil import clean_torch_state_dict
+
+    return sorted(k for k in clean_torch_state_dict(state_dict)
+                  if k.startswith("titan."))
+
+
+def load_titan_probe_checkpoint(path: str, n_classes: int,
+                                allow_encoder_drop: bool = False) -> dict:
+    """Load a reference-trained TITAN wrapper checkpoint's linear probe.
+
+    By default refuses checkpoints that carry encoder weights (the
+    ``titan.*`` subtree cannot be mapped offline — dropping it silently
+    would produce a model that LOOKS converted but runs a different
+    encoder); pass ``allow_encoder_drop=True`` to accept the probe alone
+    after reading the error's guidance.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    enc = titan_encoder_keys(sd)
+    if enc and not allow_encoder_drop:
+        raise TitanEncoderUnavailable(
+            f"checkpoint carries {len(enc)} 'titan.*' encoder parameters "
+            f"(e.g. {enc[:3]}); the published encoder's schema is HF "
+            "remote code and cannot be converted offline — pass "
+            "allow_encoder_drop=True to load ONLY the linear probe onto "
+            "moc_tpu's native TitanHead (different encoder, same probe)")
+    return convert_titan_probe(sd, n_classes)
