@@ -166,6 +166,36 @@ def bench_tiers() -> dict:
     return out
 
 
+def bench_mil() -> dict:
+    """Compact MIL-head vs-torch ratios (VERDICT r3 weak #3): clam_sb /
+    chief / vila through ``scripts/mil_torch_ab.py`` (reference torch code
+    on CPU vs moc_tpu jitted heads), reduced repeats. transmil/titan carry
+    recorded reasons (reference deps unavailable offline)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "mil_torch_ab",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "scripts", "mil_torch_ab.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.TORCH_REPEATS = 2
+    heads = ("clam_sb", "chief", "vila")
+    rng = np.random.default_rng(7)
+    site = rng.normal(size=(19, 768)).astype(np.float32)
+    tb = mod.torch_baselines(site, heads)
+    jb = mod.jax_baselines(site, heads)
+    out = {h: {"torch_ms": round(tb[h] * 1e3, 1),
+               "jax_ms": round(jb[h] * 1e3, 3),
+               "x": round(tb[h] / jb[h], 1)} for h in heads}
+    out["skipped"] = {"transmil": "ref needs nystrom_attention (pip, "
+                                  "not installed offline)",
+                      "titan": "ref encoder is HF trust_remote_code "
+                               "(unfetchable offline)"}
+    return out
+
+
 def _reference_modules():
     """Import the reference's OWN selection/pooling modules read-only
     (VERDICT r2 missing #5: the baseline must drive reference code, not a
@@ -429,6 +459,26 @@ def main() -> None:
             payload["serving_tiers"] = bench_tiers()
         except Exception as e:  # secondary metric must not kill the headline
             log(f"tier bench failed: {e}")
+
+    # MIL-head vs-torch stage (compact; own budget so a wedged tunnel or a
+    # slow torch eval cannot eat the sweep stage's window)
+    if os.environ.get("MOC_BENCH_MIL", "1") != "0":
+        mil_box: dict = {}
+
+        def _mil_stage():
+            try:
+                mil_box["mil"] = bench_mil()
+            except Exception as e:  # secondary metric must not kill the headline
+                log(f"mil bench failed: {e}")
+
+        th_mil = threading.Thread(target=_mil_stage, daemon=True)
+        th_mil.start()
+        th_mil.join(float(os.environ.get("MOC_BENCH_MIL_BUDGET_S", "420")))
+        if th_mil.is_alive():
+            log("mil stage exceeded its budget; abandoning")
+            payload["mil"] = {"skipped": "budget exceeded"}
+        else:
+            payload["mil"] = mil_box.get("mil")
 
     # Sweep stage: ALWAYS attempted (the north-star metric), but under its
     # own budget — a daemon thread is the only way to abandon a compile

@@ -102,6 +102,7 @@ def test_milfc_mc():
     assert 0 <= int(out["y_hat"]) < 4
 
 
+@pytest.mark.slow
 def test_transmil_forward():
     feats, valid = _bag(5, n=256, n_valid=180)
     model = TransMIL(TransMILConfig(n_classes=2, size_arg="conch"))
@@ -117,6 +118,7 @@ def test_transmil_forward():
     assert all(np.all(np.isfinite(np.asarray(g))) for g in jax.tree.leaves(grads))
 
 
+@pytest.mark.slow
 def test_transmil_conv_impls_identical():
     """The grouped-conv forward (inference default) and the shifted-slice
     formulation (fused-trainer ``grad_friendly`` path) are the same math —

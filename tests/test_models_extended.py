@@ -42,6 +42,7 @@ SMALL_TEXT = TextConfig(context_length=128, vocab_size=32007, width=64,
                         heads=4, layers=2, output_dim=32)
 
 
+@pytest.mark.slow
 def test_vila_mil_forward_and_grads():
     rng = np.random.default_rng(0)
     tk = ConchTokenizer()

@@ -191,6 +191,7 @@ def test_topk_threshold_mask_matches_lax_topk():
                                                   err_msg=f"{impl} {n} {kk} {kind}")
 
 
+@pytest.mark.slow
 def test_threshold_mask_bits_per_step_bit_identical():
     """The widened g-bit descent (2^g−1 stacked candidate prefixes per
     step) must reproduce the 1-bit descent exactly for every g dividing 32
@@ -240,6 +241,7 @@ def test_union_threshold_matches_sort_union(discard):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_select_and_gather_threshold_method_identical():
     rng = np.random.default_rng(13)
     for trial in range(8):
@@ -265,6 +267,7 @@ def test_select_and_gather_threshold_method_identical():
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_threshold_method_across_bucket_shapes():
     """Bit-identical sort/threshold selection at the loader's real bucket
     sizes, non-lane-aligned lengths, and nearly-empty bags."""

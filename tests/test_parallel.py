@@ -130,6 +130,7 @@ def test_dilated_equals_full_attention_when_trivial():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_dilated_multibranch_finite_and_weighted():
     rng = np.random.default_rng(3)
     b, l, h, d = 1, 256, 4, 128
@@ -167,6 +168,7 @@ def test_dilated_sequence_parallel_matches_single_device():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ratio,subgroup", [(1, False), (2, False), (1, True)])
 def test_dilated_causal_sequence_parallel_matches_single_device(ratio, subgroup):
     """Causal cross-shard segments (block-decomposed + lse merge) == unsharded."""
@@ -198,6 +200,7 @@ def test_dilated_causal_sequence_parallel_matches_single_device(ratio, subgroup)
 @pytest.mark.parametrize("causal,ratio,sl", [
     (False, 1, 512), (True, 1, 512), (True, 2, 512), (False, 1, 256),
 ])
+@pytest.mark.slow
 def test_dilated_ring_gather_matches_allgather(causal, ratio, sl):
     """gather_mode='ring' (ppermute block rotation) == 'allgather'."""
     devices = np.array(jax.devices()[:4])
@@ -224,6 +227,7 @@ def test_dilated_ring_gather_matches_allgather(causal, ratio, sl):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_encoder_ring_axis_matches_unsharded():
     """Encoder with ring_axis under shard_map == plain encoder, same params."""
     from moc_tpu.nn.encoder import Encoder, EncoderConfig

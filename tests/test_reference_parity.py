@@ -207,10 +207,13 @@ def test_zs_eval_parity(corpus, family):
     w_ext = np.asarray(c["weights_ext"])
     w_t, w_ext_t = torch.tensor(w), torch.tensor(w_ext)
 
-    # per-slide pooled logits
-    from moc_tpu.moc.episode import zs_pooled_logits
+    # per-slide pooled logits through the padded jitted path (ONE compile
+    # per family at [1, 512, D] — per-slide eager calls would re-trace for
+    # every distinct bag length and dominate the suite's wall clock)
     import jax.numpy as jnp
 
+    _, _, zs_batch = make_episode_fns(cfg)
+    w_j, w_ext_j = jnp.asarray(w), jnp.asarray(w_ext)
     pooled_ref, labels = [], []
     for sid in split.test:
         bag = loader.read(sid)
@@ -218,15 +221,11 @@ def test_zs_eval_parity(corpus, family):
         ref = _ref_zs_pooled(psc, feats_t, w_t, w_ext_t, family, TOPK, N_CLASSES)
         pooled_ref.append(ref)
         labels.append(bag.label)
-        ours = np.asarray(zs_pooled_logits(
-            jnp.asarray(bag.features), jnp.ones(bag.n_patches, bool),
-            jnp.asarray(w), jnp.asarray(w_ext), cfg))
-        np.testing.assert_allclose(ours.reshape(1, -1), ref.numpy(),
-                                   rtol=1e-5, atol=2e-5,
+        ours = np.asarray(zs_batch(pack_bags([bag], n_pad=512), w_j, w_ext_j))
+        np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5, atol=2e-5,
                                    err_msg=f"{family}: slide {sid}")
 
     # metric-block parity through the batched padded path
-    _, _, zs_batch = make_episode_fns(cfg)
     ours_m = zs_eval_batches(zs_batch, ep.test, jnp.asarray(w),
                              jnp.asarray(w_ext), cfg)
     ref_m = _ref_metrics(pooled_ref, labels)

@@ -3,6 +3,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from moc_tpu.data.vila_data import DualScaleBag
 from moc_tpu.models.vila import VilaConfig, build_prompt_constants
@@ -60,6 +61,7 @@ def test_prompt_collapse_warns():
     assert any("identical" in str(x.message) for x in w)
 
 
+@pytest.mark.slow
 def test_train_vila_fold_learns_separable():
     rng = np.random.default_rng(0)
     def split(n_per_class, seed_base):

@@ -186,6 +186,7 @@ def test_attentional_pooler_conversion_parity():
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_coca_smoke_small():
     """Random-init CoCa: shapes + normalization, tiny config."""
     cfg = CoCaConfig(
