@@ -474,26 +474,37 @@ def flash_attention_padded(
 def flash_attention_with_lse(
     q, k, v, *, q_segment_ids=None, kv_segment_ids=None, causal=False,
     sm_scale=None, block_q: int = 1024, block_k: int = 1024,
+    lse_grad: bool = True,
 ):
     """``(out, lse [B, H, Lq])`` — the denominator statistics needed by
     dilated-attention branch recombination and cross-shard softmax merges.
 
-    Differentiable: the Pallas kernel runs the forward; the backward is the
-    XLA dense vjp of ``mha_reference`` evaluated at the saved inputs (the
-    Pallas bwd kernels only cover the ``out`` cotangent — ``lse`` carries
-    gradients through the dilated recombination weights, and its analytic
-    pullback is another attention-shaped pass, so dense is both correct and
-    simple). Memory in backward is O(Lq·Lkv) per head — fine at the
-    segment/block sizes these callers attend; use ``flash_attention`` when
-    only ``out`` is needed."""
+    Differentiable. Two backward modes:
+
+    * ``lse_grad=True`` (default): the backward is the XLA dense vjp of
+      ``mha_reference`` evaluated at the saved inputs — ``lse`` carries
+      gradients (its analytic pullback is another attention-shaped pass).
+      Memory in backward is O(Lq·Lkv) per head.
+    * ``lse_grad=False``: ``lse`` is returned under ``stop_gradient`` and
+      the backward runs the Pallas dq/dkv kernels (O(block) memory).
+      Measured 2.5× faster fwd+bwd at L=8192 (BENCH_NOTES r4 flash table).
+      This is the right mode whenever the caller treats the lse as
+      statistics, not activations — the dilated recombination weights are
+      stop-gradient'ed anyway (ref computes them under ``torch.no_grad``,
+      ``dilated_attention.py:100-131``)."""
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     if not _lane_aligned(q.shape[2], k.shape[2]):
-        return mha_reference(q, k, v, q_segment_ids=q_segment_ids,
-                             kv_segment_ids=kv_segment_ids, causal=causal,
-                             sm_scale=sm_scale)
-    return _flash_with_lse(q, k, v, q_segment_ids, kv_segment_ids,
-                           float(sm_scale), causal, block_q, block_k)
+        out, lse = mha_reference(q, k, v, q_segment_ids=q_segment_ids,
+                                 kv_segment_ids=kv_segment_ids, causal=causal,
+                                 sm_scale=sm_scale)
+        return (out, lse) if lse_grad else (out, jax.lax.stop_gradient(lse))
+    if lse_grad:
+        return _flash_with_lse(q, k, v, q_segment_ids, kv_segment_ids,
+                               float(sm_scale), causal, block_q, block_k)
+    out, lse = _flash_with_lse_sg(q, k, v, q_segment_ids, kv_segment_ids,
+                                  float(sm_scale), causal, block_q, block_k)
+    return out, jax.lax.stop_gradient(lse)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -519,6 +530,31 @@ def _flash_with_lse_bwd(sm_scale, causal, block_q, block_k, res, cts):
 
 
 _flash_with_lse.defvjp(_flash_with_lse_fwd, _flash_with_lse_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_with_lse_sg(q, k, v, q_seg, kv_seg, sm_scale, causal,
+                       block_q, block_k):
+    return _fwd(q, k, v, q_seg, kv_seg, sm_scale, causal, block_q, block_k)
+
+
+def _flash_with_lse_sg_fwd(q, k, v, q_seg, kv_seg, sm_scale, causal,
+                           block_q, block_k):
+    out, lse = _fwd(q, k, v, q_seg, kv_seg, sm_scale, causal, block_q, block_k)
+    return (out, lse), (q, k, v, q_seg, kv_seg, out, lse)
+
+
+def _flash_with_lse_sg_bwd(sm_scale, causal, block_q, block_k, res, cts):
+    # the lse cotangent (cts[1]) is structurally zero: the public wrapper
+    # returns lse under stop_gradient in this mode
+    do, _ = cts
+    q, k, v, q_seg, kv_seg, out, lse = res
+    dq, dk, dv = _bwd(q, k, v, q_seg, kv_seg, out, lse, do, sm_scale, causal,
+                      block_q, block_k)
+    return dq, dk, dv, None, None
+
+
+_flash_with_lse_sg.defvjp(_flash_with_lse_sg_fwd, _flash_with_lse_sg_bwd)
 
 
 def mha_reference(q, k, v, *, q_segment_ids=None, kv_segment_ids=None,

@@ -292,7 +292,15 @@ def _branch(q, k, v, sl, dr, causal, use_flash, axis_name,
         kf = ks.transpose(0, 2, 1, 3)
         vf = vs.transpose(0, 2, 1, 3)
         if use_flash:
-            out, lse = flash_attention_with_lse(qf, kf, vf, causal=causal)
+            # when no pad correction will consume the lse, it flows ONLY to
+            # the stop-gradiented branch recombination — lse_grad=False is
+            # exact there and routes the backward through the Pallas dq/dkv
+            # kernels (measured 2.5× fwd+bwd at L=8192, O(L²)→O(block)
+            # memory; BENCH_NOTES r4). With a pad correction the corrected
+            # output's factor depends on lse, so keep the dense-vjp mode.
+            needs_lse_grad = n_pad_blk is not None and not causal
+            out, lse = flash_attention_with_lse(qf, kf, vf, causal=causal,
+                                                lse_grad=needs_lse_grad)
         else:
             out, lse = mha_reference(qf, kf, vf, causal=causal)
         # causal needs no correction: pad keys sit at strictly later sparse

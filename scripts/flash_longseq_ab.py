@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, "/root/repo")
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, "/root/repo")
+
 PEAK_BF16 = 197e12
 
 

@@ -19,6 +19,9 @@ import time
 
 import numpy as np
 
+import sys as _sys
+_sys.path.insert(0, "/root/repo")
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)

@@ -188,3 +188,45 @@ def test_vit_flash_matches_dense():
     out_flash = flash.apply(params, images)  # 10 tokens → padded to 128
     np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_dense),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_lse_grad_false_backward_matches_reference(causal):
+    """``lse_grad=False`` routes the backward through the Pallas dq/dkv
+    kernels; for a loss that consumes only ``out`` (plus lse as
+    stop-gradient statistics — the dilated-recombination pattern), its
+    gradients must equal the dense reference's."""
+    from moc_tpu.ops.flash_attention import flash_attention_with_lse
+
+    q, k, v = _inputs(9, lq=256, lkv=256, d=128)
+
+    def loss_sg(q, k, v):
+        out, lse = flash_attention_with_lse(q, k, v, causal=causal,
+                                            lse_grad=False)
+        # lse enters only through a stop-gradient-weighted scale, mirroring
+        # dilated_attention's softmax(lse) branch weights
+        w = jax.lax.stop_gradient(jax.nn.softmax(lse, axis=-1))
+        return jnp.sum((out * w[..., None]) ** 2)
+
+    def loss_ref(q, k, v):
+        out, lse = mha_reference(q, k, v, causal=causal)
+        w = jax.lax.stop_gradient(jax.nn.softmax(lse, axis=-1))
+        return jnp.sum((out * w[..., None]) ** 2)
+
+    g_sg = jax.grad(loss_sg, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_sg, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=5e-4, atol=5e-4, err_msg=f"d{name}")
+
+
+def test_lse_grad_false_values_identical_to_default():
+    """Forward values (out AND lse) are identical across the two modes —
+    only the vjp route differs."""
+    from moc_tpu.ops.flash_attention import flash_attention_with_lse
+
+    q, k, v = _inputs(10, lq=256, lkv=256, d=128)
+    o1, l1 = flash_attention_with_lse(q, k, v)
+    o2, l2 = flash_attention_with_lse(q, k, v, lse_grad=False)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
