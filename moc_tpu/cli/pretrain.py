@@ -50,6 +50,10 @@ def get_args(argv=None):
     p.add_argument("--embed_dim", type=int, default=256)
     p.add_argument("--ffn_dim", type=int, default=1024)
     p.add_argument("--heads", type=int, default=8)
+    p.add_argument("--compute_dtype", default=None,
+                   choices=[None, "bfloat16", "float32"],
+                   help="matmul compute dtype (params stay f32 master "
+                        "weights; measured 1.26-1.27x step speed on v5e)")
     p.add_argument("--deepnorm", action="store_true",
                    help="deepnorm residual scaling (torchscale consistency "
                         "rules apply: post-LN, no subln)")
@@ -137,6 +141,7 @@ def main(argv=None) -> int:
     enc = EncoderConfig(
         embed_dim=args.embed_dim, ffn_dim=args.ffn_dim, layers=args.layers,
         heads=args.heads, deepnorm=args.deepnorm,
+        compute_dtype=args.compute_dtype,
         moe_freq=args.moe_freq if args.moe_experts else 0,
         moe=MoEConfig(n_experts=max(args.moe_experts, 1)))
     cfg = PretrainConfig(vocab_size=args.vocab, max_len=args.seq_len,

@@ -61,6 +61,12 @@ class EncoderConfig:
     expert_axis: Optional[str] = None  # mesh axis for MoE expert parallelism
     remat: bool = False
     layernorm_eps: float = 1e-5
+    # mixed-precision compute: dtype the matmul projections cast their
+    # inputs AND kernels to (params stay float32 master weights; LayerNorms
+    # keep their default None dtype, so f32 scale/bias promote the stats to
+    # f32 — the standard bf16-compute/f32-LN recipe). None = full f32.
+    # Measured on v5e (BENCH_NOTES r4 "bf16 compute"): see table there.
+    compute_dtype: str | None = None
 
     def __post_init__(self):
         if self.deepnorm:  # torchscale consistency rule (config.py:63-70)
@@ -190,13 +196,16 @@ class MultiwayDense(nn.Module):
 
     features: int
     use_bias: bool = True
+    dtype: str | None = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, split: int | None):
-        a = nn.Dense(self.features, use_bias=self.use_bias, name="A")(x)
+        a = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
+                     name="A")(x)
         if split is None:
             return a
-        b = nn.Dense(self.features, use_bias=self.use_bias, name="B")(x)
+        b = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
+                     name="B")(x)
         pos = jnp.arange(x.shape[-2])[:, None]
         return jnp.where(pos < split, a, b)
 
@@ -225,13 +234,14 @@ class FeedForward(nn.Module):
     ffn_dim: int
     subln: bool = True
     eps: float = 1e-5
+    dtype: str | None = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x):
-        h = gelu_exact(nn.Dense(self.ffn_dim, name="fc1")(x))
+        h = gelu_exact(nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(x))
         if self.subln:
             h = nn.LayerNorm(epsilon=self.eps, name="ffn_layernorm")(h)
-        return nn.Dense(self.dim, name="fc2")(h)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(h)
 
 
 class MultiwayFeedForward(nn.Module):
@@ -239,13 +249,16 @@ class MultiwayFeedForward(nn.Module):
     ffn_dim: int
     subln: bool = True
     eps: float = 1e-5
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, split: int | None):
-        a = FeedForward(self.dim, self.ffn_dim, self.subln, self.eps, name="A")(x)
+        a = FeedForward(self.dim, self.ffn_dim, self.subln, self.eps,
+                        self.dtype, name="A")(x)
         if split is None:
             return a
-        b = FeedForward(self.dim, self.ffn_dim, self.subln, self.eps, name="B")(x)
+        b = FeedForward(self.dim, self.ffn_dim, self.subln, self.eps,
+                        self.dtype, name="B")(x)
         pos = jnp.arange(x.shape[-2])[:, None]
         return jnp.where(pos < split, a, b)
 
@@ -267,16 +280,17 @@ class SelfAttention(nn.Module):
         b, l, d = x.shape
         h = cfg.heads
         dh = d // h
+        cd = cfg.compute_dtype
         if cfg.multiway:
             # torchscale wraps the attention projections in MultiwayWrapper
             # too (``multihead_attention.py:43-48``): per-modality q/k/v/out
-            q = MultiwayDense(d, name="q_proj")(x, split)
-            k = MultiwayDense(d, name="k_proj")(x, split)
-            v = MultiwayDense(d, name="v_proj")(x, split)
+            q = MultiwayDense(d, dtype=cd, name="q_proj")(x, split)
+            k = MultiwayDense(d, dtype=cd, name="k_proj")(x, split)
+            v = MultiwayDense(d, dtype=cd, name="v_proj")(x, split)
         else:
-            q = nn.Dense(d, name="q_proj")(x)
-            k = nn.Dense(d, name="k_proj")(x)
-            v = nn.Dense(d, name="v_proj")(x)
+            q = nn.Dense(d, dtype=cd, name="q_proj")(x)
+            k = nn.Dense(d, dtype=cd, name="k_proj")(x)
+            v = nn.Dense(d, dtype=cd, name="v_proj")(x)
 
         def to_heads(t):
             return t.reshape(b, l, h, dh)
@@ -347,8 +361,8 @@ class SelfAttention(nn.Module):
             else:
                 attn = nn.LayerNorm(epsilon=cfg.layernorm_eps, name="inner_attn_ln")(attn)
         if cfg.multiway:
-            return MultiwayDense(d, name="out_proj")(attn, split)
-        return nn.Dense(d, name="out_proj")(attn)
+            return MultiwayDense(d, dtype=cd, name="out_proj")(attn, split)
+        return nn.Dense(d, dtype=cd, name="out_proj")(attn)
 
 
 class EncoderLayer(nn.Module):
@@ -391,7 +405,8 @@ class EncoderLayer(nn.Module):
             x = y.reshape(b, l, d)
         else:
             x = MultiwayFeedForward(cfg.embed_dim, cfg.ffn_dim, cfg.subln,
-                                    cfg.layernorm_eps, name="ffn")(x, split)
+                                    cfg.layernorm_eps, cfg.compute_dtype,
+                                    name="ffn")(x, split)
         x = residual * alpha + x
         if not cfg.normalize_before:
             x = MultiwayLayerNorm(cfg.layernorm_eps, name="final_layer_norm")(x, split)

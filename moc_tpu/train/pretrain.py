@@ -59,7 +59,10 @@ class MaskedTokenModel(nn.Module):
                          (c.max_len, c.encoder.embed_dim))
         x = x + pos[: x.shape[1]]
         x, aux = Encoder(c.encoder, name="encoder")(x, padding_mask)
-        logits = nn.Dense(c.vocab_size, name="lm_head")(x)
+        # CE over the vocab needs f32 logits even under bf16 compute
+        # (softmax of 8k-way bf16 logits loses mask-token signal)
+        logits = nn.Dense(c.vocab_size, name="lm_head")(
+            x).astype(jnp.float32)
         return logits, aux
 
 
