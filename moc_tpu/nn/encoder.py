@@ -394,6 +394,10 @@ class EncoderLayer(nn.Module):
             if mcfg.expert_subln is None:
                 mcfg = dataclasses.replace(mcfg, expert_subln=cfg.subln,
                                            layernorm_eps=cfg.layernorm_eps)
+            if mcfg.compute_dtype is None and cfg.compute_dtype is not None:
+                # experts inherit the encoder's mixed-precision tier
+                mcfg = dataclasses.replace(mcfg,
+                                           compute_dtype=cfg.compute_dtype)
             y, aux = MoELayer(dim=d, hidden_dim=cfg.ffn_dim, cfg=mcfg,
                               axis_name=cfg.expert_axis, name="moe_layer")(
                 x.reshape(b * l, d),

@@ -39,6 +39,11 @@ class MoEConfig:
     # (the Encoder passes its own); treated as False standalone.
     expert_subln: bool | None = None
     layernorm_eps: float = 1e-5
+    # matmul compute dtype for the expert FFNs (params stay f32 master
+    # weights; gate/routing math stays f32 — routing decisions should not
+    # move with precision; elementwise GELU/LN accumulate in f32). None =
+    # full f32. The Encoder threads its own compute_dtype down here.
+    compute_dtype: str | None = None
     # eval-mode capacity = ceil(fraction × n_tokens), the reference's
     # EVAL_CAPACITY_TOKEN_FRACTION protocol (routing.py:30,58-61). Applied
     # ONLY when ``is_eval`` is set, like the reference's ``eval_mode`` gate
@@ -249,10 +254,19 @@ class MoELayer(nn.Module):
             ln_bias = self.param("experts_ln_bias", nn.initializers.zeros,
                                  (e, self.hidden_dim))
 
+        cd = self.cfg.compute_dtype
+
+        def _mm(a, b_, spec):
+            # expert matmuls in compute_dtype (bf16 tier), result f32 for
+            # the elementwise tail — mirrors nn.Dense(dtype=...) semantics
+            if cd is not None:
+                a, b_ = a.astype(cd), b_.astype(cd)
+            return jnp.einsum(spec, a, b_).astype(jnp.float32)
+
         def expert_fn(tokens):  # [E_local, T, D]
             # exact (erf) GELU, matching the reference's F.gelu in fp32
             # (``feedforward_network.py:135``)
-            h = jax.nn.gelu(jnp.einsum("etd,edh->eth", tokens, w1l)
+            h = jax.nn.gelu(_mm(tokens, w1l, "etd,edh->eth")
                             + b1l[:, None], approximate=False)
             if self.cfg.expert_subln:
                 if self.axis_name is not None:
@@ -263,7 +277,7 @@ class MoELayer(nn.Module):
                 var = jnp.var(h, axis=-1, keepdims=True)
                 h = (h - mu) * jax.lax.rsqrt(var + self.cfg.layernorm_eps)
                 h = h * sc[:, None] + bi[:, None]
-            return jnp.einsum("eth,ehd->etd", h, w2l) + b2l[:, None]
+            return _mm(h, w2l, "eth,ehd->etd") + b2l[:, None]
 
         return moe_dispatch_combine(x, gate_logits, expert_fn, self.cfg,
                                     axis_name=self.axis_name,
