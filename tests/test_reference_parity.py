@@ -397,3 +397,60 @@ def test_episode_statistical_parity(hard_corpus):
     # granularity 1/16; one grid step of slack on top of fold noise)
     assert abs(ref_val - jax_val) <= 0.15
     assert abs(ref_test - jax_test) <= 0.15
+
+
+# ---------------------------------------------------------------------------
+# 4. multiclass (C=3, ovo-macro AUC) zero-shot chain parity
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def corpus3(tmp_path_factory):
+    """RCC-shaped corpus: 3 classes → extended bank 3+4, multiclass metrics
+    take the ovo-macro AUC route (``main_moc.py:449-454``)."""
+    root = tmp_path_factory.mktemp("refparity_c3")
+    cfg_data = SyntheticWSIConfig(
+        n_classes=3, slides_per_class=8, min_patches=200, max_patches=480,
+        dim=DIM, seed=13, signal=0.5, tumor_frac=0.2)
+    c = make_synthetic_corpus(str(root), cfg_data, shots=(2,), n_folds=1,
+                              val_per_class=2, test_per_class=4)
+    table = SlideTable.from_csv(c["csv_path"], c["label_dict"])
+    loader = BagLoader(table, c["data_dir"], cache=True)
+    return c, loader
+
+
+@pytest.mark.parametrize("family", ["topj", "bottomk_irrel"])
+def test_zs_eval_parity_multiclass_ovo(corpus3, family):
+    """The C=2 chain test covers binary AUC only; this pins the multiclass
+    branch — per-slide pooled [1, 3] logits to float tolerance and the
+    ovo-macro AUC to 1e-6 — for the plain and extended-bank families."""
+    psi, psc = _reference_modules()
+    c, loader = corpus3
+    split = read_split_csv(c["split_paths"][(2, 0)])
+    ep = EpisodeBags.load(loader, split.train, split.val, split.test,
+                          repeat_num=6, eval_batch_size=4)
+    cfg = MOCConfig(n_classes=3, n_ext_classes=7, topj=TOPJ, topk=TOPK,
+                    feature_dim=DIM, zs_pooling=family)
+    w = np.asarray(c["weights"])
+    w_ext = np.asarray(c["weights_ext"])
+    w_t, w_ext_t = torch.tensor(w), torch.tensor(w_ext)
+
+    import jax.numpy as jnp
+
+    _, _, zs_batch = make_episode_fns(cfg)
+    w_j, w_ext_j = jnp.asarray(w), jnp.asarray(w_ext)
+    pooled_ref, labels = [], []
+    for sid in split.test:
+        bag = loader.read(sid)
+        ref = _ref_zs_pooled(psc, torch.tensor(bag.features), w_t, w_ext_t,
+                             family, TOPK, n_classes=3)
+        pooled_ref.append(ref)
+        labels.append(bag.label)
+        ours = np.asarray(zs_batch(pack_bags([bag], n_pad=512), w_j, w_ext_j))
+        np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5, atol=2e-5,
+                                   err_msg=f"{family}: slide {sid}")
+
+    ours_m = zs_eval_batches(zs_batch, ep.test, w_j, w_ext_j, cfg)
+    ref_m = _ref_metrics(pooled_ref, labels)
+    assert ours_m.acc == pytest.approx(ref_m["acc"], abs=1e-6)
+    assert ours_m.auc == pytest.approx(ref_m["auc"], abs=1e-6)
+    assert ours_m.loss == pytest.approx(ref_m["loss"], rel=1e-4)
