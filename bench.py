@@ -460,26 +460,6 @@ def main() -> None:
         except Exception as e:  # secondary metric must not kill the headline
             log(f"tier bench failed: {e}")
 
-    # MIL-head vs-torch stage (compact; own budget so a wedged tunnel or a
-    # slow torch eval cannot eat the sweep stage's window)
-    if os.environ.get("MOC_BENCH_MIL", "1") != "0":
-        mil_box: dict = {}
-
-        def _mil_stage():
-            try:
-                mil_box["mil"] = bench_mil()
-            except Exception as e:  # secondary metric must not kill the headline
-                log(f"mil bench failed: {e}")
-
-        th_mil = threading.Thread(target=_mil_stage, daemon=True)
-        th_mil.start()
-        th_mil.join(float(os.environ.get("MOC_BENCH_MIL_BUDGET_S", "420")))
-        if th_mil.is_alive():
-            log("mil stage exceeded its budget; abandoning")
-            payload["mil"] = {"skipped": "budget exceeded"}
-        else:
-            payload["mil"] = mil_box.get("mil")
-
     # Sweep stage: ALWAYS attempted (the north-star metric), but under its
     # own budget — a daemon thread is the only way to abandon a compile
     # wedged on a misbehaving tunnel without losing the headline JSON.
@@ -502,10 +482,35 @@ def main() -> None:
             # the wedged thread still holds contextlib.redirect_stdout (it
             # swaps sys.stdout PROCESS-wide) — print to the real stdout so
             # the one-JSON-line contract survives the timeout path
+            payload["mil"] = {"skipped": "sweep stage timed out first"}
             print(json.dumps(payload), file=sys.__stdout__)
             sys.__stdout__.flush()
             os._exit(0)  # the stuck thread still holds the TPU client
         payload["sweep"] = box.get("sweep")
+
+    # MIL-head vs-torch stage (compact) runs LAST: its torch baselines
+    # saturate this 1-core host, and an abandoned-over-budget thread would
+    # otherwise starve the sweep stage (the north-star metric) — the known
+    # concurrent-CPU-load failure mode in CLAUDE.md. After the sweep, a
+    # wedged mil thread can only cost its own stage; the JSON print needs
+    # no device.
+    if os.environ.get("MOC_BENCH_MIL", "1") != "0":
+        mil_box: dict = {}
+
+        def _mil_stage():
+            try:
+                mil_box["mil"] = bench_mil()
+            except Exception as e:  # secondary metric must not kill the headline
+                log(f"mil bench failed: {e}")
+
+        th_mil = threading.Thread(target=_mil_stage, daemon=True)
+        th_mil.start()
+        th_mil.join(float(os.environ.get("MOC_BENCH_MIL_BUDGET_S", "420")))
+        if th_mil.is_alive():
+            log("mil stage exceeded its budget; abandoning")
+            payload["mil"] = {"skipped": "budget exceeded"}
+        else:
+            payload["mil"] = mil_box.get("mil")
     print(json.dumps(payload))
 
 

@@ -93,10 +93,10 @@ def convert_titan_probe(state_dict: dict, n_classes: int) -> dict:
     Returns flax params for ``TitanHead``'s ``head`` Dense (the linear probe;
     usable whenever slide embeddings come from elsewhere — e.g. the
     reference's own ``forward_patch_level`` applies ``mlp`` straight to
-    patch features). Raises :class:`TitanEncoderUnavailable` if the caller
-    asks for the encoder too (``require_encoder`` semantics are implicit:
-    any ``titan.*`` keys present are reported in the error the caller can
-    choose to catch when probe-only conversion is intended).
+    patch features). NOTE: this converts the probe ONLY and ignores any
+    other keys — use :func:`load_titan_probe_checkpoint` (the guarded
+    entry) to refuse checkpoints carrying an unconvertible ``titan.*``
+    encoder subtree instead of silently dropping it.
     """
     from moc_tpu.models.convert_mil import clean_torch_state_dict, _np
 
@@ -132,8 +132,11 @@ def load_titan_probe_checkpoint(path: str, n_classes: int,
     """
     import torch
 
+    from moc_tpu.models.convert_mil import clean_torch_state_dict
+
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = clean_torch_state_dict(sd)  # once; the helpers' re-clean is a no-op
     enc = titan_encoder_keys(sd)
     if enc and not allow_encoder_drop:
         raise TitanEncoderUnavailable(

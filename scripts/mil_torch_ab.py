@@ -86,9 +86,12 @@ def _ref_setup():
         sys.modules["nystrom_attention"] = na
 
 
-def _time_torch(fn, bags, repeats=TORCH_REPEATS):
+def _time_torch(fn, bags, repeats=None):
     import torch
 
+    if repeats is None:
+        repeats = TORCH_REPEATS  # read at call time so callers (bench_mil)
+        # can reduce it by assigning the module global after import
     with torch.no_grad():
         fn(bags[0])  # warm
         best = float("inf")

@@ -19,8 +19,7 @@ import time
 
 import numpy as np
 
-import sys as _sys
-_sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo")
 
 
 def log(msg):
@@ -31,6 +30,19 @@ N_REQ = 30
 
 
 def main():
+    import shutil
+
+    from moc_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    root = tempfile.mkdtemp(prefix="serve_ab_")
+    try:
+        _run(root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _run(root):
     import jax
 
     from moc_tpu.cli import serve
@@ -38,10 +50,7 @@ def main():
     from moc_tpu.data.synthetic import SyntheticWSIConfig
     from moc_tpu.moc import MOCConfig, init_senet
     from moc_tpu.utils.checkpoint import save_params
-    from moc_tpu.utils.compile_cache import enable_compilation_cache
 
-    enable_compilation_cache()
-    root = tempfile.mkdtemp(prefix="serve_ab_")
     cfg_data = SyntheticWSIConfig(slides_per_class=8, min_patches=1500,
                                   max_patches=4000, dim=512, seed=3,
                                   signal=0.9)
