@@ -157,8 +157,11 @@ def bench_tiers() -> dict:
     }
     out = {"f32_ms": round(ctx["t_f32"] * 1e3, 3)}
     for name, batch in arms.items():
+        # repeats=8 like the headline: both r4 rehearsals drew a slow tier
+        # median from 4 repeats in windows where an immediate standalone
+        # re-run read healthy — more draws, less weather in the record
         t = device_time(lambda b: eval_batch(params, b, w, w_ext), batch,
-                        iters=ITERS, repeats=4, reduce="median")
+                        iters=ITERS, repeats=8, reduce="median")
         out[f"{name}_ms"] = round(t * 1e3, 3)
         out[f"{name}_x"] = round(ctx["t_f32"] / t, 2)
         log(f"tier {name}: {t * 1e3:.3f} ms/batch-{BATCH} "
