@@ -453,3 +453,33 @@ def test_flash_with_lse_differentiable():
     gr = jax.grad(loss(mha_reference))(q)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_dilated_flash_sg_grads_match_dense():
+    """The dilated branch's new ``lse_grad=False`` flash route (Pallas bwd,
+    lse stop-gradiented into the recombination weights) produces the same
+    gradients as the dense formulation — the recombination weights are
+    stop-gradiented in BOTH modes, so the two must agree analytically."""
+    from moc_tpu.parallel.dilated import DilatedConfig, dilated_attention
+
+    rng = np.random.default_rng(5)
+    b, l, h, d = 1, 256, 2, 128  # lane-aligned so the Pallas path engages
+    q = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, l, h, d)).astype(np.float32))
+    cfg_flash = DilatedConfig(segment_lengths=(128, 256),
+                              dilated_ratios=(1, 2), use_flash=True)
+    cfg_dense = DilatedConfig(segment_lengths=(128, 256),
+                              dilated_ratios=(1, 2), use_flash=False)
+
+    def loss(cfg):
+        return lambda q_: jnp.sum(dilated_attention(q_, k, v, cfg) ** 2)
+
+    out_f = dilated_attention(q, k, v, cfg_flash)
+    out_d = dilated_attention(q, k, v, cfg_dense)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_d),
+                               rtol=2e-4, atol=2e-4)
+    g_f = jax.grad(loss(cfg_flash))(q)
+    g_d = jax.grad(loss(cfg_dense))(q)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_d),
+                               rtol=5e-4, atol=5e-4)
