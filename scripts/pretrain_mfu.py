@@ -118,8 +118,10 @@ def main():
             vocab_size=8192, max_len=seq,
             encoder=EncoderConfig(**{**base, **enc_kw}))
 
-    # L=1024 dense
+    # L=1024 dense (f32 default + bf16 mixed-precision compute)
     rows.append(measure("dense_L1024", pc(1024), batch=8, seq=1024))
+    rows.append(measure("dense_L1024_bf16",
+                        pc(1024, compute_dtype="bfloat16"), batch=8, seq=1024))
     rows.append(measure("dense_L1024_remat", pc(1024, remat=True),
                         batch=8, seq=1024))
     # MoE (top-2, 8 experts every 2nd layer)
@@ -127,10 +129,17 @@ def main():
         "moe_L1024", pc(1024, moe_freq=2,
                         moe=MoEConfig(n_experts=8, gate_type="top2")),
         batch=8, seq=1024))
+    rows.append(measure(
+        "moe_L1024_bf16", pc(1024, moe_freq=2, compute_dtype="bfloat16",
+                             moe=MoEConfig(n_experts=8, gate_type="top2")),
+        batch=8, seq=1024))
     # L=8192 dilated (LongNet segments ≤ L)
     dil = DilatedConfig(segment_lengths=(2048, 4096, 8192),
                         dilated_ratios=(1, 2, 4))
     rows.append(measure("dilated_L8192", pc(8192, dilated=dil),
+                        batch=1, seq=8192))
+    rows.append(measure("dilated_L8192_bf16",
+                        pc(8192, dilated=dil, compute_dtype="bfloat16"),
                         batch=1, seq=8192))
     rows.append(measure("dilated_L8192_remat",
                         pc(8192, dilated=dil, remat=True), batch=1, seq=8192))
