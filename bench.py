@@ -510,10 +510,16 @@ def main() -> None:
         th_mil.start()
         th_mil.join(float(os.environ.get("MOC_BENCH_MIL_BUDGET_S", "420")))
         if th_mil.is_alive():
+            # Mirror the sweep timeout path: the wedged thread may be stuck
+            # in a TPU tunnel op inside the jax baselines, and a thread
+            # holding the TPU client can hang interpreter shutdown (jax
+            # atexit teardown) — print the JSON and hard-exit.
             log("mil stage exceeded its budget; abandoning")
             payload["mil"] = {"skipped": "budget exceeded"}
-        else:
-            payload["mil"] = mil_box.get("mil")
+            print(json.dumps(payload), file=sys.__stdout__)
+            sys.__stdout__.flush()
+            os._exit(0)
+        payload["mil"] = mil_box.get("mil")
     print(json.dumps(payload))
 
 

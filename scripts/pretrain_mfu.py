@@ -41,7 +41,17 @@ def log(msg):
 
 
 def step_flops(cfg, batch: int, seq: int) -> float:
-    """Matmul FLOPs of one train step (fwd ×3 for fwd+bwd)."""
+    """Matmul FLOPs of one train step (fwd ×3 for fwd+bwd).
+
+    Attention term: dense bills ``2·L·w`` score+AV MACs/token/layer. A
+    dilated encoder computes LESS — branch (sl, r) runs flash over
+    ``n_seg = L/sl`` segments of sparse length ``sl/r`` with all heads
+    (``parallel/dilated.py:59-73`` keeps L/r rows per segment, H heads),
+    i.e. ``n_seg·2·(sl/r)²·w = 2·L·(sl/r²)·w`` MACs per layer per item →
+    ``Σ_branches 2·(sl/r²)·w`` per token. At the standard matrix point
+    (L=8192, segments 2048/4096/8192, ratios 1/2/4) that is 0.4375× dense
+    — billing dense here inflated the r4 dilated MFU rows ~1.5×
+    (VERDICT r4 weak #1; corrected)."""
     e = cfg.encoder
     w, f, l, v = e.embed_dim, e.ffn_dim, e.layers, cfg.vocab_size
     proj = 4 * w * w          # qkv + out MACs/token/layer
@@ -49,7 +59,12 @@ def step_flops(cfg, batch: int, seq: int) -> float:
     moe_layers = l // e.moe_freq if e.moe_freq else 0
     # top-2 routing ≈ 2× ffn compute on MoE layers (capacity ≈ tokens)
     ffn_total = ffn * (l - moe_layers) + 2 * ffn * moe_layers
-    attn = 2 * seq * w        # scores + weighted sum MACs/token/layer
+    if getattr(e, "dilated", None) is not None:
+        attn = sum(2 * (min(sl, seq) / (r * r)) * w
+                   for sl, r in zip(e.dilated.segment_lengths,
+                                    e.dilated.dilated_ratios))
+    else:
+        attn = 2 * seq * w    # scores + weighted sum MACs/token/layer
     per_token = l * (proj + attn) + ffn_total + v * w  # + LM head
     return 3 * 2 * per_token * batch * seq  # ×2 FLOPs/MAC, ×3 train
 
