@@ -33,6 +33,18 @@ class MoEConfig:
     n_experts: int = 8
     capacity_factor: float = 1.25
     gate_type: str = "top2"  # "top1" | "top2"
+    # dispatch/combine formulation (identical results, different cost):
+    #   "einsum"      — the GShard [S,E,C] one-hot einsums (reference shape,
+    #                   ``moe_layer.py:205-262``); S·E·C·D MACs each way,
+    #                   which RIVALS the expert FFN compute itself at top-2
+    #                   capacity (E·C ≈ 2S → ≈2S²D MACs);
+    #   "gather"      — scatter each kept choice's token index into its
+    #                   [E·C] slot, gather rows for dispatch, K-way weighted
+    #                   gather for combine: O(E·C·D) bytes moved, no matmul
+    #                   waste, exact (no arithmetic touches the one-hot);
+    #   "einsum_bf16" — the einsums with operands cast to bf16 (combine
+    #                   rounds gate weights to bf16 — A/B arm only).
+    dispatch_impl: str = "einsum"
     # per-expert inner LayerNorm between fc1 and fc2 (the reference builds
     # experts as FeedForwardNetwork(..., args.subln) — ``make_experts``,
     # ``feedforward_network.py:60-68``). None = inherit the caller's subln
@@ -87,14 +99,26 @@ def _combine_sec(gate_s, mask, locations, capacity):
     return gates_se[:, :, None] * loc_sc[:, None, :]
 
 
+def _compact_choice(gate_s, mask_capped, locations, expert_idx):
+    """Per-token compact routing record ``(e_idx [S], slot [S], keep [S],
+    gate [S])`` from a capped assignment mask — the gather formulation's
+    alternative to materializing ``[S, E, C]``."""
+    slot = jnp.sum(locations * mask_capped, axis=1).astype(jnp.int32)
+    keep = jnp.sum(mask_capped, axis=1)
+    return expert_idx.astype(jnp.int32), slot, keep, gate_s
+
+
 def top1_gate(logits: jax.Array, capacity: int,
-              input_mask: jax.Array | None = None):
+              input_mask: jax.Array | None = None, *,
+              compact: bool = False):
     """Switch-style top-1 gate, exact reference semantics
     (``top1gating``, ``routing.py:36-140``, minus the xmoe/gumbel options).
 
     ``input_mask`` (True = padding) removes tokens from routing entirely.
     Returns (combine ``[S, E, C]``, dispatch bool ``[S, E, C]``, aux_loss);
     aux = mean(me·ce)·E² over pre-capacity assignments (routing.py:95-100).
+    With ``compact=True`` returns ``(choices, aux)`` — the same routing as
+    per-token records (see ``_compact_choice``) without the [S,E,C] blowup.
     """
     s, e = logits.shape
     gates = jax.nn.softmax(logits, axis=-1)
@@ -108,13 +132,16 @@ def top1_gate(logits: jax.Array, capacity: int,
     ce = jnp.mean(mask1, axis=0)
     aux = jnp.mean(me * ce) * e * e
     mask1 = mask1 * (locations1 < capacity)
+    if compact:
+        return (_compact_choice(gate1_s, mask1, locations1, idx1),), aux
     combine = _combine_sec(gate1_s, mask1, locations1, capacity)
     return combine, combine.astype(bool), aux
 
 
 def top2_gate(logits: jax.Array, capacity: int,
               input_mask: jax.Array | None = None,
-              normalize_before_drop: bool = False):
+              normalize_before_drop: bool = False, *,
+              compact: bool = False):
     """GShard top-2 gate, exact reference semantics (``top2gating``,
     ``routing.py:258-448``, ``second_expert_policy='all'`` — the sampling/
     random policies inject torch RNG and stay out of the jit path).
@@ -156,6 +183,9 @@ def top2_gate(logits: jax.Array, capacity: int,
         gate2_s = jnp.sum(gates * mask2, axis=1)
         denom = jnp.maximum(gate1_s + gate2_s, eps)
         gate1_s, gate2_s = gate1_s / denom, gate2_s / denom
+    if compact:
+        return (_compact_choice(gate1_s, mask1, locations1, idx1),
+                _compact_choice(gate2_s, mask2, locations2, idx2)), aux
     combine = (_combine_sec(gate1_s, mask1, locations1, capacity)
                + _combine_sec(gate2_s, mask2, locations2, capacity))
     return combine, combine.astype(bool), aux
@@ -188,16 +218,40 @@ def moe_dispatch_combine(
     if capacity is None:
         capacity = capacity_for(s, e, cfg.gate_type, cfg.capacity_factor,
                                 cfg.eval_capacity_fraction, is_eval=cfg.is_eval)
-    if cfg.gate_type == "top1":
-        combine, dispatch, aux = top1_gate(gate_logits, capacity,
-                                           input_mask=input_mask)
+    if cfg.dispatch_impl == "gather":
+        if cfg.gate_type == "top1":
+            choices, aux = top1_gate(gate_logits, capacity,
+                                     input_mask=input_mask, compact=True)
+        else:
+            choices, aux = top2_gate(
+                gate_logits, capacity,
+                normalize_before_drop=cfg.normalize_before_drop,
+                input_mask=input_mask, compact=True)
+        ec = e * capacity
+        # slot → source-token table: kept choices scatter their token index
+        # (slots are provably collision-free: cumsum positions are unique
+        # per expert and second choices queue past ALL first choices);
+        # unfilled slots keep the sentinel s, which gathers the appended
+        # zero row — matching the einsum path's zero padding exactly
+        src = jnp.full((ec + 1,), s, jnp.int32)
+        tok = jnp.arange(s, dtype=jnp.int32)
+        for e_idx, slot, keep, _gate in choices:
+            flat = jnp.where(keep.astype(bool), e_idx * capacity + slot, ec)
+            src = src.at[flat].set(tok)
+        x_z = jnp.concatenate([x, jnp.zeros((1, d), x.dtype)], axis=0)
+        expert_in = jnp.take(x_z, src[:ec], axis=0).reshape(e, capacity, d)
     else:
-        combine, dispatch, aux = top2_gate(
-            gate_logits, capacity,
-            normalize_before_drop=cfg.normalize_before_drop,
-            input_mask=input_mask)
-
-    expert_in = jnp.einsum("sd,sec->ecd", x, dispatch.astype(x.dtype))  # [E, C, D]
+        if cfg.gate_type == "top1":
+            combine, dispatch, aux = top1_gate(gate_logits, capacity,
+                                               input_mask=input_mask)
+        else:
+            combine, dispatch, aux = top2_gate(
+                gate_logits, capacity,
+                normalize_before_drop=cfg.normalize_before_drop,
+                input_mask=input_mask)
+        ddt = jnp.bfloat16 if cfg.dispatch_impl == "einsum_bf16" else x.dtype
+        expert_in = jnp.einsum("sd,sec->ecd", x.astype(ddt),
+                               dispatch.astype(ddt)).astype(x.dtype)
     if axis_name is not None:
         # [E, C, D] -> [E_local, W*C, D]: expert-block w of every rank lands
         # on rank w (ref _AllToAll dispatch, moe_layer.py:233-234)
@@ -209,7 +263,15 @@ def moe_dispatch_combine(
         expert_out = jax.lax.all_to_all(
             expert_out, axis_name, split_axis=1, concat_axis=0, tiled=True
         )
-    y = jnp.einsum("ecd,sec->sd", expert_out, combine.astype(x.dtype))
+    if cfg.dispatch_impl == "gather":
+        flat_out = expert_out.reshape(e * capacity, d)
+        y = jnp.zeros((s, d), x.dtype)
+        for e_idx, slot, keep, gate_s in choices:
+            rows = jnp.take(flat_out, e_idx * capacity + slot, axis=0)
+            y = y + ((gate_s * keep)[:, None] * rows).astype(x.dtype)
+    else:
+        y = jnp.einsum("ecd,sec->sd", expert_out.astype(ddt),
+                       combine.astype(ddt)).astype(x.dtype)
     return y, aux
 
 

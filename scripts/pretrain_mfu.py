@@ -128,26 +128,55 @@ def main():
     base = dict(embed_dim=768, ffn_dim=3072, layers=12, heads=12)
     rows = []
 
-    def pc(seq, **enc_kw):
+    def pc(seq, param_dtype=None, **enc_kw):
         return PretrainConfig(
-            vocab_size=8192, max_len=seq,
+            vocab_size=8192, max_len=seq, param_dtype=param_dtype,
             encoder=EncoderConfig(**{**base, **enc_kw}))
 
-    # L=1024 dense (f32 default + bf16 mixed-precision compute)
+    moe8 = lambda **kw: MoEConfig(n_experts=8, gate_type="top2", **kw)
+
+    # L=1024 dense (f32 default, bf16 compute, bf16 compute+params)
     rows.append(measure("dense_L1024", pc(1024), batch=8, seq=1024))
     rows.append(measure("dense_L1024_bf16",
                         pc(1024, compute_dtype="bfloat16"), batch=8, seq=1024))
+    rows.append(measure(
+        "dense_L1024_bf16param",
+        pc(1024, param_dtype="bfloat16", compute_dtype="bfloat16"),
+        batch=8, seq=1024))
     rows.append(measure("dense_L1024_remat", pc(1024, remat=True),
                         batch=8, seq=1024))
-    # MoE (top-2, 8 experts every 2nd layer)
-    rows.append(measure(
-        "moe_L1024", pc(1024, moe_freq=2,
-                        moe=MoEConfig(n_experts=8, gate_type="top2")),
-        batch=8, seq=1024))
+    # MoE (top-2, 8 experts every 2nd layer): dispatch_impl A/B (VERDICT r4
+    # weak #2) + batch scaling (capacity padding amortizes with tokens)
+    rows.append(measure("moe_L1024", pc(1024, moe_freq=2, moe=moe8()),
+                        batch=8, seq=1024))
     rows.append(measure(
         "moe_L1024_bf16", pc(1024, moe_freq=2, compute_dtype="bfloat16",
-                             moe=MoEConfig(n_experts=8, gate_type="top2")),
+                             moe=moe8()),
         batch=8, seq=1024))
+    rows.append(measure(
+        "moe_L1024_gather", pc(1024, moe_freq=2,
+                               moe=moe8(dispatch_impl="gather")),
+        batch=8, seq=1024))
+    rows.append(measure(
+        "moe_L1024_gather_bf16",
+        pc(1024, moe_freq=2, compute_dtype="bfloat16",
+           moe=moe8(dispatch_impl="gather")),
+        batch=8, seq=1024))
+    rows.append(measure(
+        "moe_L1024_einsumbf16",
+        pc(1024, moe_freq=2, compute_dtype="bfloat16",
+           moe=moe8(dispatch_impl="einsum_bf16")),
+        batch=8, seq=1024))
+    for b in (16, 32):
+        rows.append(measure(
+            f"moe_L1024_bf16_b{b}",
+            pc(1024, moe_freq=2, compute_dtype="bfloat16", moe=moe8()),
+            batch=b, seq=1024))
+        rows.append(measure(
+            f"moe_L1024_gather_bf16_b{b}",
+            pc(1024, moe_freq=2, compute_dtype="bfloat16",
+               moe=moe8(dispatch_impl="gather")),
+            batch=b, seq=1024))
     # L=8192 dilated (LongNet segments ≤ L)
     dil = DilatedConfig(segment_lengths=(2048, 4096, 8192),
                         dilated_ratios=(1, 2, 4))
@@ -156,6 +185,11 @@ def main():
     rows.append(measure("dilated_L8192_bf16",
                         pc(8192, dilated=dil, compute_dtype="bfloat16"),
                         batch=1, seq=8192))
+    rows.append(measure(
+        "dilated_L8192_bf16param",
+        pc(8192, param_dtype="bfloat16", dilated=dil,
+           compute_dtype="bfloat16"),
+        batch=1, seq=8192))
     rows.append(measure("dilated_L8192_remat",
                         pc(8192, dilated=dil, remat=True), batch=1, seq=8192))
 

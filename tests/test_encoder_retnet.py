@@ -378,6 +378,54 @@ def test_pretrain_step_bf16_compute():
     assert abs(losses["bf16"] - losses["f32"]) < 0.2
 
 
+def test_pretrain_step_bf16_params():
+    """bf16-parameter recipe (PretrainConfig.param_dtype): ≥2-D params
+    stored bf16, 1-D scales/biases f32, f32 master weights in opt_state,
+    Adam in f32 — a short training run tracks the f32 recipe's loss
+    trajectory, and params == cast(master) exactly after every step."""
+    from jax.sharding import Mesh
+    from moc_tpu.train.pretrain import (PretrainConfig, make_pretrain_state,
+                                        make_sharded_train_step)
+
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1, 1, 1),
+                ("data", "seq", "tensor", "expert"))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 127, size=(2, 64), dtype=np.int32))
+    mask = jnp.asarray(np.random.default_rng(1).random((2, 64)) < 0.2)
+    traj = {}
+    for name, pd in (("f32", None), ("bf16", "bfloat16")):
+        cfg = PretrainConfig(
+            vocab_size=128, max_len=64, param_dtype=pd,
+            encoder=EncoderConfig(embed_dim=32, ffn_dim=64, layers=2,
+                                  heads=4,
+                                  compute_dtype="bfloat16" if pd else None))
+        model, params, opt, opt_state, sh = make_pretrain_state(cfg, mesh)
+        if pd:
+            for leaf in jax.tree_util.tree_leaves(params):
+                want = jnp.bfloat16 if leaf.ndim >= 2 else jnp.float32
+                assert leaf.dtype == want, (leaf.shape, leaf.dtype)
+            assert all(m.dtype == jnp.float32 for m in
+                       jax.tree_util.tree_leaves(opt_state[1]))
+        step = make_sharded_train_step(cfg, mesh, model, opt, sh)
+        losses = []
+        for _ in range(5):
+            params, opt_state, loss, _ = step(params, opt_state, ids, mask)
+            losses.append(float(np.asarray(loss)))
+        if pd:
+            # storage copy is exactly the rounded master, every leaf
+            eq = jax.tree.map(
+                lambda m, p: bool(np.array_equal(
+                    np.asarray(m.astype(p.dtype)), np.asarray(p))),
+                opt_state[1], params)
+            assert all(jax.tree_util.tree_leaves(eq))
+        traj[name] = losses
+    assert all(np.isfinite(traj["bf16"]))
+    # same descent trajectory to bf16 tolerance at every step
+    np.testing.assert_allclose(traj["bf16"], traj["f32"], rtol=0.05,
+                               atol=0.1)
+    assert traj["bf16"][-1] < traj["bf16"][0]  # it actually trains
+
+
 def test_encoder_moe_compute_dtype_bf16():
     """MoE layers inherit the encoder's compute_dtype: expert matmuls cast
     to bf16, params/grads stay f32, outputs track the f32 path."""

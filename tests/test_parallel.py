@@ -274,6 +274,84 @@ def test_gates_dispatch_invariants(gate):
     assert (cmb[~d] == 0).all()
 
 
+@pytest.mark.parametrize("gate_type", ["top1", "top2"])
+@pytest.mark.parametrize("masked", [False, True])
+def test_moe_gather_dispatch_matches_einsum(gate_type, masked):
+    """dispatch_impl='gather' (scatter token indices → row gathers) produces
+    the SAME outputs, aux, and parameter gradients as the GShard [S,E,C]
+    einsum formulation — including capacity drops and padded tokens."""
+    import dataclasses
+
+    rng = np.random.default_rng(17)
+    s, dim = 96, 32
+    x = jnp.asarray(rng.normal(size=(s, dim)).astype(np.float32))
+    mask = jnp.asarray(rng.random(s) < 0.25) if masked else None
+    # capacity_factor < 1 forces real drops through both formulations
+    base = MoEConfig(n_experts=4, gate_type=gate_type, capacity_factor=0.75)
+    outs, grads = {}, {}
+    for impl in ("einsum", "gather"):
+        cfg = dataclasses.replace(base, dispatch_impl=impl)
+        layer = MoELayer(dim=dim, hidden_dim=64, cfg=cfg)
+        params = layer.init(jax.random.PRNGKey(0), x, mask)
+        y, aux = jax.jit(layer.apply)(params, x, mask)
+        outs[impl] = (np.asarray(y), float(aux))
+
+        def loss(p):
+            y, aux = layer.apply(p, x, mask)
+            return jnp.sum(y**2) + 0.01 * aux
+
+        grads[impl] = jax.grad(loss)(params)
+    np.testing.assert_allclose(outs["gather"][0], outs["einsum"][0],
+                               rtol=1e-5, atol=1e-6)
+    assert outs["gather"][1] == pytest.approx(outs["einsum"][1], rel=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5),
+        grads["gather"], grads["einsum"])
+
+
+def test_moe_gather_dispatch_expert_parallel():
+    """The gather formulation rides the same all_to_all exchange: EP over 4
+    devices == local execution, dispatch_impl='gather'."""
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("expert",))
+    rng = np.random.default_rng(19)
+    s, dim = 128, 32
+    x = jnp.asarray(rng.normal(size=(s, dim)).astype(np.float32))
+    cfg = MoEConfig(n_experts=4, gate_type="top2", dispatch_impl="gather")
+    local_layer = MoELayer(dim=dim, hidden_dim=64, cfg=cfg)
+    params = local_layer.init(jax.random.PRNGKey(0), x)
+    y_local, aux_local = local_layer.apply(params, x)
+    ep_layer = MoELayer(dim=dim, hidden_dim=64, cfg=cfg, axis_name="expert")
+    y_ep, aux_ep = shard_map(
+        lambda x, p: ep_layer.apply(p, x), mesh=mesh,
+        in_specs=(P(), P()), out_specs=(P(), P()), check_vma=False,
+    )(x, params)
+    np.testing.assert_allclose(np.asarray(y_ep), np.asarray(y_local),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(aux_ep), float(aux_local), rtol=1e-5)
+
+
+def test_moe_einsum_bf16_dispatch_tracks_f32():
+    """The einsum_bf16 A/B arm stays close to the exact path (bf16 rounding
+    of gate weights and operands only)."""
+    import dataclasses
+
+    rng = np.random.default_rng(23)
+    s, dim = 64, 32
+    x = jnp.asarray(rng.normal(size=(s, dim)).astype(np.float32))
+    base = MoEConfig(n_experts=4, gate_type="top2")
+    ys = {}
+    for impl in ("einsum", "einsum_bf16"):
+        cfg = dataclasses.replace(base, dispatch_impl=impl)
+        layer = MoELayer(dim=dim, hidden_dim=64, cfg=cfg)
+        params = layer.init(jax.random.PRNGKey(0), x)
+        ys[impl], _ = layer.apply(params, x)
+    diff = np.abs(np.asarray(ys["einsum_bf16"]) - np.asarray(ys["einsum"]))
+    assert float(np.median(diff)) < 0.01
+    assert np.all(np.isfinite(np.asarray(ys["einsum_bf16"])))
+
+
 def test_moe_layer_single_device():
     rng = np.random.default_rng(6)
     x = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
