@@ -63,8 +63,18 @@ def get_args(argv=None):
     p.add_argument("--moe_freq", type=int, default=2)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--mesh", default="data=-1",
-                   help="mesh axis sizes, e.g. 'data=4,tensor=2' or "
-                        "'data=2,expert=4'; -1 absorbs remaining devices")
+                   help="mesh axis sizes, e.g. 'data=4,tensor=2', "
+                        "'data=2,expert=4', or 'data=2,pipe=4' (GPipe "
+                        "pipeline stages); -1 absorbs remaining devices")
+    p.add_argument("--microbatches", type=int, default=4,
+                   help="GPipe microbatches per step (pipe meshes only); "
+                        "must divide the per-data-shard batch")
+    p.add_argument("--param_dtype", default=None,
+                   choices=[None, "bfloat16"],
+                   help="parameter STORAGE dtype: bfloat16 halves fwd/bwd "
+                        "weight HBM reads; f32 master weights live in the "
+                        "optimizer state (Adam in f32, no loss scaling "
+                        "needed)")
     p.add_argument("--corpus", default=None,
                    help="1-D .npy int token array; batches are "
                         "deterministically sampled windows (default: "
@@ -123,6 +133,21 @@ def make_data_fn(args):
     return data_fn
 
 
+def log_factory(args):
+    """Per-step logger thinned to every ``--log_every`` steps."""
+    seen = {"n": 0}
+
+    def log(msg: str) -> None:
+        if not msg.startswith("step "):
+            print(msg, file=sys.stderr)
+            return
+        if seen["n"] % args.log_every == 0:
+            print(msg, file=sys.stderr)
+        seen["n"] += 1
+
+    return log
+
+
 def main(argv=None) -> int:
     args = get_args(argv)
     from moc_tpu.cli.common import setup_runtime
@@ -146,10 +171,31 @@ def main(argv=None) -> int:
         moe=MoEConfig(n_experts=max(args.moe_experts, 1)))
     cfg = PretrainConfig(vocab_size=args.vocab, max_len=args.seq_len,
                          mask_prob=args.mask_prob, encoder=enc,
-                         learning_rate=args.lr)
+                         learning_rate=args.lr, param_dtype=args.param_dtype)
 
     data_fn = make_data_fn(args)
     nproc = jax.process_count()
+    if mesh.shape.get("pipe", 1) > 1:
+        # GPipe route: layer stack over pipeline stages, microbatched
+        from moc_tpu.train.pretrain_pipe import run_pipe_pretrain
+
+        if nproc > 1:
+            raise SystemExit("--mesh pipe=N is single-process for now; use "
+                             "data/tensor/expert axes on pods")
+        if args.param_dtype:
+            raise SystemExit("--param_dtype is not yet plumbed through the "
+                             "pipeline trainer; drop one of the flags")
+        print(f"mesh {dict(mesh.shape)} · GPipe x{mesh.shape['pipe']} · "
+              f"{args.microbatches} microbatches", file=sys.stderr)
+        _, _, losses = run_pipe_pretrain(
+            cfg, mesh, data_fn, total_steps=args.steps,
+            num_microbatches=args.microbatches, ckpt_dir=args.ckpt_dir,
+            ckpt_every=args.ckpt_every, seed=args.seed, log=log_factory(args))
+        if losses:
+            print(f"final loss {losses[-1]:.4f} over {len(losses)} steps")
+        else:
+            print("nothing to do (already at --steps; checkpoint is current)")
+        return 0
     if nproc > 1:
         # every process generates the same global batch deterministically,
         # keeps its contiguous row block, and the blocks are assembled into
@@ -169,22 +215,11 @@ def main(argv=None) -> int:
             return (host_local_to_global(ids[lo : lo + rows], mesh, spec),
                     host_local_to_global(mask[lo : lo + rows], mesh, spec))
 
-    seen = {"n": 0}
-
-    def log(msg: str) -> None:
-        # run_pretrain logs once per step; thin to every --log_every
-        if not msg.startswith("step "):
-            print(msg, file=sys.stderr)
-            return
-        if seen["n"] % args.log_every == 0:
-            print(msg, file=sys.stderr)
-        seen["n"] += 1
-
     print(f"mesh {dict(mesh.shape)} · {jax.device_count()} devices · "
           f"{nproc} process(es)", file=sys.stderr)
     _, _, losses = run_pretrain(
         cfg, mesh, data_fn, total_steps=args.steps, ckpt_dir=args.ckpt_dir,
-        ckpt_every=args.ckpt_every, seed=args.seed, log=log)
+        ckpt_every=args.ckpt_every, seed=args.seed, log=log_factory(args))
     if losses:
         print(f"final loss {losses[-1]:.4f} over {len(losses)} steps")
     else:

@@ -24,8 +24,10 @@ AXIS_DATA = "data"
 AXIS_SEQ = "seq"
 AXIS_TENSOR = "tensor"
 AXIS_EXPERT = "expert"
+AXIS_PIPE = "pipe"  # pipeline stages (train/pretrain_pipe.py); innermost so
+#                     the per-microbatch ppermute transfers ride ICI neighbors
 
-DEFAULT_AXES = (AXIS_DATA, AXIS_SEQ, AXIS_TENSOR, AXIS_EXPERT)
+DEFAULT_AXES = (AXIS_DATA, AXIS_SEQ, AXIS_TENSOR, AXIS_EXPERT, AXIS_PIPE)
 
 
 def make_mesh(axis_sizes: Mapping[str, int] | None = None,
@@ -43,11 +45,9 @@ def make_mesh(axis_sizes: Mapping[str, int] | None = None,
     unknown = sorted(set(sizes) - set(DEFAULT_AXES))
     if unknown:
         # silently dropping a name (while its size still fed the device
-        # budget) produced half-empty meshes with no error; "pipe" is a
-        # per-module shard_map axis (parallel/pipeline.py), not a mesh axis
+        # budget) produced half-empty meshes with no error
         raise ValueError(
-            f"unknown mesh axes {unknown}; valid: {list(DEFAULT_AXES)} "
-            "(pipeline stages use parallel.pipeline's own axis, not the mesh)")
+            f"unknown mesh axes {unknown}; valid: {list(DEFAULT_AXES)}")
     names = [a for a in DEFAULT_AXES if a in sizes] or [AXIS_DATA]
     fill = [a for a in names if sizes.get(a, 1) == -1]
     fixed = int(np.prod([s for s in sizes.values() if s != -1]))
