@@ -23,9 +23,19 @@ Heads and operating points (each model's natural input dim):
     ``open_clip_custom.transformer.TextTransformer``), dual-scale bags
     N_s=16384 / N_l=4096
 
+  * transmil — the reference TransMIL (model_mil.py:142-273) with a
+    RESTATED-torch NystromAttention (the ``nystrom_attention`` pip package
+    is absent offline; the restatement implements the same Xiong-2021
+    algorithm — front zero-pad to a landmark multiple, segment-mean
+    landmarks, three softmax kernels, 6-step Moore-Penrose iteration,
+    depthwise value-conv residual — in eager torch, injected into
+    ``model_mil``'s namespace; the hardcoded ``.cuda()`` is identity-
+    patched like the vila head). Labeled "restated-torch": the glue and
+    model are the reference's own code, only the missing pip dependency is
+    restated. N=4096 for this head (the eager torch Nystrom at 16384
+    would dominate the bench stage budget; both sides measured at 4096).
+
 Recorded reasons (not measured):
-  * transmil — the reference model requires the ``nystrom_attention`` pip
-    package (model_mil.py:6), not installed and not installable offline
   * titan — the reference encoder is HF ``trust_remote_code``
     (model_titan.py:20), unfetchable offline (MIGRATING.md)
 
@@ -103,7 +113,82 @@ def _time_torch(fn, bags, repeats=None):
     return best  # seconds per batch of len(bags)
 
 
-ALL_HEADS = ("clam_sb", "clam_mb", "abmil", "mil", "chief", "vila")
+ALL_HEADS = ("clam_sb", "clam_mb", "abmil", "mil", "chief", "vila",
+             "transmil")
+N_TRANSMIL = 4096  # eager torch Nystrom at 16384 would blow the bench budget
+
+
+def _restated_nystrom_attention():
+    """RESTATED-torch NystromAttention (Xiong et al. 2021) — the algorithm
+    the absent ``nystrom_attention`` pip package implements (and that
+    ``moc_tpu.models.transmil`` re-implements masked): front zero-pad to a
+    landmark multiple, segment-mean landmarks, softmax(q·k_lᵀ) ·
+    pinv₆(softmax(q_l·k_lᵀ)) · softmax(q_l·kᵀ)·v, plus the
+    grouped-(kernel,1)-Conv2d value residual. Unlike the moc_tpu version it
+    does NOT mask the zero pad rows — faithful to the pip package the
+    reference TransMIL wraps (which passes no mask, model_mil.py:109-117).
+    """
+    import torch
+    import torch.nn.functional as F
+    from torch import nn
+
+    class RestatedNystromAttention(nn.Module):
+        def __init__(self, dim, dim_head=64, heads=8, num_landmarks=256,
+                     pinv_iterations=6, residual=True, residual_conv_kernel=33,
+                     dropout=0.0):
+            super().__init__()
+            inner = dim_head * heads
+            self.heads, self.dim_head = heads, dim_head
+            self.num_landmarks = num_landmarks
+            self.pinv_iterations = pinv_iterations
+            self.scale = dim_head ** -0.5
+            self.to_qkv = nn.Linear(dim, 3 * inner, bias=False)
+            self.to_out = nn.Sequential(nn.Linear(inner, dim),
+                                        nn.Dropout(dropout))
+            self.residual = residual
+            if residual:
+                k = residual_conv_kernel
+                self.res_conv = nn.Conv2d(heads, heads, (k, 1),
+                                          padding=(k // 2, 0), groups=heads,
+                                          bias=False)
+
+        @staticmethod
+        def _pinv(mat, iters):
+            abs_m = mat.abs()
+            z = mat.transpose(-1, -2) / (
+                abs_m.sum(dim=-1).amax(dim=-1)[..., None, None]
+                * abs_m.sum(dim=-2).amax(dim=-1)[..., None, None] + 1e-9)
+            eye = torch.eye(mat.shape[-1], dtype=mat.dtype)
+            for _ in range(iters):
+                mz = mat @ z
+                z = 0.25 * z @ (13 * eye - mz @ (15 * eye - mz @ (7 * eye - mz)))
+            return z
+
+        def forward(self, x, mask=None, return_attn=False):
+            b, n0, _ = x.shape
+            h, m = self.heads, self.num_landmarks
+            pad = (-n0) % m
+            if pad:
+                x = F.pad(x, (0, 0, pad, 0))
+            n = n0 + pad
+            q, k, v = self.to_qkv(x).chunk(3, dim=-1)
+            shape = (b, n, h, self.dim_head)
+            q, k, v = (t.reshape(shape).permute(0, 2, 1, 3)
+                       for t in (q, k, v))
+            q = q * self.scale
+            group = n // m
+            q_l = q.reshape(b, h, m, group, -1).mean(dim=3)
+            k_l = k.reshape(b, h, m, group, -1).mean(dim=3)
+            attn1 = (q @ k_l.transpose(-1, -2)).softmax(dim=-1)
+            attn2 = (q_l @ k_l.transpose(-1, -2)).softmax(dim=-1)
+            attn3 = (q_l @ k.transpose(-1, -2)).softmax(dim=-1)
+            out = attn1 @ self._pinv(attn2, self.pinv_iterations) @ (attn3 @ v)
+            if self.residual:
+                out = out + self.res_conv(v)
+            out = out.permute(0, 2, 1, 3).reshape(b, n, -1)[:, -n0:]
+            return self.to_out(out)
+
+    return RestatedNystromAttention
 
 
 def torch_baselines(site_table: np.ndarray, heads=ALL_HEADS) -> dict:
@@ -157,6 +242,25 @@ def torch_baselines(site_table: np.ndarray, heads=ALL_HEADS) -> dict:
         bags768 = [torch.randn(N_PATCHES, 768) for _ in range(BATCH)]
         out["chief"] = _time_torch(lambda b: chief(b), bags768)
         log(f"torch chief: {out['chief']*1e3:.1f} ms/batch-{BATCH}")
+
+    if "transmil" in heads:
+        # reference TransMIL with the restated Nystrom injected into the
+        # module namespace (the stub raises; see _restated_nystrom_attention)
+        from models import model_mil as mm
+
+        real_na = mm.NystromAttention
+        real_cuda = torch.Tensor.cuda
+        mm.NystromAttention = _restated_nystrom_attention()
+        torch.Tensor.cuda = lambda self, *a, **k: self  # ref hard-codes .cuda()
+        try:
+            tm = mm.TransMIL(n_classes=2, size_arg="conch").eval()
+            tbags = [torch.randn(N_TRANSMIL, 512) for _ in range(BATCH)]
+            out["transmil"] = _time_torch(lambda b: tm(b), tbags)
+            log(f"torch transmil (restated-torch Nystrom): "
+                f"{out['transmil']*1e3:.1f} ms/batch-{BATCH} at N={N_TRANSMIL}")
+        finally:
+            mm.NystromAttention = real_na
+            torch.Tensor.cuda = real_cuda
 
     if "vila" in heads:
         # ViLa: full-size conch text tower, random weights (vendored code)
@@ -242,6 +346,12 @@ def jax_baselines(site_table: np.ndarray, heads=ALL_HEADS) -> dict:
                       site_embeddings=tuple(map(tuple, site_table)))
         timed("chief", chief, dev_feats(k[4], N_PATCHES, 768))
 
+    if "transmil" in heads:
+        from moc_tpu.models.transmil import TransMIL, TransMILConfig
+
+        timed("transmil", TransMIL(TransMILConfig(size_arg="conch")),
+              dev_feats(k[7], N_TRANSMIL, 512))
+
     if "vila" not in heads:
         return out
 
@@ -294,10 +404,11 @@ def main():
                  f"{TORCH_REPEATS}",
         "jax": "moc_tpu heads, jit vmap, device_time median"},
         "torch_s_per_batch": tb,
+        "notes": {
+            "transmil": f"restated-torch Nystrom baseline at N={N_TRANSMIL} "
+                        "(nystrom_attention pip absent offline; see "
+                        "_restated_nystrom_attention)"},
         "skipped": {
-            "transmil": "reference model imports the nystrom_attention pip "
-                        "package (model_mil.py:102); not installed, zero "
-                        "egress",
             "titan": "reference encoder is HF trust_remote_code "
                      "(model_titan.py:20); unfetchable offline "
                      "(MIGRATING.md)"}}

@@ -295,7 +295,8 @@ def test_senet_eval_parity(corpus):
 # ---------------------------------------------------------------------------
 
 def _ref_episode(psi, psc, loader, split, w_t, w_ext_t, num_epochs: int,
-                 seed: int) -> dict:
+                 seed: int, n_classes: int = N_CLASSES,
+                 dim: int = DIM) -> dict:
     """One full reference episode (main_moc.py:378-644): torch senet, one
     Adam(1e-3, wd 1e-4) step per slide visit, random 50% train masks,
     unshuffled oversampled order, best-val-AUC selection with
@@ -305,7 +306,7 @@ def _ref_episode(psi, psc, loader, split, w_t, w_ext_t, num_epochs: int,
     val_bags = [loader.read(s) for s in split.val]
     test_bags = [loader.read(s) for s in split.test]
     senet_t = torch.nn.Sequential(
-        torch.nn.Linear(DIM, 64), torch.nn.ReLU(),
+        torch.nn.Linear(dim, 64), torch.nn.ReLU(),
         torch.nn.Linear(64, 4), torch.nn.Sigmoid(),
     )
     optim = torch.optim.Adam(senet_t.parameters(), lr=1e-3, weight_decay=1e-4)
@@ -313,7 +314,7 @@ def _ref_episode(psi, psc, loader, split, w_t, w_ext_t, num_epochs: int,
 
     def train_one(bag):
         sf, views = _ref_slide_process(psi, torch.tensor(bag.features), w_t,
-                                       w_ext_t, N_CLASSES, TOPJ,
+                                       w_ext_t, n_classes, TOPJ,
                                        random_mask=True)
         wts = senet_t(sf)
         fused = sum(wts[:, i].unsqueeze(1) * v for i, v in enumerate(views))
@@ -328,7 +329,7 @@ def _ref_episode(psi, psc, loader, split, w_t, w_ext_t, num_epochs: int,
         with torch.no_grad():
             pooled = [_ref_eval_slide(psi, psc, senet_t,
                                       torch.tensor(b.features), w_t, w_ext_t,
-                                      N_CLASSES, TOPJ, TOPK) for b in bags]
+                                      n_classes, TOPJ, TOPK) for b in bags]
         return _ref_metrics(pooled, [b.label for b in bags])
 
     best_val, best = 0.0, {"auc": 0.0, "acc": 0.0}
@@ -416,6 +417,286 @@ def corpus3(tmp_path_factory):
     table = SlideTable.from_csv(c["csv_path"], c["label_dict"])
     loader = BagLoader(table, c["data_dir"], cache=True)
     return c, loader
+
+
+# ---------------------------------------------------------------------------
+# 5. ablation_evaluation chain parity (avg / sum / max fixed fusion)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["avg", "sum", "max"])
+def test_ablation_eval_parity(corpus, mode):
+    """``--ablation_study`` chain parity (``main_moc.py:523-582``): the four
+    slide_process views fused by the fixed avg/sum/max rule (no senet),
+    topj-pooled — per-slide logits to float tolerance and the metric block
+    (loss/acc/temperature AUC) vs the reference glue + imported reference
+    code."""
+    psi, psc = _reference_modules()
+    c, loader = corpus
+    ep, split = _load_episode(corpus, fold=0)
+    cfg = _episode_cfg()
+    import jax.numpy as jnp
+
+    from moc_tpu.data.batching import pack_bags as _pack
+    from moc_tpu.moc.core import ablation_slide_logits
+    from moc_tpu.moc.episode import ablation_evaluation
+
+    w = np.asarray(c["weights"])
+    w_ext = np.asarray(c["weights_ext"])
+    w_j, w_ext_j = jnp.asarray(w), jnp.asarray(w_ext)
+    w_t, w_ext_t = torch.tensor(w), torch.tensor(w_ext)
+
+    @jax.jit
+    def ours_one(batch):
+        return jax.vmap(lambda f, v: ablation_slide_logits(
+            f, v, w_j, w_ext_j, cfg, mode))(batch.features, batch.mask)
+
+    pooled_ref, labels = [], []
+    for sid in split.test:
+        bag = loader.read(sid)
+        _, views = _ref_slide_process(psi, torch.tensor(bag.features), w_t,
+                                      w_ext_t, N_CLASSES, TOPJ)
+        if mode == "avg":
+            fused = sum(0.25 * v for v in views)
+        elif mode == "sum":
+            fused = sum(views)
+        else:
+            fused = torch.stack(list(views), dim=0).max(dim=0)[0]
+        ref = psc.topj_pooling(fused, [TOPK])[1][TOPK]
+        pooled_ref.append(ref)
+        labels.append(bag.label)
+        ours = np.asarray(ours_one(_pack([bag], n_pad=512)))
+        np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5, atol=2e-5,
+                                   err_msg=f"{mode}: slide {sid}")
+
+    ours_m = ablation_evaluation(ep, w, w_ext, cfg, mode)
+    ref_m = _ref_metrics(pooled_ref, labels)
+    assert ours_m.acc == pytest.approx(ref_m["acc"], abs=1e-6)
+    assert ours_m.auc == pytest.approx(ref_m["auc"], abs=1e-6)
+    assert ours_m.loss == pytest.approx(ref_m["loss"], rel=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# 6. --discard_classifiers expected-divergence pin
+# ---------------------------------------------------------------------------
+
+
+def _ref_eval_slide_ref_gating(psi, psc, senet_t, feats, w, w_ext, discard):
+    """The reference ``evaluation()`` fusion EXACTLY as written
+    (``main_moc.py:487-493``): the top-k view is ALWAYS added regardless of
+    the flag, and the bottom-k view is gated on the misspelled name
+    ``"delta_bottomk"`` — the documented train/eval asymmetry
+    (MIGRATING.md §discard_classifiers)."""
+    sf, views = _ref_slide_process_discard(psi, feats, w, w_ext, N_CLASSES,
+                                           TOPJ, discard)
+    wts = senet_t(sf)
+    v_top, v_soft, v_diff, v_bg = [wts[:, i].unsqueeze(1) * v
+                                   for i, v in enumerate(views)]
+    fused = v_top  # ← unconditional (the reference bug we pin)
+    if "delta_softmax" not in discard:
+        fused = fused + v_soft
+    if "delta_diff" not in discard:
+        fused = fused + v_diff
+    if "delta_bottomk" not in discard:  # ← misspelled gate (never matches)
+        fused = fused + v_bg
+    return psc.topj_pooling(fused, [TOPK])[1][TOPK]
+
+
+def _ref_slide_process_discard(psi, feats, w, w_ext, n_classes, topj,
+                               discard):
+    """``slide_process`` with the selection-union gating the reference's
+    ``discard_classifiers`` applies (``main_moc.py:341-352`` — all four
+    names honored on the SELECTION side)."""
+    logits = feats @ w
+    logits_ext = feats @ w_ext
+    sel: set[int] = set()
+    if "topk" not in discard:
+        sel.update(psi.index_topj_classifier(logits, [topj]).flatten().tolist())
+    if "delta_softmax" not in discard:
+        sel.update(psi.index_delta_softmax_classifier(
+            logits, [topj]).flatten().tolist())
+    if "delta_diff" not in discard:
+        sel.update(psi.index_delta_diff_classifier(
+            logits, [topj]).flatten().tolist())
+    if "bottomk" not in discard:
+        sel.update(psi.index_bottomk_irrel_classifier(
+            logits_ext, [topj], n_classes).flatten().tolist())
+    idx = torch.tensor(sorted(sel), dtype=torch.long)
+    sf = feats[idx]
+    sl = sf @ w
+    sle = sf @ w_ext
+    top2 = torch.topk(sl, 2, dim=1)[0]
+    diff = torch.abs(top2[:, 0] - top2[:, 1]).unsqueeze(1).expand_as(sl)
+    bg = sle[:, n_classes:].max(dim=1)[0].unsqueeze(1).expand_as(sl)
+    return sf, (sl, sl.softmax(dim=1), diff, bg)
+
+
+@pytest.mark.parametrize("discard", [("topk",), ("bottomk",)])
+def test_discard_classifiers_expected_divergence(corpus, discard):
+    """moc_tpu gates selection AND fusion consistently with one
+    ``MOCConfig.discard``; the reference's eval fusion does not (top-k view
+    always added; bottom-k gated on a misspelled name). Assert the two
+    implementations DISAGREE at exactly that boundary — and agree when the
+    flag is unset — so a silent regression in the documented divergence
+    would be caught."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    psi, psc = _reference_modules()
+    c, loader = corpus
+    _, split = _load_episode(corpus, fold=0)
+    w = np.asarray(c["weights"])
+    w_ext = np.asarray(c["weights_ext"])
+    w_j, w_ext_j = jnp.asarray(w), jnp.asarray(w_ext)
+    w_t, w_ext_t = torch.tensor(w), torch.tensor(w_ext)
+
+    cfg0 = _episode_cfg()
+    _, params = init_senet(episode_init_key(5), cfg0)
+    train_epoch, _, _ = make_episode_fns(cfg0)
+    from moc_tpu.moc.episode import (epoch_slide_keys, make_episode_fns as
+                                     _mk, make_optimizer)
+
+    ep, _ = _load_episode(corpus, fold=0)
+    opt_state = make_optimizer(cfg0).init(params)
+    import jax.numpy as jnp2
+
+    order = jnp2.asarray(ep.train_epoch_order())
+    rngs = epoch_slide_keys(5, 0, len(order))
+    params, _, _ = train_epoch(params, opt_state, ep.train, order, rngs,
+                               w_j, w_ext_j)
+    senet_t = _senet_to_torch(jax.device_get(params), DIM)
+    senet_t.eval()
+
+    cfg_d = _dc.replace(cfg0, discard=discard)
+    _, eval_batch_d, _ = _mk(cfg_d)
+
+    max_diff, ref_all, ours_all = 0.0, [], []
+    with torch.no_grad():
+        for sid in split.test:
+            bag = loader.read(sid)
+            ref = _ref_eval_slide_ref_gating(
+                psi, psc, senet_t, torch.tensor(bag.features), w_t, w_ext_t,
+                discard).numpy()
+            ours = np.asarray(eval_batch_d(params, pack_bags([bag], n_pad=512),
+                                           w_j, w_ext_j))
+            ref_all.append(ref)
+            ours_all.append(ours)
+            max_diff = max(max_diff, float(np.abs(ours - ref).max()))
+    # the dropped view carries real signal on this corpus — the asymmetry
+    # must show up as a material logit gap on at least one slide
+    assert max_diff > 1e-3, (
+        f"expected divergence at discard={discard} vanished: the documented "
+        f"reference eval asymmetry (MIGRATING.md) no longer reproduces")
+
+    # sanity: flag unset → same senet, exact agreement (the parity boundary)
+    _, eval_batch0, _ = _mk(cfg0)
+    with torch.no_grad():
+        for sid in split.test[:4]:
+            bag = loader.read(sid)
+            ref = _ref_eval_slide(psi, psc, senet_t,
+                                  torch.tensor(bag.features), w_t, w_ext_t,
+                                  N_CLASSES, TOPJ, TOPK)
+            ours = np.asarray(eval_batch0(params, pack_bags([bag], n_pad=512),
+                                          w_j, w_ext_j))
+            np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-4,
+                                       atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# 7. statistical arms: trained C=3 and shot-8
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hard_corpus3(tmp_path_factory):
+    """Unsaturated 3-class corpus for the TRAINED multiclass arm."""
+    root = tmp_path_factory.mktemp("refparity_hard_c3")
+    cfg_data = SyntheticWSIConfig(
+        n_classes=3, slides_per_class=10, min_patches=200, max_patches=480,
+        dim=DIM, seed=17, signal=0.18, tumor_frac=0.12)
+    c = make_synthetic_corpus(str(root), cfg_data, shots=(2,), n_folds=2,
+                              val_per_class=3, test_per_class=4)
+    table = SlideTable.from_csv(c["csv_path"], c["label_dict"])
+    loader = BagLoader(table, c["data_dir"], cache=True)
+    return c, loader
+
+
+@pytest.mark.slow
+def test_episode_statistical_parity_multiclass(hard_corpus3):
+    """Trained C=3 episode arm (ovo-macro AUC route end-to-end through
+    training, best-val selection included) — the r4 multiclass coverage was
+    zs-only."""
+    psi, psc = _reference_modules()
+    c, loader = hard_corpus3
+    w = np.asarray(c["weights"])
+    w_ext = np.asarray(c["weights_ext"])
+    w_t, w_ext_t = torch.tensor(w), torch.tensor(w_ext)
+    cfg = MOCConfig(n_classes=3, n_ext_classes=7, topj=TOPJ, topk=TOPK,
+                    feature_dim=DIM, num_epochs=25)
+
+    ref_rows, jax_rows = [], []
+    for fold in range(2):
+        split = read_split_csv(c["split_paths"][(2, fold)])
+        ep = EpisodeBags.load(loader, split.train, split.val, split.test,
+                              repeat_num=6, eval_batch_size=4)
+        ref_rows.append(_ref_episode(psi, psc, loader, split, w_t, w_ext_t,
+                                     cfg.num_epochs, seed=fold, n_classes=3))
+        res = run_episode(ep, w, w_ext, cfg, seed=fold, check_zeroshot=False)
+        jax_rows.append({"best_val": res.best_val,
+                         "test_auc": res.test_at_best_val})
+
+    mean = lambda rows, k: float(np.mean([r[k] for r in rows]))
+    ref_test, jax_test = mean(ref_rows, "test_auc"), mean(jax_rows, "test_auc")
+    print(f"\nC=3: reference test={ref_test:.4f} | moc_tpu test={jax_test:.4f}")
+    assert ref_test >= 0.5 and jax_test >= 0.5
+    assert abs(mean(ref_rows, "best_val") - mean(jax_rows, "best_val")) <= 0.2
+    assert abs(ref_test - jax_test) <= 0.2
+
+
+@pytest.fixture(scope="module")
+def hard_corpus_shot8(tmp_path_factory):
+    """Unsaturated corpus big enough for shot-8 train splits."""
+    root = tmp_path_factory.mktemp("refparity_hard_s8")
+    cfg_data = SyntheticWSIConfig(
+        slides_per_class=20, min_patches=200, max_patches=480, dim=DIM,
+        seed=19, signal=0.15, tumor_frac=0.12)
+    c = make_synthetic_corpus(str(root), cfg_data, shots=(8,), n_folds=2,
+                              val_per_class=4, test_per_class=6)
+    table = SlideTable.from_csv(c["csv_path"], c["label_dict"])
+    loader = BagLoader(table, c["data_dir"], cache=True)
+    return c, loader
+
+
+@pytest.mark.slow
+def test_episode_statistical_parity_shot8(hard_corpus_shot8):
+    """Shot-8 arm: 16-slide train epochs (the BASELINE.md operating point's
+    shot) — the r4 statistical parity only exercised shot 2."""
+    psi, psc = _reference_modules()
+    c, loader = hard_corpus_shot8
+    w = np.asarray(c["weights"])
+    w_ext = np.asarray(c["weights_ext"])
+    w_t, w_ext_t = torch.tensor(w), torch.tensor(w_ext)
+    cfg = _episode_cfg(num_epochs=25)
+
+    ref_rows, jax_rows = [], []
+    for fold in range(2):
+        split = read_split_csv(c["split_paths"][(8, fold)])
+        ep = EpisodeBags.load(loader, split.train, split.val, split.test,
+                              repeat_num=8 * N_CLASSES, eval_batch_size=4)
+        ref_rows.append(_ref_episode(psi, psc, loader, split, w_t, w_ext_t,
+                                     cfg.num_epochs, seed=fold))
+        res = run_episode(ep, w, w_ext, cfg, seed=fold, check_zeroshot=False)
+        jax_rows.append({"best_val": res.best_val,
+                         "test_auc": res.test_at_best_val})
+
+    mean = lambda rows, k: float(np.mean([r[k] for r in rows]))
+    ref_test, jax_test = mean(ref_rows, "test_auc"), mean(jax_rows, "test_auc")
+    print(f"\nshot8: reference test={ref_test:.4f} | moc_tpu "
+          f"test={jax_test:.4f}")
+    assert ref_test >= 0.55 and jax_test >= 0.55
+    assert abs(mean(ref_rows, "best_val") - mean(jax_rows, "best_val")) <= 0.15
+    assert abs(ref_test - jax_test) <= 0.15
 
 
 @pytest.mark.parametrize("family", ["topj", "bottomk_irrel"])
