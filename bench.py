@@ -195,7 +195,11 @@ def bench_mil() -> dict:
     out["transmil"]["baseline"] = (  # r5: no longer a skip (VERDICT #6)
         f"restated-torch Nystrom, N={mod.N_TRANSMIL}")
     out["skipped"] = {"titan": "ref encoder is HF trust_remote_code "
-                               "(unfetchable offline)"}
+                               "(unfetchable offline)",
+                      "lora": "ref Conch_LoRA needs the CONCH checkpoint "
+                              "bin (lora_utils.py:105), absent offline; "
+                              "trainer chain parity covered by "
+                              "tests/test_reference_parity_lora.py"}
     return out
 
 

@@ -38,7 +38,10 @@ def get_args(argv=None):
                    help="router load-balance loss weight (MoE-LoRA only)")
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--lr", type=float, default=5e-3)
-    p.add_argument("--queue_size", type=int, default=10)
+    p.add_argument("--queue_size", type=int, default=20,
+                   help="train-time top-logit queue rows (ref 20)")
+    p.add_argument("--eval_queue_size", type=int, default=10,
+                   help="eval-time queue rows over softmaxed logits (ref 10)")
     p.add_argument("--minibatch", type=int, default=8)
     p.add_argument("--n_classes", type=int, default=2)
     p.add_argument("--result_dir", default="results/lora_finetune")
@@ -168,7 +171,9 @@ def main(argv=None) -> int:
             return out, lora_balance_loss(inter["intermediates"], patch_valid=vm)
         return tower.apply(p, mb)
 
-    cfg = LoraFinetuneConfig(queue_size=args.queue_size, minibatch=args.minibatch,
+    cfg = LoraFinetuneConfig(queue_size=args.queue_size,
+                             eval_queue_size=args.eval_queue_size,
+                             minibatch=args.minibatch,
                              learning_rate=args.lr, n_classes=args.n_classes,
                              balance_coef=coef)
     best_params, best_auc = run_lora_finetune(

@@ -30,7 +30,12 @@ NEG = -1e30
 
 @dataclasses.dataclass(frozen=True)
 class LoraFinetuneConfig:
-    queue_size: int = 10  # ref: 10 (binary) / 20
+    # the reference trains with a 20-row queue of RAW logits and evaluates
+    # with a 10-row queue of per-patch SOFTMAXED logits
+    # (``lora_utils.py:137-151,222-240``) — both asymmetries mirrored here
+    queue_size: int = 20  # train queue (ref max_queue_length=20, line 224)
+    eval_queue_size: int = 10  # eval queue (ref line 137)
+    eval_softmax: bool = True  # eval queues softmaxed rows (ref line 147)
     minibatch: int = 8  # patches per tower forward (ref minibatch-8 streaming)
     learning_rate: float = 1e-4
     n_classes: int = 2
@@ -43,11 +48,19 @@ class LoraFinetuneConfig:
 
 
 def update_queue(queue: jax.Array, new_logits: jax.Array) -> jax.Array:
-    """Merge ``new_logits [M, C]`` into the per-class top-q ``queue [Q, C]``
-    (ref ``update_sorted_queue``): keep the q largest per class."""
-    stacked = jnp.concatenate([queue, new_logits], axis=0)
-    vals, _ = jax.lax.top_k(stacked.T, queue.shape[0])  # [C, Q]
-    return vals.T
+    """Merge ``new_logits [M, C]`` into the ``queue [Q, C]``, keeping the Q
+    ROWS with the largest row-max — exact ``update_sorted_queue`` semantics
+    (``lora_utils.py:30-36``: items sort by ``x[1].max()`` and the list
+    truncates; whole logit ROWS survive together, NOT per-class columns —
+    the r4 implementation kept independent per-class top-q, a real
+    behavioral divergence this rewrite closes, pinned by
+    ``tests/test_reference_parity_lora.py``). Ties keep earlier arrivals,
+    like the reference's stable ``list.sort`` (``lax.top_k`` breaks ties by
+    lower index; the existing queue is concatenated first)."""
+    stacked = jnp.concatenate([queue, new_logits], axis=0)  # [Q+M, C]
+    keys = jnp.max(stacked, axis=1)
+    _, idx = jax.lax.top_k(keys, queue.shape[0])
+    return jnp.take(stacked, idx, axis=0)
 
 
 def streamed_slide_logits(
@@ -58,14 +71,19 @@ def streamed_slide_logits(
     cfg: LoraFinetuneConfig,
     *,
     with_aux: bool = False,
+    eval_mode: bool = False,
 ):
     """Stream ``patches [N, ...]`` through ``encode_fn(params, mb) ->
-    [M, C]`` patch logits in ``cfg.minibatch`` chunks; return the top-q mean
-    slide logits ``[C]`` (invalid patches contribute ``-inf`` and never enter
-    the queue). With ``with_aux`` the encoder is called as
+    [M, C]`` patch logits in ``cfg.minibatch`` chunks; return the mean of
+    the top-q rows by row-max (invalid patches contribute ``-inf`` rows and
+    never enter the queue). With ``with_aux`` the encoder is called as
     ``encode_fn(params, mb, chunk_valid)`` and returns ``(logits, scalar)``
     per minibatch (e.g. a router balance loss computed over the valid
-    patches only); this then returns ``(slide_logits, mean_aux)``."""
+    patches only); this then returns ``(slide_logits, mean_aux)``.
+
+    ``eval_mode`` applies the reference ``val_fn`` asymmetry
+    (``lora_utils.py:137-151``): rows are SOFTMAXED per patch before
+    queueing and the queue shrinks to ``cfg.eval_queue_size``."""
     n = patches.shape[0]
     m = cfg.minibatch
     assert n % m == 0, f"pad the bag to a multiple of {m}"
@@ -87,16 +105,20 @@ def streamed_slide_logits(
             aux_w = aux_w + frac
         else:
             logits = encode_fn(params, mb)  # [M, C]
+        if eval_mode and cfg.eval_softmax:
+            logits = jax.nn.softmax(logits, axis=1)  # ref lora_utils.py:147
         logits = jnp.where(vm[:, None], logits, NEG)
         return (update_queue(queue, logits), aux, aux_w), None
 
-    queue0 = jnp.full((cfg.queue_size, cfg.n_classes), NEG, jnp.float32)
+    q = cfg.eval_queue_size if eval_mode else cfg.queue_size
+    queue0 = jnp.full((q, cfg.n_classes), NEG, jnp.float32)
     (queue, aux, aux_w), _ = jax.lax.scan(
         body, (queue0, jnp.float32(0.0), jnp.float32(0.0)), (chunks, vchunks))
-    # count-corrected mean over genuinely filled slots
-    filled = queue > NEG / 2
-    count = jnp.maximum(jnp.sum(filled[:, 0]), 1)
-    pooled = jnp.sum(jnp.where(filled, queue, 0.0), axis=0) / count
+    # count-corrected mean over genuinely filled ROWS (slides with fewer
+    # than q valid patches)
+    filled = jnp.max(queue, axis=1) > NEG / 2  # [Q]
+    count = jnp.maximum(jnp.sum(filled), 1)
+    pooled = jnp.sum(jnp.where(filled[:, None], queue, 0.0), axis=0) / count
     if with_aux:
         return pooled, aux / jnp.maximum(aux_w, 1e-6)
     return pooled
@@ -155,10 +177,13 @@ def run_lora_finetune(
 
     @jax.jit
     def infer(p, patches, valid):
+        # eval_mode: the reference val_fn queues softmaxed rows with the
+        # smaller eval queue (lora_utils.py:137-151)
         if cfg.balance_coef > 0:
             return streamed_slide_logits(encode_fn, p, patches, valid, cfg,
-                                         with_aux=True)[0]
-        return streamed_slide_logits(encode_fn, p, patches, valid, cfg)
+                                         with_aux=True, eval_mode=True)[0]
+        return streamed_slide_logits(encode_fn, p, patches, valid, cfg,
+                                     eval_mode=True)
 
     def val_auc(p):
         logits = np.stack([np.asarray(infer(p, x, v)) for x, v, _ in val_slides])

@@ -118,18 +118,20 @@ def test_train_fold_learns_synthetic(tmp_path):
     assert len(result.class_summary) == 2
 
 
-def test_update_queue_keeps_topk():
+def test_update_queue_keeps_top_rows():
+    """Reference ``update_sorted_queue`` semantics: whole ROWS survive
+    ranked by row-max — NOT independent per-class columns."""
     q = jnp.full((3, 2), -1e30)
     q = update_queue(q, jnp.asarray([[1.0, 5.0], [2.0, 4.0]]))
     q = update_queue(q, jnp.asarray([[3.0, 1.0], [0.5, 6.0]]))
-    col0 = sorted(np.asarray(q)[:, 0], reverse=True)
-    assert col0 == [3.0, 2.0, 1.0]
-    col1 = sorted(np.asarray(q)[:, 1], reverse=True)
-    assert col1 == [6.0, 5.0, 4.0]
+    rows = {tuple(r) for r in np.asarray(q).tolist()}
+    # row maxes: 5, 4, 3, 6 → keep the rows with maxes {6, 5, 4}
+    assert rows == {(0.5, 6.0), (1.0, 5.0), (2.0, 4.0)}
 
 
-def test_streamed_logits_match_full_topk():
-    """Streaming queue pooling == top-k mean over all patch logits."""
+def test_streamed_logits_match_full_row_topk():
+    """Streaming queue pooling == mean of the q rows with largest row-max
+    over all patch logits (the reference pooling)."""
     rng = np.random.default_rng(1)
     n, c = 64, 3
     feats = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
@@ -141,10 +143,10 @@ def test_streamed_logits_match_full_topk():
         return mb @ params["w"]
 
     pooled = streamed_slide_logits(encode, {"w": w}, feats, valid, cfg)
-    full = np.array(feats @ w)
-    full[~np.asarray(valid)] = -np.inf
-    expect = np.sort(full, axis=0)[-5:].mean(axis=0)
-    np.testing.assert_allclose(np.asarray(pooled), expect, rtol=1e-5)
+    full = np.array(feats @ w)[np.asarray(valid)]
+    top_rows = full[np.argsort(-full.max(axis=1))[:5]]
+    np.testing.assert_allclose(np.asarray(pooled), top_rows.mean(axis=0),
+                               rtol=1e-5)
 
 
 @pytest.mark.slow
@@ -170,7 +172,8 @@ def test_run_lora_finetune_improves():
 
     slides = [make_slide(i % 2) for i in range(8)]
     val = [make_slide(i % 2) for i in range(6)]
-    cfg = LoraFinetuneConfig(queue_size=4, minibatch=8, n_classes=2, learning_rate=5e-2)
+    cfg = LoraFinetuneConfig(queue_size=4, eval_queue_size=4, minibatch=8,
+                             n_classes=2, learning_rate=5e-2)
 
     def encode(p, mb):
         return tower.apply(p, mb)
