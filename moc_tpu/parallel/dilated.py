@@ -58,7 +58,12 @@ def _pad_to(x, axis, multiple):
 
 def dense_to_sparse(x: jax.Array, ratio: int) -> jax.Array:
     """``[B, L, H, D] -> [B, L/r, H, D]``: head-group r keeps tokens at
-    stride-r offset r (ref ``dense_to_sparse``)."""
+    stride-r offset r (ref ``dense_to_sparse``).
+
+    The diagonal over the (token-offset, head-group) pair is extracted with
+    a repeated-index einsum — a pure gather. (r4 contracted against an
+    identity matrix instead: r× read amplification and a multiply-reduce
+    XLA kept as real work; measured on the r5 dilated profile.)"""
     if ratio == 1:
         return x
     b, l, h, d = x.shape
@@ -67,7 +72,7 @@ def dense_to_sparse(x: jax.Array, ratio: int) -> jax.Array:
     l_pad, h_pad = x.shape[1], x.shape[2]
     lr, h2 = l_pad // ratio, h_pad // ratio
     x6 = x.reshape(b, lr, ratio, ratio, h2, d)  # l=(lr r1), heads=(r2 h2)
-    diag = jnp.einsum("blrshd,rs->blrhd", x6, jnp.eye(ratio, dtype=x.dtype))
+    diag = jnp.einsum("blrrhd->blrhd", x6)
     out = diag.reshape(b, lr, ratio * h2, d)
     return out[:, :, :h]
 
@@ -83,18 +88,21 @@ def sparse_to_dense(out: jax.Array, lse: jax.Array, ratio: int):
     lse, _ = _pad_to(lse.transpose(0, 2, 1), 2, ratio)  # [B, Ls, H_pad]
     h_pad = out.shape[2]
     h2 = h_pad // ratio
-    eye = jnp.eye(ratio, dtype=out.dtype)
-    # head index = (r, j); dense rows = (l, r1); value only where r1 == r
+    # head index = (r, j); dense rows = (l, r1); value only where r1 == r —
+    # a pure diagonal SCATTER, placed by static .at[].set slices instead of
+    # the r4 outer product against an identity matrix (r² write
+    # amplification of zeros XLA materialized as real work)
     out_r = out.reshape(b, ls, ratio, h2, d)
-    dense = jnp.einsum("blrjd,rs->brjlsd", out_r, eye)  # [B, r, h2, Ls, r1, D]
-    dense = dense.reshape(b, h_pad, ls * ratio, d)
+    dense = jnp.zeros((b, ratio, h2, ls, ratio, d), out.dtype)
     lse_r = lse.reshape(b, ls, ratio, h2)
-    lse_dense = jnp.einsum("blrj,rs->brjls", lse_r, eye)
-    covered = jnp.einsum("rs->rs", eye)[None, :, None, None, :]  # [1, r, 1, 1, r1]
-    lse_dense = jnp.where(
-        jnp.broadcast_to(covered, lse_dense.shape[:1] + (ratio, h2, ls, ratio)) > 0,
-        lse_dense, NEG_LSE,
-    ).reshape(b, h_pad, ls * ratio)
+    lse_dense = jnp.full((b, ratio, h2, ls, ratio), NEG_LSE, lse.dtype)
+    for r in range(ratio):  # static, r ≤ max dilated ratio (tiny)
+        dense = dense.at[:, r, :, :, r, :].set(
+            out_r[:, :, r].transpose(0, 2, 1, 3))
+        lse_dense = lse_dense.at[:, r, :, :, r].set(
+            lse_r[:, :, r].transpose(0, 2, 1))
+    dense = dense.reshape(b, h_pad, ls * ratio, d)
+    lse_dense = lse_dense.reshape(b, h_pad, ls * ratio)
     return dense[:, :h], lse_dense[:, :h]
 
 

@@ -34,17 +34,22 @@ class MoEConfig:
     capacity_factor: float = 1.25
     gate_type: str = "top2"  # "top1" | "top2"
     # dispatch/combine formulation (identical results, different cost):
+    #   "gather"      — scatter each kept choice's token index into its
+    #                   [E·C] slot, gather rows for dispatch, K-way weighted
+    #                   gather for combine: O(E·C·D) bytes moved, no matmul
+    #                   waste, exact (no arithmetic touches the one-hot).
+    #                   DEFAULT since r5: measured 1.18-1.19× the einsum
+    #                   step at b8 (MoE-BEiT3 matrix point, v5e) and 1.52×
+    #                   at b16 — the einsum's S·E·C·D cost grows ~S² while
+    #                   gather scales linearly (BENCH_NOTES r5);
     #   "einsum"      — the GShard [S,E,C] one-hot einsums (reference shape,
     #                   ``moe_layer.py:205-262``); S·E·C·D MACs each way,
     #                   which RIVALS the expert FFN compute itself at top-2
     #                   capacity (E·C ≈ 2S → ≈2S²D MACs);
-    #   "gather"      — scatter each kept choice's token index into its
-    #                   [E·C] slot, gather rows for dispatch, K-way weighted
-    #                   gather for combine: O(E·C·D) bytes moved, no matmul
-    #                   waste, exact (no arithmetic touches the one-hot);
     #   "einsum_bf16" — the einsums with operands cast to bf16 (combine
-    #                   rounds gate weights to bf16 — A/B arm only).
-    dispatch_impl: str = "einsum"
+    #                   rounds gate weights to bf16 — measured no help:
+    #                   26.3% vs 26.6% MFU; kept as the recorded A/B arm).
+    dispatch_impl: str = "gather"
     # per-expert inner LayerNorm between fc1 and fc2 (the reference builds
     # experts as FeedForwardNetwork(..., args.subln) — ``make_experts``,
     # ``feedforward_network.py:60-68``). None = inherit the caller's subln

@@ -116,10 +116,16 @@ def measure(name: str, cfg, batch: int, seq: int) -> dict:
 
 
 def main():
+    import re
+
     from moc_tpu.nn.encoder import EncoderConfig
     from moc_tpu.parallel.moe import MoEConfig
     from moc_tpu.parallel.dilated import DilatedConfig
     from moc_tpu.train.pretrain import PretrainConfig
+
+    arm_filter = None
+    if "--arms" in sys.argv:
+        arm_filter = re.compile(sys.argv[sys.argv.index("--arms") + 1])
 
     dev = jax.devices()[0]
     log(f"backend: {dev.platform} ({dev.device_kind})")
@@ -135,63 +141,61 @@ def main():
 
     moe8 = lambda **kw: MoEConfig(n_experts=8, gate_type="top2", **kw)
 
-    # L=1024 dense (f32 default, bf16 compute, bf16 compute+params)
-    rows.append(measure("dense_L1024", pc(1024), batch=8, seq=1024))
-    rows.append(measure("dense_L1024_bf16",
-                        pc(1024, compute_dtype="bfloat16"), batch=8, seq=1024))
-    rows.append(measure(
-        "dense_L1024_bf16param",
-        pc(1024, param_dtype="bfloat16", compute_dtype="bfloat16"),
-        batch=8, seq=1024))
-    rows.append(measure("dense_L1024_remat", pc(1024, remat=True),
-                        batch=8, seq=1024))
-    # MoE (top-2, 8 experts every 2nd layer): dispatch_impl A/B (VERDICT r4
-    # weak #2) + batch scaling (capacity padding amortizes with tokens)
-    rows.append(measure("moe_L1024", pc(1024, moe_freq=2, moe=moe8()),
-                        batch=8, seq=1024))
-    rows.append(measure(
-        "moe_L1024_bf16", pc(1024, moe_freq=2, compute_dtype="bfloat16",
-                             moe=moe8()),
-        batch=8, seq=1024))
-    rows.append(measure(
-        "moe_L1024_gather", pc(1024, moe_freq=2,
-                               moe=moe8(dispatch_impl="gather")),
-        batch=8, seq=1024))
-    rows.append(measure(
-        "moe_L1024_gather_bf16",
-        pc(1024, moe_freq=2, compute_dtype="bfloat16",
-           moe=moe8(dispatch_impl="gather")),
-        batch=8, seq=1024))
-    rows.append(measure(
-        "moe_L1024_einsumbf16",
-        pc(1024, moe_freq=2, compute_dtype="bfloat16",
-           moe=moe8(dispatch_impl="einsum_bf16")),
-        batch=8, seq=1024))
-    for b in (16, 32):
-        rows.append(measure(
-            f"moe_L1024_bf16_b{b}",
-            pc(1024, moe_freq=2, compute_dtype="bfloat16", moe=moe8()),
-            batch=b, seq=1024))
-        rows.append(measure(
-            f"moe_L1024_gather_bf16_b{b}",
-            pc(1024, moe_freq=2, compute_dtype="bfloat16",
-               moe=moe8(dispatch_impl="gather")),
-            batch=b, seq=1024))
-    # L=8192 dilated (LongNet segments ≤ L)
     dil = DilatedConfig(segment_lengths=(2048, 4096, 8192),
                         dilated_ratios=(1, 2, 4))
-    rows.append(measure("dilated_L8192", pc(8192, dilated=dil),
-                        batch=1, seq=8192))
-    rows.append(measure("dilated_L8192_bf16",
-                        pc(8192, dilated=dil, compute_dtype="bfloat16"),
-                        batch=1, seq=8192))
-    rows.append(measure(
-        "dilated_L8192_bf16param",
-        pc(8192, param_dtype="bfloat16", dilated=dil,
-           compute_dtype="bfloat16"),
-        batch=1, seq=8192))
-    rows.append(measure("dilated_L8192_remat",
-                        pc(8192, dilated=dil, remat=True), batch=1, seq=8192))
+    arms = [
+        # L=1024 dense (f32 default, bf16 compute, bf16 compute+params)
+        ("dense_L1024", pc(1024), 8, 1024),
+        ("dense_L1024_bf16", pc(1024, compute_dtype="bfloat16"), 8, 1024),
+        ("dense_L1024_bf16param",
+         pc(1024, param_dtype="bfloat16", compute_dtype="bfloat16"), 8, 1024),
+        ("dense_L1024_remat", pc(1024, remat=True), 8, 1024),
+        # dense batch scaling: does bf16param close on 50% once the MXU is
+        # fed bigger tiles? (b8 measured compute-bound at 42-43%)
+        ("dense_L1024_bf16_b32",
+         pc(1024, compute_dtype="bfloat16"), 32, 1024),
+        ("dense_L1024_bf16param_b32",
+         pc(1024, param_dtype="bfloat16", compute_dtype="bfloat16"),
+         32, 1024),
+        # MoE (top-2, 8 experts every 2nd layer): dispatch_impl A/B (VERDICT
+        # r4 weak #2) + batch scaling (einsum dispatch cost grows ~S², the
+        # gather path linearly; b32 OOMs the 16G v5e for BOTH impls at this
+        # width — b16 already separates the scaling laws)
+        ("moe_L1024", pc(1024, moe_freq=2, moe=moe8()), 8, 1024),
+        ("moe_L1024_bf16",
+         pc(1024, moe_freq=2, compute_dtype="bfloat16", moe=moe8()), 8, 1024),
+        ("moe_L1024_gather",
+         pc(1024, moe_freq=2, moe=moe8(dispatch_impl="gather")), 8, 1024),
+        ("moe_L1024_gather_bf16",
+         pc(1024, moe_freq=2, compute_dtype="bfloat16",
+            moe=moe8(dispatch_impl="gather")), 8, 1024),
+        ("moe_L1024_einsumbf16",
+         pc(1024, moe_freq=2, compute_dtype="bfloat16",
+            moe=moe8(dispatch_impl="einsum_bf16")), 8, 1024),
+        ("moe_L1024_bf16_b16",
+         pc(1024, moe_freq=2, compute_dtype="bfloat16", moe=moe8()),
+         16, 1024),
+        ("moe_L1024_gather_bf16_b16",
+         pc(1024, moe_freq=2, compute_dtype="bfloat16",
+            moe=moe8(dispatch_impl="gather")), 16, 1024),
+        # L=8192 dilated (LongNet segments ≤ L)
+        ("dilated_L8192", pc(8192, dilated=dil), 1, 8192),
+        ("dilated_L8192_bf16",
+         pc(8192, dilated=dil, compute_dtype="bfloat16"), 1, 8192),
+        ("dilated_L8192_bf16param",
+         pc(8192, param_dtype="bfloat16", dilated=dil,
+            compute_dtype="bfloat16"), 1, 8192),
+        ("dilated_L8192_remat", pc(8192, dilated=dil, remat=True), 1, 8192),
+    ]
+    for name, cfg, b, seq in arms:
+        if arm_filter is not None and not arm_filter.search(name):
+            continue
+        try:
+            rows.append(measure(name, cfg, batch=b, seq=seq))
+        except Exception as e:  # OOM etc. — record, keep the matrix going
+            log(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}")
+            rows.append({"point": name, "batch": b, "seq": seq,
+                         "failed": f"{type(e).__name__}: {str(e)[:200]}"})
 
     print(json.dumps({"platform": f"{dev.platform}:{dev.device_kind}",
                       "peak_ref": "197 TFLOP/s bf16 (v5e)",

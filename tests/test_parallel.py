@@ -55,7 +55,8 @@ def test_hybrid_mesh_fill_and_errors():
     hm = make_hybrid_mesh({"data": 2, "tensor": -1}, num_slices=2)
     assert hm.shape["tensor"] == len(jax.devices()) // 2
     with pytest.raises(ValueError, match="unknown mesh axes"):
-        make_hybrid_mesh({"pipe": 2}, num_slices=2)
+        # ("pipe" became a real axis in r5 — GPipe trainer; use a bogus name)
+        make_hybrid_mesh({"stage": 2}, num_slices=2)
     with pytest.raises(ValueError, match="missing from axis_sizes"):
         make_hybrid_mesh({"tensor": 2}, dcn_axes=("data",), num_slices=2)
     with pytest.raises(ValueError, match="multiply to"):
