@@ -54,6 +54,9 @@ torch = pytest.importorskip("torch")
 def _reference_modules():
     if "/root/reference" not in sys.path:
         sys.path.append("/root/reference")
+    from tests.refutils import bind_reference_utils
+
+    bind_reference_utils()
     from utils import patch_selection_classifier as psc
     from utils import patch_selection_classifier_index as psi
 

@@ -72,6 +72,9 @@ def _ref_lora_utils():
         vt.Block = Block
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
+    from tests.refutils import bind_reference_utils
+
+    bind_reference_utils()
     from utils import lora_utils
 
     return lora_utils

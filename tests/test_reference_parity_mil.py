@@ -95,6 +95,9 @@ def _ref_core_utils():
         np.Inf = np.inf
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
+    from tests.refutils import bind_reference_utils
+
+    bind_reference_utils()
     from utils import core_utils
 
     return core_utils
