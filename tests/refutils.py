@@ -19,18 +19,27 @@ import sys
 import types
 
 REF_UTILS = "/root/reference/utils"
+REF_MODELS = "/root/reference/models"
+
+
+def _bind_namespace(name: str, root: str) -> None:
+    mod = sys.modules.get(name)
+    if mod is not None and list(getattr(mod, "__path__", [])) == [root]:
+        return
+    for k in list(sys.modules):
+        if k == name or k.startswith(name + "."):
+            del sys.modules[k]
+    mod = types.ModuleType(name)
+    mod.__path__ = [root]
+    spec = importlib.machinery.ModuleSpec(name, None, is_package=True)
+    spec.submodule_search_locations = [root]
+    mod.__spec__ = spec
+    sys.modules[name] = mod
 
 
 def bind_reference_utils() -> None:
-    u = sys.modules.get("utils")
-    if u is not None and list(getattr(u, "__path__", [])) == [REF_UTILS]:
-        return
-    for k in list(sys.modules):
-        if k == "utils" or k.startswith("utils."):
-            del sys.modules[k]
-    mod = types.ModuleType("utils")
-    mod.__path__ = [REF_UTILS]
-    spec = importlib.machinery.ModuleSpec("utils", None, is_package=True)
-    spec.submodule_search_locations = [REF_UTILS]
-    mod.__spec__ = spec
-    sys.modules["utils"] = mod
+    _bind_namespace("utils", REF_UTILS)
+    # `models` suffers the same fate: the musk tree contains a `models`
+    # DATA dir (tokenizer.spm) that can poison the merged namespace path
+    # depending on which oracle fixture ran first
+    _bind_namespace("models", REF_MODELS)
