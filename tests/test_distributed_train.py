@@ -282,6 +282,68 @@ def test_run_pretrain_resume_exact(tmp_path):
 
 
 @pytest.mark.slow
+def test_run_pipe_pretrain_resume_exact(tmp_path):
+    """The GPipe trainer's checkpoint/resume: interrupted+resumed == the
+    uninterrupted run (same contract as run_pretrain)."""
+    from moc_tpu.train.pretrain_pipe import run_pipe_pretrain
+
+    cfg = PretrainConfig(
+        vocab_size=256, max_len=32,
+        encoder=EncoderConfig(embed_dim=32, ffn_dim=64, layers=4, heads=4))
+    mesh = make_mesh({"pipe": 4}, jax.devices()[:4])
+    ckpt = str(tmp_path / "pipe_ckpt")
+
+    def data_fn(step):
+        return _batch(3000 + step, b=8, l=32, vocab=256)
+
+    p_full, _, losses_full = run_pipe_pretrain(
+        cfg, mesh, data_fn, total_steps=4, num_microbatches=2, seed=5)
+    run_pipe_pretrain(cfg, mesh, data_fn, total_steps=2,
+                      num_microbatches=2, ckpt_dir=ckpt, ckpt_every=2,
+                      seed=5)
+    p_res, _, losses_res = run_pipe_pretrain(
+        cfg, mesh, data_fn, total_steps=4, num_microbatches=2,
+        ckpt_dir=ckpt, ckpt_every=2, seed=5)
+    assert len(losses_res) == 2
+    np.testing.assert_allclose(losses_res, losses_full[2:], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_res)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_pretrain_bf16param_resume_exact(tmp_path):
+    """The bf16-param recipe's (adam_state, master) opt_state tuple survives
+    orbax save/restore: resumed run == uninterrupted run exactly."""
+    from moc_tpu.train import run_pretrain
+
+    cfg = PretrainConfig(
+        vocab_size=256, max_len=32, param_dtype="bfloat16",
+        encoder=EncoderConfig(embed_dim=32, ffn_dim=64, layers=2, heads=4,
+                              compute_dtype="bfloat16"))
+    mesh = make_mesh({"data": 2})
+    ckpt = str(tmp_path / "bf16p_ckpt")
+
+    def data_fn(step):
+        return _batch(4000 + step, b=4, l=32, vocab=256)
+
+    p_full, _, losses_full = run_pretrain(cfg, mesh, data_fn, total_steps=4,
+                                          seed=6)
+    run_pretrain(cfg, mesh, data_fn, total_steps=2, ckpt_dir=ckpt,
+                 ckpt_every=2, seed=6)
+    p_res, _, losses_res = run_pretrain(cfg, mesh, data_fn, total_steps=4,
+                                        ckpt_dir=ckpt, ckpt_every=2, seed=6)
+    assert len(losses_res) == 2
+    np.testing.assert_allclose(losses_res, losses_full[2:], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_res)):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+        np.testing.assert_allclose(
+            np.asarray(a, dtype=np.float32), np.asarray(b, np.float32),
+            atol=1e-5)
+
+
+@pytest.mark.slow
 def test_resume_opt_state_sharded_like_fresh(tmp_path):
     """Restored optimizer moments must carry the SAME shardings
     optimizer.init gave a fresh state (review r3: a plain asarray restore
